@@ -1,0 +1,22 @@
+"""blacklab_spark — a PySpark-native inverted-index build + BM25 top-k query engine.
+
+A from-scratch rebuild of the capabilities of the reference corpus search engine
+(oscar345/BlackLab, Lucene-based; see SURVEY.md) re-expressed Spark-first:
+
+- input: a table of Common-Crawl-style web pages
+  (url string, warc_ts timestamp, html binary, text string, lang string)
+- build: vectorized Arrow UDF extraction/tokenization -> docs / terms /
+  postings (delta+varint block-compressed, block-max scores) / manifest tables
+- query: term / regex / OR / AND / phrase / proximity span queries and
+  BM25 top-k with block-max WAND pruning, all as DataFrame plans over
+  document-sharded posting blocks (shard == salt: head-term posting lists are
+  split across shards by construction, the explicit skew rule).
+
+No code is copied from the reference; file:line citations in docstrings point
+at the behavior being mirrored, not at code being translated.
+"""
+
+__version__ = "0.1.0"
+
+K1 = 1.2  # Lucene 8 BM25 default (reference scores via default IndexSearcher:
+B = 0.75  # engine/.../search/BlackLabIndexAbstract.java:521 -> BM25Similarity)

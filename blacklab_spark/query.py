@@ -1,0 +1,598 @@
+"""Query engine over the built index: span queries + BM25 top-k (block-max).
+
+Execution model (SURVEY.md §3.1 mapped to Spark): the reference runs one
+iterator tree per Lucene segment on a thread pool
+(engine/.../results/HitsFromQuery.java:111-145); here each *shard* (a
+contiguous doc-id range of posting blocks) is one task — postings for the
+query's terms are filtered with predicate pushdown (term_id is in the parquet
+sort order, so row groups prune), grouped by shard, and a vectorized numpy
+kernel runs per shard with NO shuffle of posting data. Global top-k is a
+`orderBy().limit(k)` over n_shards × k candidate rows.
+
+Sensitivity: postings are built over surface terms; an insensitive (folded)
+query expands to the OR of its surface variants via the terms dict — the same
+move as the reference's BLSpanMultiTermQueryWrapper term expansion
+(engine/.../search/lucene/BLSpanMultiTermQueryWrapper.java:46-52).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import B, K1
+from .codec import varint_decode, delta_decode, delta_decode_segmented
+from .oracle.engine import byte4_to_int, int_to_byte4
+from .tokenize import fold_token
+
+HITS_SCHEMA = "doc_id long, start int, end int"
+SCORE_SCHEMA = "doc_id long, score double"
+
+# quantized doc-length lookup (Lucene SmallFloat byte norms, see oracle)
+_QTABLE = np.unique(np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64))
+
+
+def quantize_dl(dl: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(_QTABLE, dl, side="right") - 1
+    return _QTABLE[np.clip(idx, 0, len(_QTABLE) - 1)]
+
+
+@dataclass
+class Segment:
+    name: str
+    meta: dict
+    postings: DataFrame
+    docs: DataFrame
+    terms: DataFrame
+
+
+class Index:
+    """Open a built index (possibly multiple delta segments) for querying."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "segments.json")) as f:
+            seg_names = json.load(f)["segments"]
+        self.segments: list[Segment] = []
+        for s in seg_names:
+            base = f"{out_dir}/segments/{s}"
+            with open(f"{base}/meta.json") as mf:
+                meta = json.load(mf)
+            self.segments.append(
+                Segment(
+                    s,
+                    meta,
+                    spark.read.parquet(f"{base}/postings"),
+                    spark.read.parquet(f"{base}/docs"),
+                    spark.read.parquet(f"{base}/terms"),
+                )
+            )
+        # global corpus stats: doc sets of segments are disjoint, so stats add
+        self.n_docs = sum(s.meta["n_docs"] for s in self.segments)
+        self.sum_dl = sum(s.meta["sum_dl"] for s in self.segments)
+        self.avgdl = self.sum_dl / max(1, self.n_docs)
+
+    # ------------------------------------------------------------- helpers --
+    @property
+    def docs(self) -> DataFrame:
+        d = self.segments[0].docs
+        for s in self.segments[1:]:
+            d = d.unionByName(s.docs)
+        return d
+
+    @property
+    def terms_df(self) -> DataFrame:
+        t = self.segments[0].terms
+        for s in self.segments[1:]:
+            t = t.unionByName(s.terms)
+        return t
+
+    def resolve(self, terms: list[str], fold: bool = True) -> list[pd.DataFrame]:
+        """Per segment: (term_id, qidx, df) for each query term, qidx in
+        sorted folded order (fixes the float association order vs the oracle).
+        Returns list aligned with self.segments; also attaches .attrs['df']
+        mapping qidx -> global df."""
+        if fold:
+            qs = sorted({fold_token(t) for t in terms})
+            col = "term_fold"
+        else:
+            qs = sorted(set(terms))
+            col = "term"
+        qidx = {q: i for i, q in enumerate(qs)}
+        out, gdf = [], {}
+        for seg in self.segments:
+            rows = (
+                seg.terms.filter(F.col(col).isin(qs))
+                .select("term_id", col, "df", "fold_df")
+                .toPandas()
+            )
+            rows["qidx"] = rows[col].map(qidx)
+            out.append(rows)
+            dfc = "fold_df" if fold else "df"
+            for q, grp in rows.groupby("qidx"):
+                # within a segment, fold_df is already the distinct-doc count
+                # over all variants; across segments doc sets are disjoint
+                gdf[q] = gdf.get(q, 0) + int(grp[dfc].iloc[0])
+        for r in out:
+            r.attrs["gdf"] = gdf
+            r.attrs["n_q"] = len(qs)
+        return out
+
+    def _resolve_regex(self, pattern: str, fold: bool = True) -> list[pd.DataFrame]:
+        """Anchored regex -> matching term_ids per segment (reference anchors
+        bare regexes: query-parser/.../CorpusQueryLanguageParser.java:88-98)."""
+        col = "term_fold" if fold else "term"
+        anchored = f"^(?:{pattern})$"
+        out = []
+        for seg in self.segments:
+            rows = (
+                seg.terms.filter(F.col(col).rlike(anchored))
+                .select("term_id", col, "df", "fold_df")
+                .toPandas()
+            )
+            rows["qidx"] = 0
+            out.append(rows)
+        return out
+
+    def _postings_for(self, seg: Segment, tids: pd.DataFrame, need_pos: bool) -> DataFrame:
+        cols = [
+            "shard", "term_id", "doc_count", "max_tf", "min_dl",
+            "doc_ids", "tfs", "dls",
+        ] + (["positions"] if need_pos else [])
+        p = seg.postings.select(*cols).filter(
+            F.col("term_id").isin([int(t) for t in tids["term_id"]])
+        )
+        qmap = self.spark.createDataFrame(tids[["term_id", "qidx"]])
+        return p.join(F.broadcast(qmap), "term_id")
+
+    # ----------------------------------------------------------- span ops ---
+    def term_hits(self, term: str, fold: bool = True) -> DataFrame:
+        return self.or_hits([term], fold=fold)
+
+    def or_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
+        """Union of single-term position hits (reference: BLSpanOrQuery)."""
+        parts = []
+        for seg, tids in zip(self.segments, self.resolve(terms, fold)):
+            if len(tids):
+                parts.append(_hits_explode(self._postings_for(seg, tids, True)))
+        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+
+    def regex_hits(self, pattern: str, fold: bool = True) -> DataFrame:
+        parts = []
+        for seg, tids in zip(self.segments, self._resolve_regex(pattern, fold)):
+            if len(tids):
+                parts.append(_hits_explode(self._postings_for(seg, tids, True)))
+        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+
+    def phrase_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
+        """Exact consecutive sequence (reference: SpanQuerySequence,
+        engine/.../search/lucene/SpanQuerySequence.java:33-49): intersect
+        posting positions with offset checks, shard-local."""
+        per_term = []  # resolve each term separately but keep order as qidx
+        qs = [fold_token(t) if fold else t for t in terms]
+        parts = []
+        for seg in self.segments:
+            col = "term_fold" if fold else "term"
+            rows = (
+                seg.terms.filter(F.col(col).isin(list(set(qs))))
+                .select("term_id", col).toPandas()
+            )
+            # qidx = position in the phrase (terms may repeat)
+            frames = []
+            for i, q in enumerate(qs):
+                sub = rows[rows[col] == q][["term_id"]].copy()
+                sub["qidx"] = i
+                frames.append(sub)
+            tids = pd.concat(frames) if frames else pd.DataFrame(columns=["term_id", "qidx"])
+            if len(tids) == 0 or tids["qidx"].nunique() < len(qs):
+                continue  # some phrase term missing in this segment
+            p = self._postings_for(seg, tids, True)
+            k = len(qs)
+            parts.append(
+                p.groupBy("shard").applyInPandas(_phrase_kernel(k), HITS_SCHEMA)
+            )
+        return self._union(parts, HITS_SCHEMA)
+
+    def near_hits(self, a: str, b: str, min_gap=0, max_gap=3, ordered=True, fold=True) -> DataFrame:
+        """Proximity (reference: SpansSequenceWithGap semantics,
+        engine/.../search/lucene/SpansSequenceWithGap.java:13-57)."""
+        parts = []
+        for seg in self.segments:
+            col = "term_fold" if fold else "term"
+            qa = fold_token(a) if fold else a
+            qb = fold_token(b) if fold else b
+            rows = seg.terms.filter(F.col(col).isin([qa, qb])).select("term_id", col).toPandas()
+            ta = rows[rows[col] == qa][["term_id"]].assign(qidx=0)
+            tb = rows[rows[col] == qb][["term_id"]].assign(qidx=1)
+            if len(ta) == 0 or len(tb) == 0:
+                continue
+            tids = pd.concat([ta, tb])
+            p = self._postings_for(seg, tids, True)
+            parts.append(
+                p.groupBy("shard").applyInPandas(
+                    _near_kernel(min_gap, max_gap, ordered), HITS_SCHEMA
+                )
+            )
+        return self._union(parts, HITS_SCHEMA)
+
+    def and_docs(self, terms: list[str], fold: bool = True) -> DataFrame:
+        """Docs containing ALL terms (doc-level conjunction; reference:
+        SpanQueryAnd doc matching, engine/.../search/lucene/SpanQueryAnd.java:6-11)."""
+        parts = []
+        n_q = len({fold_token(t) if fold else t for t in terms})
+        for seg, tids in zip(self.segments, self.resolve(terms, fold)):
+            if len(tids) == 0 or tids["qidx"].nunique() < n_q:
+                continue  # a term is absent from this whole segment
+            p = self._postings_for(seg, tids, False)
+            parts.append(
+                p.groupBy("shard").applyInPandas(_docset_kernel("and", n_q), "doc_id long")
+            )
+        return self._union(parts, "doc_id long")
+
+    def and_not_docs(self, yes: str, no: str, fold: bool = True) -> DataFrame:
+        """Docs with `yes` and without `no` (reference: SpanQueryAndNot,
+        engine/.../search/lucene/SpanQueryAndNot.java:29-33)."""
+        col = "term_fold" if fold else "term"
+        qy = fold_token(yes) if fold else yes
+        qn = fold_token(no) if fold else no
+        parts = []
+        for seg in self.segments:
+            rows = seg.terms.filter(F.col(col).isin([qy, qn])).select("term_id", col).toPandas()
+            ty = rows[rows[col] == qy][["term_id"]].assign(qidx=0)
+            tn = rows[rows[col] == qn][["term_id"]].assign(qidx=1)
+            if len(ty) == 0:
+                continue
+            tids = pd.concat([ty, tn])
+            p = self._postings_for(seg, tids, False)
+            parts.append(
+                p.groupBy("shard").applyInPandas(_docset_kernel("andnot", 2), "doc_id long")
+            )
+        return self._union(parts, "doc_id long")
+
+    def count_hits(self, term: str, fold: bool = True) -> int:
+        """Total occurrences — answered from the terms dict alone (the
+        reference reads term stats the same way, LuceneUtil.termFrequencies)."""
+        col = "term_fold" if fold else "term"
+        q = fold_token(term) if fold else term
+        total = 0
+        for seg in self.segments:
+            r = (
+                seg.terms.filter(F.col(col) == q)
+                .agg(F.sum("cf").alias("cf")).collect()[0]["cf"]
+            )
+            total += int(r or 0)
+        return total
+
+    # ------------------------------------------------------------- ranking --
+    def topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        fold: bool = True,
+        quantize: bool = True,
+        where_lang: str | None = None,
+    ) -> DataFrame:
+        """BM25 top-k: shard-local scoring kernels (block-max skipping for
+        single-term queries) + global orderBy(score desc, doc_id).limit(k)."""
+        avgdl = self.avgdl
+        n = self.n_docs
+        parts = []
+        for seg, tids in zip(self.segments, self.resolve(terms, fold)):
+            if len(tids) == 0:
+                continue
+            gdf = tids.attrs["gdf"]
+            idf = {q: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5))) for q, d in gdf.items()}
+            p = self._postings_for(seg, tids, False)
+            if where_lang is None:
+                parts.append(
+                    p.groupBy("shard").applyInPandas(
+                        _score_kernel(idf, avgdl, k, quantize), SCORE_SCHEMA
+                    )
+                )
+            else:
+                allowed = seg.docs.filter(F.col("lang") == where_lang).select("shard", "doc_id")
+                parts.append(
+                    p.groupby("shard")
+                    .cogroup(allowed.groupby("shard"))
+                    .applyInPandas(
+                        _score_kernel_filtered(idf, avgdl, k, quantize), SCORE_SCHEMA
+                    )
+                )
+        scored = self._union(parts, SCORE_SCHEMA)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        top = (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+        )
+        urls = self.docs.select("doc_id", "url")
+        return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
+
+    # ---------------------------------------------------- forward-index ops --
+    def kwic(self, hits: DataFrame, context: int = 5) -> DataFrame:
+        """Keyword-in-context from the docs token arrays — the reference reads
+        its forward index for this (engine/.../results/Kwics.java:25-37); here
+        the forward index is a colocated column, so it's an array slice."""
+        d = self.docs.select("doc_id", "tokens")
+        h = hits.join(d, "doc_id")
+        left_from = F.greatest(F.lit(1), F.col("start") + 1 - context)
+        return h.select(
+            "doc_id",
+            "start",
+            "end",
+            F.array_join(
+                F.slice(F.col("tokens"), left_from, F.col("start") + 1 - left_from), " "
+            ).alias("left"),
+            F.array_join(
+                F.slice(F.col("tokens"), F.col("start") + 1, F.col("end") - F.col("start")), " "
+            ).alias("match"),
+            F.array_join(
+                F.slice(
+                    F.col("tokens"),
+                    F.col("end") + 1,
+                    F.least(F.lit(context), F.size("tokens") - F.col("end")),
+                ),
+                " ",
+            ).alias("right"),
+        )
+
+    def next_token_freq(self, term: str, fold: bool = True) -> DataFrame:
+        """Collocation fast path: frequency of the token after each hit —
+        a plain groupBy over forward-index arrays (the reference's
+        HitGroupsTokenFrequencies fast path, results/HitGroupsTokenFrequencies.java:8-13)."""
+        hits = self.term_hits(term, fold)
+        col = "tokens_fold" if fold else "tokens"
+        d = self.docs.select("doc_id", col)
+        return (
+            hits.join(d, "doc_id")
+            .select(F.element_at(F.col(col), F.col("end") + 1).alias("next_tok"))
+            .filter(F.col("next_tok").isNotNull())
+            .groupBy("next_tok")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def term_freqs(self, fold: bool = True) -> DataFrame:
+        if fold:
+            return (
+                self.terms_df.groupBy(F.col("term_fold").alias("term"))
+                .agg(F.max("fold_cf").alias("cf_seg"))
+                .groupBy("term").agg(F.sum("cf_seg").alias("cf"))
+            )
+        return self.terms_df.groupBy("term").agg(F.sum("cf").alias("cf"))
+
+    def _union(self, parts: list[DataFrame], schema: str) -> DataFrame:
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+
+# ------------------------------------------------------------ numpy kernels --
+def _decode_group(pdf: pd.DataFrame, need_pos: bool):
+    """Decode all block rows of one shard into flat arrays.
+
+    Returns (qidx, doc, tf, dl[, pos arrays]) where pos is aligned with
+    per-doc tf segments (positions of doc i occupy a tf[i]-long slice)."""
+    qs, ds, ts, ls, ps = [], [], [], [], []
+    for r in pdf.itertuples(index=False):
+        docs = delta_decode(varint_decode(r.doc_ids))
+        tfs = varint_decode(r.tfs)
+        dls = varint_decode(r.dls)
+        qs.append(np.full(len(docs), r.qidx, dtype=np.int64))
+        ds.append(docs)
+        ts.append(tfs)
+        ls.append(dls)
+        if need_pos:
+            ps.append(delta_decode_segmented(varint_decode(r.positions), tfs))
+    if not ds:
+        z = np.empty(0, np.int64)
+        return (z, z, z, z, z) if need_pos else (z, z, z, z)
+    out = (np.concatenate(qs), np.concatenate(ds), np.concatenate(ts), np.concatenate(ls))
+    return out + (np.concatenate(ps),) if need_pos else out
+
+
+def _hits_explode(postings: DataFrame) -> DataFrame:
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _, doc, tf, _, pos = _decode_group(pdf, True)
+            docs_rep = np.repeat(doc, tf)
+            yield pd.DataFrame(
+                {"doc_id": docs_rep, "start": pos.astype(np.int32),
+                 "end": (pos + 1).astype(np.int32)}
+            )
+
+    return postings.mapInPandas(kernel, HITS_SCHEMA)
+
+
+def _expand_positions(qidx, doc, tf, pos):
+    """(qidx, doc) per position row."""
+    return np.repeat(qidx, tf), np.repeat(doc, tf), pos
+
+
+def _phrase_kernel(k: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qidx, doc, tf, _, pos = _decode_group(pdf, True)
+        if len(doc) == 0:
+            return pd.DataFrame(columns=["doc_id", "start", "end"])
+        q_r, d_r, p_r = _expand_positions(qidx, doc, tf, pos)
+        # local dense doc index so composite keys fit in int64 at any scale
+        udocs, dloc = np.unique(d_r, return_inverse=True)
+        M = np.int64(1) << 32
+        cur = None  # composite keys of candidate phrase START positions
+        for i in range(k):
+            sel = q_r == i
+            keys = dloc[sel] * M + (p_r[sel] - i)
+            keys = np.unique(keys)
+            cur = keys if cur is None else cur[np.isin(cur, keys, assume_unique=True)]
+            if len(cur) == 0:
+                break
+        if cur is None or len(cur) == 0:
+            return pd.DataFrame(columns=["doc_id", "start", "end"])
+        d_out = udocs[(cur // M).astype(np.int64)]
+        s_out = (cur % M).astype(np.int32)
+        return pd.DataFrame({"doc_id": d_out, "start": s_out, "end": s_out + k})
+
+    return kernel
+
+
+def _near_kernel(min_gap: int, max_gap: int, ordered: bool):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qidx, doc, tf, _, pos = _decode_group(pdf, True)
+        if len(doc) == 0:
+            return pd.DataFrame(columns=["doc_id", "start", "end"])
+        q_r, d_r, p_r = _expand_positions(qidx, doc, tf, pos)
+        udocs, dloc = np.unique(d_r, return_inverse=True)
+        M = np.int64(1) << 32
+
+        def pairs(qa, qb):
+            """spans a..b where gap = b.pos - (a.pos+1) in [min,max]."""
+            a_sel, b_sel = q_r == qa, q_r == qb
+            ka = np.sort(dloc[a_sel] * M + p_r[a_sel])
+            kb = np.sort(dloc[b_sel] * M + p_r[b_sel])
+            lo = np.searchsorted(kb, ka + 1 + min_gap, side="left")
+            hi = np.searchsorted(kb, ka + 1 + max_gap, side="right")
+            cnt = hi - lo
+            src = np.repeat(np.arange(len(ka)), cnt)
+            offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            tgt = lo[src] + offs
+            d_out = udocs[(ka[src] // M).astype(np.int64)]
+            s_out = (ka[src] % M).astype(np.int32)
+            e_out = (kb[tgt] % M).astype(np.int32) + 1
+            # guard: same doc (keys in same doc block)
+            ok = (kb[tgt] // M) == (ka[src] // M)
+            return d_out[ok], s_out[ok], e_out[ok]
+
+        d1, s1, e1 = pairs(0, 1)
+        if ordered:
+            d_out, s_out, e_out = d1, s1, e1
+        else:
+            d2, s2, e2 = pairs(1, 0)
+            d_out = np.concatenate([d1, d2])
+            s_out = np.concatenate([s1, s2])
+            e_out = np.concatenate([e1, e2])
+        out = pd.DataFrame({"doc_id": d_out, "start": s_out, "end": e_out})
+        return out.drop_duplicates()
+
+    return kernel
+
+
+def _docset_kernel(op: str, n_q: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qidx, doc, _, _ = _decode_group(pdf, False)
+        if len(doc) == 0:
+            return pd.DataFrame(columns=["doc_id"])
+        if op == "and":
+            cur = None
+            for i in range(n_q):
+                s = np.unique(doc[qidx == i])
+                cur = s if cur is None else np.intersect1d(cur, s, assume_unique=True)
+            out = cur if cur is not None else np.empty(0, np.int64)
+        else:  # andnot: qidx 0 minus qidx 1
+            yes = np.unique(doc[qidx == 0])
+            no = np.unique(doc[qidx == 1])
+            out = np.setdiff1d(yes, no, assume_unique=True)
+        return pd.DataFrame({"doc_id": out})
+
+    return kernel
+
+
+def _score_arrays(qidx, doc, tf, dl, idf: dict, avgdl: float, quantize: bool):
+    """Exact BM25 with the oracle's float association order (qidx asc)."""
+    if len(doc) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if quantize:
+        dl = quantize_dl(dl)
+    # merge variant term_ids sharing a qidx: sum tf per (doc, qidx)
+    order = np.lexsort((qidx, doc))
+    doc, qidx, tf, dl = doc[order], qidx[order], tf[order], dl[order]
+    change = np.empty(len(doc), dtype=bool)
+    change[0] = True
+    np.logical_or(doc[1:] != doc[:-1], qidx[1:] != qidx[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    tf_sum = np.add.reduceat(tf, starts)
+    doc_g, qidx_g, dl_g = doc[starts], qidx[starts], dl[starts]
+    idf_arr = np.zeros(max(idf.keys()) + 1 if idf else 1, dtype=np.float64)
+    for q, v in idf.items():
+        idf_arr[q] = v
+    tf_f = tf_sum.astype(np.float64)
+    tfnorm = tf_f / (tf_f + K1 * (1 - B + B * dl_g.astype(np.float64) / avgdl))
+    contrib = idf_arr[qidx_g] * tfnorm * (K1 + 1)
+    # sum per doc in qidx order (rows already sorted by (doc, qidx))
+    dchange = np.empty(len(doc_g), dtype=bool)
+    dchange[0] = True
+    np.not_equal(doc_g[1:], doc_g[:-1], out=dchange[1:])
+    dstarts = np.flatnonzero(dchange)
+    scores = np.add.reduceat(contrib, dstarts)
+    return doc_g[dstarts], scores
+
+
+def _local_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    if len(docs) > k:
+        # top-k by (score desc, doc asc)
+        idx = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[idx], scores[idx]
+    return pd.DataFrame({"doc_id": docs, "score": scores})
+
+
+def _score_kernel(idf: dict, avgdl: float, k: int, quantize: bool):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        # block-max skipping is valid only when each doc appears in exactly one
+        # block: one query term AND one surface variant (one posting list)
+        if len(idf) == 1 and pdf["term_id"].nunique() == 1:
+            # block-max skipping: process blocks in upper-bound-desc order,
+            # stop when the bound can't beat the current kth score
+            q = next(iter(idf))
+            mt = pdf["max_tf"].to_numpy(np.float64)
+            ml = pdf["min_dl"].to_numpy(np.float64)
+            bound = idf[q] * (K1 + 1) * mt / (mt + K1 * (1 - B + B * ml / avgdl))
+            order = np.argsort(-bound)
+            best_docs, best_scores = [], []
+            kth = -np.inf
+            n_seen = 0
+            for bi in order:
+                if n_seen >= k and bound[bi] <= kth:
+                    break
+                row = pdf.iloc[[bi]]
+                qx, dc, tf, dl = _decode_group(row, False)
+                d, s = _score_arrays(qx, dc, tf, dl, idf, avgdl, quantize)
+                best_docs.append(d)
+                best_scores.append(s)
+                n_seen += len(d)
+                if n_seen >= k:
+                    allsc = np.concatenate(best_scores)
+                    kth = np.partition(allsc, -k)[-k] if len(allsc) >= k else -np.inf
+            if not best_docs:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            return _local_topk(np.concatenate(best_docs), np.concatenate(best_scores), k)
+        qx, dc, tf, dl = _decode_group(pdf, False)
+        d, s = _score_arrays(qx, dc, tf, dl, idf, avgdl, quantize)
+        return _local_topk(d, s, k)
+
+    return kernel
+
+
+def _score_kernel_filtered(idf: dict, avgdl: float, k: int, quantize: bool):
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        qx, dc, tf, dl = _decode_group(left, False)
+        allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+        mask = np.isin(dc, allowed)
+        d, s = _score_arrays(qx[mask], dc[mask], tf[mask], dl[mask], idf, avgdl, quantize)
+        return _local_topk(d, s, k)
+
+    return kernel

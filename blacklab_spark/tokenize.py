@@ -1,0 +1,84 @@
+"""Text extraction + tokenization + case/accent folding.
+
+One implementation, shared verbatim by the Spark Arrow UDF path (pandas Series
+in/out, vectorized — no per-row Python) and the pure-Python oracle — which is
+how the "byte-identical extracted text per url" invariant is pinned.
+
+Mirrors the reference's analysis semantics, not its code:
+- tokenizer: Unicode word tokenizer (reference: BLStandardAnalyzer,
+  engine/.../analysis/BLStandardAnalyzer.java:11-20)
+- fold (insensitive variant): lowercase + NFD accent strip (reference:
+  MatchSensitivity.desensitize, engine/.../search/indexmetadata/
+  MatchSensitivity.java:82-95 + analysis/RemoveAllAccentsFilter.java)
+
+TOKENIZER_VERSION is bumped on any behavior change; it is stored in the index
+meta so an index and a query engine can refuse to mix versions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+TOKENIZER_VERSION = "1.0.0"
+
+# word = runs of unicode letters/digits (Java \w is ascii; we pin an explicit
+# class close to the reference's standard analyzer behavior)
+TOKEN_RE = r"[0-9A-Za-zÀ-ɏͰ-ϿЀ-ӿ]+"
+
+_TAG_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</\1>"
+_TAG_COMMENT = r"(?s)<!--.*?-->"
+_TAG_ANY = r"(?s)<[^>]+>"
+_WS = r"\s+"
+
+
+def extract_text_series(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Per-row extracted text: `text` when present, else stripped `html`.
+
+    Vectorized pandas .str pipeline (Arrow-batched under a pandas UDF).
+    """
+    h = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    stripped = (
+        h.str.replace(_TAG_SCRIPT, " ", regex=True)
+        .str.replace(_TAG_COMMENT, " ", regex=True)
+        .str.replace(_TAG_ANY, " ", regex=True)
+        .str.replace(_WS, " ", regex=True)
+        .str.strip()
+    )
+    out = text.copy()
+    missing = text.isna()
+    out[missing] = stripped[missing]
+    return out.fillna("")
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] of surface tokens (case preserved)."""
+    return texts.fillna("").str.findall(TOKEN_RE)
+
+
+def fold_series(texts: pd.Series) -> pd.Series:
+    """Case/accent fold: lower + NFD + strip combining marks."""
+    return (
+        texts.fillna("")
+        .str.lower()
+        .str.normalize("NFD")
+        .str.replace(r"[̀-ͯ]", "", regex=True)
+    )
+
+
+def fold_token(tok: str) -> str:
+    """Scalar fold — same transform as fold_series (oracle-side convenience)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", tok.lower()) if not unicodedata.combining(c)
+    )
+
+
+def extract_text_one(html: bytes | None, text: str | None) -> str:
+    """Scalar extraction for the oracle — routed through the Series impl so the
+    two paths cannot diverge."""
+    return extract_text_series(pd.Series([html]), pd.Series([text]))[0]
+
+
+def tokenize_one(text: str) -> list[str]:
+    return tokenize_series(pd.Series([text]))[0]
