@@ -80,16 +80,22 @@ def tokenized_docs(pages: DataFrame) -> DataFrame:
 
 
 # -------------------------------------------------------- dense id assigner --
-def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -> DataFrame:
+def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -> tuple[DataFrame, int, DataFrame]:
     """Deterministic dense ids = row_number over global sort of `order_col`,
     without a single-partition window: range-repartition + per-partition
     offsets (two light passes). Values of `order_col` must be unique.
+
+    The repartitioned frame is persisted before counting: the id pass MUST see
+    the exact partitions the count pass saw (repartitionByRange samples its
+    boundaries from upstream row order, which is not deterministic across
+    recomputations after a groupBy). Returns (df_with_ids, total, cached_df) —
+    caller unpersists cached_df once downstream results are materialized.
 
     Scale: the per-partition count table collected to the driver is
     n_parts rows — trivially small at any corpus size.
     """
     d = df.repartitionByRange(n_parts, order_col).sortWithinPartitions(order_col)
-    d = d.withColumn("_pid", F.spark_partition_id())
+    d = d.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets = {}
     acc = 0
@@ -115,7 +121,7 @@ def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -
             seen += len(pdf)
             yield pdf.drop(columns=["_pid"]).assign(**{id_col: ids})
 
-    return d.mapInPandas(add_ids, schema=out_schema)
+    return d.mapInPandas(add_ids, schema=out_schema), acc, d
 
 
 # ---------------------------------------------------------- posting encoder --
@@ -281,29 +287,27 @@ def build_index(
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict."""
     t0 = time.time()
+    spark_ = spark
     seg_dir = os.path.join(out_dir, "segments", segment)
 
-    docs = tokenized_docs(pages)
-    docs = assign_dense_ids(docs, "url", "doc_id", id_parts or max(4, n_shards))
+    docs0 = tokenized_docs(pages)
+    docs0, n_docs, cache0 = assign_dense_ids(docs0, "url", "doc_id", id_parts or max(4, n_shards))
     if base_doc_id:
-        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
-
-    # corpus stats (one light agg) -> needed for shard ranges + meta
-    stats = docs.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl")
-    ).collect()[0]
-    n_docs, sum_dl = stats["n"], int(stats["sum_dl"] or 0)
+        docs0 = docs0.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
     per_shard = max(1, -(-n_docs // n_shards))  # ceil
 
-    docs = docs.withColumn(
+    docs0 = docs0.withColumn(
         "shard",
         F.least(
             ((F.col("doc_id") - F.lit(base_doc_id)) / F.lit(per_shard)).cast("int"),
             F.lit(n_shards - 1),
         ),
     ).select("doc_id", "shard", "url", "lang", "text", "doc_len", "tokens", "tokens_fold")
-    docs.persist()
-    docs.repartition("shard").write.mode("overwrite").parquet(f"{seg_dir}/docs")
+    docs0.repartition("shard").write.mode("overwrite").parquet(f"{seg_dir}/docs")
+    cache0.unpersist()
+    # read-back = lineage cut: every later stage sees one stable snapshot
+    docs = spark_.read.parquet(f"{seg_dir}/docs")
+    sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
 
     # ---- terms dictionary (sensitive surface + folded stats) ----
     ex = docs.select(
@@ -325,22 +329,32 @@ def build_index(
             yield pdf.assign(term_fold=fold_series(pdf["term"]))
 
     surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
-    terms = surf.join(folds, "term_fold", "left")
-    terms = assign_dense_ids(terms, "term", "term_id", max(4, n_shards))
-    # insensitive sort position: dense ids over (term_fold, term) — reuse ids
-    # sorted by folded form (reference: collator sort orders, integrated.md:148-153)
-    terms = terms.withColumn("sort_pos_s", F.col("term_id"))
-    w_fold = terms.select("term_id", "term_fold", "term")
-    fold_rank = assign_dense_ids(
-        w_fold.withColumn("_k", F.concat_ws(chr(0), "term_fold", "term")),
+    terms0 = surf.join(folds, "term_fold", "left")
+    terms0, n_terms, cache1 = assign_dense_ids(terms0, "term", "term_id", max(4, n_shards))
+    # sensitive sort position == term_id (ids are rank over sorted surface term)
+    terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
+    terms0.write.mode("overwrite").parquet(f"{seg_dir}/terms_tmp")
+    cache1.unpersist()
+    terms_tmp = spark_.read.parquet(f"{seg_dir}/terms_tmp")
+    # insensitive sort position: rank over (term_fold, term) — the collator
+    # sort order for the folded layer (reference: integrated.md:148-153)
+    fold_rank, _, cache2 = assign_dense_ids(
+        terms_tmp.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
         "_k", "sort_pos_i", max(4, n_shards),
-    ).select("term_id", "sort_pos_i")
-    terms = terms.join(fold_rank, "term_id")
-    terms.persist()
-    terms.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{seg_dir}/terms")
+    )
+    fold_rank = fold_rank.select("term_id", "sort_pos_i")
+    (
+        terms_tmp.join(fold_rank, "term_id")
+        .coalesce(max(1, n_shards // 4))
+        .write.mode("overwrite").parquet(f"{seg_dir}/terms")
+    )
+    cache2.unpersist()
+    import shutil
+
+    shutil.rmtree(f"{seg_dir}/terms_tmp", ignore_errors=True)
+    terms = spark_.read.parquet(f"{seg_dir}/terms")
 
     # ---- postings: ONE shuffle (repartition by shard) + sorted streaming encode
-    n_terms = terms.count()
     dict_df = terms.select("term", "term_id")
     if n_terms <= 2_000_000:
         dict_df = F.broadcast(dict_df)
@@ -387,8 +401,6 @@ def build_index(
         json.dump(meta, f, indent=2)
     # segment registry at the index root
     _register_segment(out_dir, segment)
-    docs.unpersist()
-    terms.unpersist()
     return meta
 
 

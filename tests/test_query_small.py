@@ -1,0 +1,120 @@
+"""FIXTURES.md §3 query set (q01-q16) on the 2,000-doc seeded corpus,
+asserted hit-identical / rank-identical against the pinned oracle."""
+
+import pytest
+
+
+def hits(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+
+
+def ranks(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.orderBy("rank").collect()]
+
+
+def assert_rank_identical(got, exp):
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    for a, b in zip(got, exp):
+        assert abs(a[2] - b[2]) < 1e-10, (a, b)
+
+
+def test_q01_term_head(small_index, small_oracle):
+    assert hits(small_index.term_hits("the")) == small_oracle.term_hits("the")
+
+
+def test_q02_term_rare(small_index, small_oracle):
+    assert hits(small_index.term_hits("w04997")) == small_oracle.term_hits("w04997")
+
+
+def test_q03_term_folded(small_index, small_oracle):
+    got = hits(small_index.term_hits("café"))
+    assert got == small_oracle.term_hits("café")
+    assert len(got) >= 60  # 30 docs x >=2 folded variants actually present
+
+
+def test_q04_or(small_index, small_oracle):
+    assert hits(small_index.or_hits(["click", "service"])) == small_oracle.or_hits(
+        "click", "service"
+    )
+
+
+def test_q05_regex(small_index, small_oracle):
+    assert hits(small_index.regex_hits("w0012.")) == small_oracle.regex_hits("w0012.")
+
+
+def test_q06_and(small_index, small_oracle):
+    got = sorted(r["doc_id"] for r in small_index.and_docs(["click", "terms"]).collect())
+    assert got == small_oracle.and_docs("click", "terms")
+
+
+def test_q07_and_not(small_index, small_oracle):
+    got = sorted(r["doc_id"] for r in small_index.and_not_docs("click", "terms").collect())
+    assert got == small_oracle.and_not_docs("click", "terms")
+
+
+def test_q08_phrase2(small_index, small_oracle):
+    got = hits(small_index.phrase_hits(["click", "here"]))
+    assert got == small_oracle.phrase_hits("click", "here")
+    assert len(got) >= 30  # ~2% of 2000 docs carry the bigram
+
+
+def test_q09_phrase3(small_index, small_oracle):
+    got = hits(small_index.phrase_hits(["terms", "of", "service"]))
+    assert got == small_oracle.phrase_hits("terms", "of", "service")
+    assert len(got) >= 5
+
+
+def test_q10_near(small_index, small_oracle):
+    assert hits(small_index.near_hits("click", "w00000", 0, 3)) == small_oracle.near_hits(
+        "click", "w00000", 0, 3
+    )
+
+
+@pytest.mark.parametrize("quantize", [True, False])
+def test_q11_topk_single(small_index, small_oracle, quantize):
+    got = ranks(small_index.topk(["w00010"], k=10, quantize=quantize))
+    assert_rank_identical(got, small_oracle.topk(["w00010"], k=10, quantize=quantize))
+
+
+def test_q12_topk_multi(small_index, small_oracle):
+    q = ["w00003", "w00010", "w00100"]
+    got = ranks(small_index.topk(q, k=10))
+    assert_rank_identical(got, small_oracle.topk(q, k=10))
+
+
+def test_q13_topk_head_tail(small_index, small_oracle):
+    q = ["the", "w04997"]
+    got = ranks(small_index.topk(q, k=100))
+    assert_rank_identical(got, small_oracle.topk(q, k=100))
+
+
+def test_q14_topk_filtered(small_index, small_oracle):
+    got = ranks(small_index.topk(["w00010"], k=10, where_lang="en"))
+    assert_rank_identical(got, small_oracle.topk(["w00010"], k=10, where_lang="en"))
+
+
+def test_q15_count(small_index, small_oracle):
+    assert small_index.count_hits("the") == small_oracle.count_hits("the")
+
+
+def test_q16_colloc(small_index, small_oracle):
+    got = {r["next_tok"]: r["n"] for r in small_index.next_token_freq("click").collect()}
+    assert got == small_oracle.next_token_freq("click")
+
+
+def test_head_term_spans_shards(small_index):
+    """Skew rule: a head term's posting list must be split across shards."""
+    seg = small_index.segments[0]
+    t = seg.terms.filter(seg.terms.term_fold == "the").select("term_id").collect()
+    tids = [r["term_id"] for r in t]
+    n = (
+        seg.postings.filter(seg.postings.term_id.isin(tids))
+        .select("shard").distinct().count()
+    )
+    assert n == seg.meta["n_shards"]
+
+
+def test_term_freqs_match(small_index, small_oracle):
+    got = {r["term"]: r["cf"] for r in small_index.term_freqs().collect()}
+    exp = small_oracle.term_freqs()
+    assert got == exp
