@@ -1,0 +1,741 @@
+"""Driver-facing queries + DuckDB oracle SQL (the per-round correctness gate).
+
+Two families over the driver's `documents` table:
+- ix_*  : routed through the real inverted-index engine (build.py/query.py);
+          documents are adapted to the pages input shape and indexed once per
+          sf_dir (cached on disk under /tmp).
+- ft_*  : the declarative forward-index fast path (pure DataFrame ops over
+          tokenized arrays — the analog of the reference's
+          HitGroupsTokenFrequencies fast path).
+
+Plus training-data pipeline ops over documents/embeddings/events:
+dd_* (dedup), sim_* (similarity search), txt_* (text analysis), ev_* (events).
+
+Tokenization here is pinned to: non-empty pieces of lower(text) split on
+[^a-z0-9]+, positions counted over non-empty tokens — expressible identically
+in Spark and DuckDB (the documents corpus is ASCII, so this equals the
+engine's unicode tokenizer + fold on this data).
+
+Float policy: every float column is round(x, 6) on both sides, and every
+ranking orders by the ROUNDED value with a deterministic id tiebreak.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+TOPK_STOP = ("a", "the")
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+SQL_TOKS = """
+raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr FROM documents
+), tok0 AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS i FROM raw
+), toks AS (
+  SELECT doc_id, tok, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos
+  FROM tok0 WHERE tok <> ''
+)"""
+
+SQL_DL = """
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t USING (doc_id)
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+)"""
+
+SQL_SH3 = """
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE s IS NOT NULL
+)"""
+
+
+def _sql_topk(terms: list[str], k: int, where: str | None = None) -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    flt = f"AND doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
+    return f"""
+WITH {SQL_TOKS}, {SQL_DL},
+q(term) AS (VALUES {vals}),
+tf AS (
+  SELECT t.doc_id, q.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN q ON t.tok = q.term
+  WHERE 1=1 {flt}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (SELECT DISTINCT doc_id, term FROM (
+  SELECT t.doc_id, q.term FROM toks t JOIN q ON t.tok = q.term)) GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))
+              * (1.2 + 1.0) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1
+)
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark helpers
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, pos) — identical semantics to SQL_TOKS."""
+    d = _docs(spark, sf_dir)
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    return d.select("doc_id", F.posexplode(arr).alias("pos", "tok")).select(
+        "doc_id", "tok", F.col("pos").cast("int").alias("pos")
+    )
+
+
+def _sh3(spark, sf_dir) -> DataFrame:
+    t = _toks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    s = F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w))
+    # concat_ws skips NULLs, so emulate SQL NULL propagation via lead presence
+    return (
+        t.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-backed index (cached per sf_dir)
+# ---------------------------------------------------------------------------
+_IX_CACHE: dict[str, object] = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str):
+    from .build import build_index
+    from .query import Index
+
+    key = os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = key.strip("/").replace("/", "_")
+    out = f"/tmp/blacklab_ix_{tag}"
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    meta_path = f"{out}/segments/seg0/meta.json"
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            ok = json.load(f).get("n_docs") == n
+    if not ok:
+        pages = docs.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            # engine metadata-filter field carries the documents `source`
+            F.col("source").alias("lang"),
+        )
+        build_index(spark, pages, out, n_shards=8)
+    ix = Index(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _ix_hits(df: DataFrame) -> DataFrame:
+    """Engine hits -> driver shape (engine doc ids == documents.doc_id by
+    construction of the doc:// urls)."""
+    return df.select(
+        F.col("doc_id").cast("long"),
+        F.col("start").cast("int"),
+        F.col("end").cast("int"),
+    )
+
+
+def _ix_topk(spark, sf_dir, terms, k, where_src=None) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    raw = ix.topk(terms, k=k + 10, quantize=False, where_lang=where_src)
+    out = (
+        raw.select("doc_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ))
+        .filter(F.col("rank") <= k)
+    )
+    return out.select(F.col("rank").cast("int"), F.col("doc_id").cast("long"), "score")
+
+
+# ---------------------------------------------------------------------------
+# the query registry
+# ---------------------------------------------------------------------------
+def build_queries() -> dict:
+    q = {}
+
+    # ---------------- engine-backed (postings) ----------------
+    q["ix_term_hits"] = lambda s, d: _ix_hits(get_index(s, d).term_hits("table"))
+    q["ix_or_hits"] = lambda s, d: _ix_hits(get_index(s, d).or_hits(["vector", "merge"]))
+    q["ix_regex_hits"] = lambda s, d: _ix_hits(get_index(s, d).regex_hits("s.*n"))
+    q["ix_phrase"] = lambda s, d: _ix_hits(get_index(s, d).phrase_hits(["fast", "sort"]))
+    q["ix_near"] = lambda s, d: _ix_hits(get_index(s, d).near_hits("table", "scan", 0, 3))
+    q["ix_and_docs"] = lambda s, d: get_index(s, d).and_docs(["table", "vector"]).select(
+        F.col("doc_id").cast("long")
+    )
+    q["ix_and_not_docs"] = lambda s, d: get_index(s, d).and_not_docs("table", "vector").select(
+        F.col("doc_id").cast("long")
+    )
+    q["ix_count"] = lambda s, d: s.createDataFrame(
+        [(get_index(s, d).count_hits("table"),)], "n_hits long"
+    )
+    q["ix_colloc"] = lambda s, d: get_index(s, d).next_token_freq("table").select(
+        "next_tok", F.col("n").cast("long")
+    )
+    q["ix_topk_single"] = lambda s, d: _ix_topk(s, d, ["table"], 10)
+    q["ix_topk_multi"] = lambda s, d: _ix_topk(s, d, ["table", "vector", "merge"], 10)
+    q["ix_topk_filtered"] = lambda s, d: _ix_topk(s, d, ["table"], 10, where_src="src3")
+    q["ix_kwic"] = lambda s, d: get_index(s, d).kwic(
+        get_index(s, d).phrase_hits(["fast", "sort"]), context=5
+    ).select(F.col("doc_id").cast("long"), F.col("start").cast("int"),
+             F.col("end").cast("int"), "left", "match", "right")
+
+    # ---------------- forward-index fast path ----------------
+    def ft_termfreq(s, d):
+        return (
+            _toks(s, d).groupBy(F.col("tok").alias("term"))
+            .agg(F.count("*").alias("cf"))
+            .orderBy(F.col("cf").desc(), "term").limit(20)
+        )
+
+    q["ft_termfreq_top20"] = ft_termfreq
+
+    def ft_facet_source(s, d):
+        t = _toks(s, d).filter(F.col("tok") == "vector").select("doc_id").distinct()
+        return (
+            t.join(_docs(s, d), "doc_id")
+            .groupBy("source").agg(F.countDistinct("doc_id").alias("n"))
+        )
+
+    q["ft_facet_source"] = ft_facet_source
+
+    def ft_window(s, d):
+        h = _toks(s, d).filter(F.col("tok") == "table")
+        w = Window.orderBy("doc_id", "pos")
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+            .select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"))
+        )
+
+    q["ft_window"] = ft_window
+
+    def ft_sample(s, d):
+        h = _toks(s, d).filter((F.col("tok") == "table") & (F.col("doc_id") % 10 == 3))
+        return h.select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"))
+
+    q["ft_sample"] = ft_sample
+
+    def ft_doclen_hist(s, d):
+        t = _toks(s, d).groupBy("doc_id").agg(F.count("*").alias("n"))
+        return (
+            t.select((F.floor(F.col("n") / 10) * 10).cast("long").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_docs"))
+        )
+
+    q["ft_doclen_hist"] = ft_doclen_hist
+
+    # ---------------- dedup ----------------
+    def dd_exact(s, d):
+        return (
+            _docs(s, d).select(F.md5("text").alias("h"))
+            .groupBy("h").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "h").limit(20)
+        )
+
+    q["dd_exact"] = dd_exact
+
+    def dd_ngram_jaccard(s, d):
+        sh = _sh3(s, d)
+        cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        b = sh.select((F.col("doc_id") - 1).alias("doc_a"), "s")
+        inter = (
+            sh.alias("a").join(b.alias("b"), (F.col("a.doc_id") == F.col("b.doc_a")) & (F.col("a.s") == F.col("b.s")))
+            .groupBy(F.col("a.doc_id").alias("doc_a")).agg(F.count("*").alias("i"))
+        )
+        ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        cb = cnt.select((F.col("doc_id") - 1).alias("doc_a"), F.col("n").alias("nb"))
+        return (
+            inter.join(ca, "doc_a").join(cb, "doc_a")
+            .select(
+                "doc_a",
+                F.round(F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+            )
+            .orderBy(F.col("jaccard").desc(), "doc_a").limit(10)
+        )
+
+    q["dd_ngram_jaccard"] = dd_ngram_jaccard
+
+    def _mh(s, d, n_hashes):
+        sh = _sh3(s, d)
+        h = sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hi"))
+        return h.groupBy("doc_id", "hi").agg(
+            F.min(F.md5(F.concat(F.col("s"), F.lit("#"), F.col("hi").cast("string")))).alias("mh")
+        )
+
+    def dd_minhash_sig(s, d):
+        mh = _mh(s, d, 8)
+        sig = mh.groupBy("doc_id").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hi", "mh"))), lambda x: x["mh"]
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+        return sig.filter(F.col("doc_id") < 50).select("doc_id", "sig")
+
+    q["dd_minhash_sig"] = dd_minhash_sig
+
+    def dd_lsh_pairs(s, d):
+        mh = _mh(s, d, 4)
+        a, b = mh.alias("a"), mh.alias("b")
+        return (
+            a.join(b, (F.col("a.hi") == F.col("b.hi")) & (F.col("a.mh") == F.col("b.mh"))
+                   & (F.col("b.doc_id") > F.col("a.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.countDistinct("a.hi").alias("shared_bands"))
+        )
+
+    q["dd_lsh_pairs"] = dd_lsh_pairs
+
+    def dd_simhash(s, d):
+        t = _toks(s, d).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+        # 16-bit token hash from the first 4 md5 hex chars — portable between
+        # Spark and DuckDB via instr('0123456789abcdef', ch)
+        t = t.withColumn(
+            "h16",
+            F.expr(
+                "(instr('0123456789abcdef', substring(md5(tok),1,1)) - 1) * 4096 + "
+                "(instr('0123456789abcdef', substring(md5(tok),2,1)) - 1) * 256 + "
+                "(instr('0123456789abcdef', substring(md5(tok),3,1)) - 1) * 16 + "
+                "(instr('0123456789abcdef', substring(md5(tok),4,1)) - 1)"
+            ).cast("int"),
+        )
+        bits = (
+            t.select("doc_id", "w", "h16",
+                     F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+            .withColumn("bit", F.expr("(h16 div cast(pow(2, j) as int)) % 2"))
+            .groupBy("doc_id", "j")
+            .agg(F.sum(F.when(F.col("bit") == 1, F.col("w")).otherwise(-F.col("w"))).alias("v"))
+        )
+        sim = bits.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("v") > 0, F.expr("cast(pow(2, j) as long)")).otherwise(F.lit(0))).alias("simhash")
+        )
+        return sim.filter(F.col("doc_id") < 100).select("doc_id", F.col("simhash").cast("long"))
+
+    q["dd_simhash"] = dd_simhash
+
+    # ---------------- similarity search ----------------
+    def _emb(s, d):
+        return s.read.parquet(f"{d}/embeddings.parquet")
+
+    def sim_cosine_topk(s, d):
+        e = _emb(s, d).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        j = e.crossJoin(F.broadcast(qv)).filter(F.col("vec_id") != 0)
+        dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        nv = F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        nq = F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        scored = j.select("vec_id", F.round(dot / F.sqrt(nv * nq), 6).alias("cos"))
+        w = Window.orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(F.col("rank").cast("int"), "vec_id", "cos")
+        )
+
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    def sim_ann_lsh(s, d):
+        e = _emb(s, d).select(
+            "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+        planes = s.range(6).select(F.col("id").cast("int").alias("p")).crossJoin(
+            s.range(1, 65).select(F.col("id").cast("int").alias("i"))
+        ).withColumn(
+            "wt",
+            F.when(
+                F.expr("instr('0123456789abcdef', substring(md5(concat(cast(p as string), '_', cast(i as string))),1,1)) - 1") >= 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = (
+            e.join(F.broadcast(planes), "i")
+            .groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("wt")).alias("sm"))
+        )
+        buck = proj.groupBy("vec_id").agg(
+            F.sum(F.when(F.col("sm") > 0, F.expr("cast(pow(2, p) as long)")).otherwise(F.lit(0))).alias("bucket")
+        )
+        qb = buck.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+        cand = buck.crossJoin(F.broadcast(qb)).filter(
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
+        ).select("vec_id")
+        emb = _emb(s, d).select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        j = cand.join(emb, "vec_id").crossJoin(F.broadcast(qv))
+        dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        nv = F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        nq = F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        scored = j.select("vec_id", F.round(dot / F.sqrt(nv * nq), 6).alias("cos"))
+        w = Window.orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("rank").cast("int"), "vec_id", "cos")
+        )
+
+    q["sim_ann_lsh"] = sim_ann_lsh
+
+    # ---------------- text analysis ----------------
+    def txt_tokcount(s, d):
+        return (
+            _toks(s, d).filter(F.col("doc_id") < 100)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_uniq"))
+        )
+
+    q["txt_tokcount"] = txt_tokcount
+
+    def txt_quality(s, d):
+        return (
+            _toks(s, d).filter(F.col("doc_id") < 100)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tok"),
+                F.round(F.avg(F.length("tok")), 6).alias("avg_len"),
+                F.round(
+                    F.sum(F.when(F.col("tok").isin(*TOPK_STOP), 1.0).otherwise(0.0)) / F.count("*"), 6
+                ).alias("stop_ratio"),
+            )
+        )
+
+    q["txt_quality"] = txt_quality
+
+    def txt_langid(s, d):
+        en = ["the", "a", "of", "and", "to", "in", "is"]
+        de = ["der", "die", "das", "und", "ist", "ein"]
+        t = _toks(s, d).filter(F.col("doc_id") < 100).groupBy("doc_id").agg(
+            F.round(F.sum(F.when(F.col("tok").isin(*en), 1.0).otherwise(0.0)) / F.count("*"), 6).alias("en_score"),
+            F.round(F.sum(F.when(F.col("tok").isin(*de), 1.0).otherwise(0.0)) / F.count("*"), 6).alias("de_score"),
+        )
+        return t.select(
+            "doc_id", "en_score", "de_score",
+            F.when(F.col("en_score") >= F.col("de_score"), "en").otherwise("de").alias("lang_guess"),
+        )
+
+    q["txt_langid"] = txt_langid
+
+    def txt_fingerprint(s, d):
+        t = _toks(s, d)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        cols = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, 5)]
+        sh5 = (
+            t.select("doc_id", "tok", *cols)
+            .filter(F.col("t4").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2", "t3", "t4").alias("s"))
+        )
+        return (
+            sh5.filter(F.col("doc_id") < 100)
+            .groupBy("doc_id").agg(F.min(F.md5("s")).alias("fp"))
+        )
+
+    q["txt_fingerprint"] = txt_fingerprint
+
+    # ---------------- events ----------------
+    def ev_window_counts(s, d):
+        e = s.read.parquet(f"{d}/events.parquet")
+        return (
+            e.groupBy(F.window("ts", "5 minutes").getField("start").alias("ws"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        )
+
+    q["ev_window_counts"] = ev_window_counts
+
+    def ev_sessionize(s, d):
+        e = s.read.parquet(f"{d}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+        gap = secs(F.col("ts")) - secs(F.lag("ts").over(w))
+        return (
+            e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+            .groupBy("user_id").agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+        )
+
+    q["ev_sessionize"] = ev_sessionize
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL registry (DuckDB dialect, same column names/types/rounding)
+# ---------------------------------------------------------------------------
+def build_oracles() -> dict:
+    o = {}
+    hits = "SELECT doc_id, pos AS start, pos + 1 AS \"end\" FROM toks"
+    o["ix_term_hits"] = f"WITH {SQL_TOKS} {hits} WHERE tok = 'table'"
+    o["ix_or_hits"] = f"WITH {SQL_TOKS} {hits} WHERE tok IN ('vector', 'merge')"
+    o["ix_regex_hits"] = f"WITH {SQL_TOKS} {hits} WHERE regexp_matches(tok, '^(?:s.*n)$')"
+    o["ix_phrase"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'fast' AND b.tok = 'sort'
+"""
+    o["ix_near"] = f"""
+WITH {SQL_TOKS}
+SELECT DISTINCT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+WHERE a.tok = 'table' AND b.tok = 'scan'
+  AND b.pos - (a.pos + 1) BETWEEN 0 AND 3
+"""
+    o["ix_and_docs"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id FROM toks WHERE tok = 'table'
+INTERSECT
+SELECT doc_id FROM toks WHERE tok = 'vector'
+"""
+    o["ix_and_not_docs"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id FROM toks WHERE tok = 'table'
+EXCEPT
+SELECT doc_id FROM toks WHERE tok = 'vector'
+"""
+    o["ix_count"] = f"WITH {SQL_TOKS} SELECT CAST(count(*) AS BIGINT) AS n_hits FROM toks WHERE tok = 'table'"
+    o["ix_colloc"] = f"""
+WITH {SQL_TOKS}
+SELECT b.tok AS next_tok, CAST(count(*) AS BIGINT) AS n
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' GROUP BY 1
+"""
+    o["ix_topk_single"] = _sql_topk(["table"], 10)
+    o["ix_topk_multi"] = _sql_topk(["table", "vector", "merge"], 10)
+    o["ix_topk_filtered"] = _sql_topk(["table"], 10, where="source = 'src3'")
+    o["ix_kwic"] = f"""
+WITH {SQL_TOKS},
+tarr AS (SELECT doc_id, list(tok ORDER BY pos) AS arr FROM toks GROUP BY doc_id),
+h AS (
+  SELECT a.doc_id, a.pos AS start, a.pos + 2 AS e
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'fast' AND b.tok = 'sort'
+)
+SELECT h.doc_id, h.start, h.e AS "end",
+  coalesce(array_to_string(arr[greatest(1, h.start + 1 - 5) : h.start], ' '), '') AS "left",
+  coalesce(array_to_string(arr[h.start + 1 : h.e], ' '), '') AS "match",
+  coalesce(array_to_string(arr[h.e + 1 : least(len(arr), h.e + 5)], ' '), '') AS "right"
+FROM h JOIN tarr USING (doc_id)
+"""
+
+    o["ft_termfreq_top20"] = f"""
+WITH {SQL_TOKS}
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf FROM toks
+GROUP BY 1 ORDER BY cf DESC, term LIMIT 20
+"""
+    o["ft_facet_source"] = f"""
+WITH {SQL_TOKS}
+SELECT d.source, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n
+FROM (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector') t
+JOIN documents d USING (doc_id) GROUP BY 1
+"""
+    o["ft_window"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, start, "end" FROM (
+  SELECT doc_id, pos AS start, pos + 1 AS "end",
+         row_number() OVER (ORDER BY doc_id, pos) AS rn
+  FROM toks WHERE tok = 'table'
+) WHERE rn > 20 AND rn <= 40
+"""
+    o["ft_sample"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
+WHERE tok = 'table' AND doc_id % 10 = 3
+"""
+    o["ft_doclen_hist"] = f"""
+WITH {SQL_TOKS}
+SELECT CAST((c // 10) * 10 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) GROUP BY 1
+"""
+
+    o["dd_exact"] = """
+SELECT h, CAST(n AS BIGINT) AS n FROM (
+  SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1
+) ORDER BY n DESC, h LIMIT 20
+"""
+    o["dd_ngram_jaccard"] = f"""
+WITH {SQL_TOKS}, {SQL_SH3},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, count(*) AS i
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+  GROUP BY 1
+)
+SELECT doc_a, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_a + 1
+ORDER BY jaccard DESC, doc_a LIMIT 10
+"""
+    o["dd_minhash_sig"] = f"""
+WITH {SQL_TOKS}, {SQL_SH3},
+mh AS (
+  SELECT doc_id, h.i AS hi, min(md5(s || '#' || h.i)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) h
+  GROUP BY 1, 2
+)
+SELECT doc_id, md5(string_agg(mh, ',' ORDER BY hi)) AS sig
+FROM mh WHERE doc_id < 50 GROUP BY doc_id
+"""
+    o["dd_lsh_pairs"] = f"""
+WITH {SQL_TOKS}, {SQL_SH3},
+mh AS (
+  SELECT doc_id, h.i AS hi, min(md5(s || '#' || h.i)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) h
+  GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(DISTINCT a.hi) AS BIGINT) AS shared_bands
+FROM mh a JOIN mh b ON a.hi = b.hi AND a.mh = b.mh AND b.doc_id > a.doc_id
+GROUP BY 1, 2
+"""
+    o["dd_simhash"] = f"""
+WITH {SQL_TOKS},
+tokh AS (
+  SELECT doc_id, tok, count(*) AS w,
+    (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+    (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+    (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+    (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h16
+  FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, b.j AS j,
+         sum(CASE WHEN (h16 // CAST(2 ** b.j AS INT)) % 2 = 1 THEN w ELSE -w END) AS v
+  FROM tokh CROSS JOIN (SELECT unnest(range(16)) AS j) b
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits WHERE doc_id < 100 GROUP BY doc_id
+"""
+
+    sql_cos_core = """
+e AS (
+  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i AS i FROM (
+    SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) u(vec_id, v, i)
+),
+qv AS (SELECT i, v FROM e WHERE vec_id = 0)
+"""
+    o["sim_cosine_topk"] = f"""
+WITH {sql_cos_core},
+dots AS (
+  SELECT e.vec_id, sum(e.v * qv.v) AS dot, sum(e.v * e.v) AS nv
+  FROM e JOIN qv USING (i) WHERE e.vec_id <> 0 GROUP BY 1
+),
+qn AS (SELECT sum(v * v) AS nq FROM qv)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos FROM (
+  SELECT vec_id, round(dot / sqrt(nv * nq), 6) AS cos FROM dots, qn
+) QUALIFY rank <= 10
+"""
+    o["sim_ann_lsh"] = f"""
+WITH {sql_cos_core},
+planes AS (
+  SELECT p.p, d.i,
+         CASE WHEN instr('0123456789abcdef', substr(md5(p.p || '_' || d.i), 1, 1)) - 1 >= 8
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM (SELECT unnest(range(6)) AS p) p CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+),
+proj AS (SELECT e.vec_id, planes.p, sum(e.v * planes.wt) AS sm FROM e JOIN planes USING (i) GROUP BY 1, 2),
+buck AS (SELECT vec_id, sum(CASE WHEN sm > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS bucket FROM proj GROUP BY 1),
+qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0),
+dots AS (
+  SELECT e.vec_id, sum(e.v * qv.v) AS dot, sum(e.v * e.v) AS nv
+  FROM e JOIN qv USING (i) WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1
+),
+qn AS (SELECT sum(v * v) AS nq FROM qv)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos FROM (
+  SELECT vec_id, round(dot / sqrt(nv * nq), 6) AS cos FROM dots, qn
+) QUALIFY rank <= 5
+"""
+
+    o["txt_tokcount"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+FROM toks WHERE doc_id < 100 GROUP BY 1
+"""
+    stop_list = ", ".join(f"'{t}'" for t in TOPK_STOP)
+    o["txt_quality"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+  round(avg(CAST(length(tok) AS DOUBLE)), 6) AS avg_len,
+  round(sum(CASE WHEN tok IN ({stop_list}) THEN 1.0 ELSE 0.0 END) / count(*), 6) AS stop_ratio
+FROM toks WHERE doc_id < 100 GROUP BY 1
+"""
+    o["txt_langid"] = f"""
+WITH {SQL_TOKS},
+t AS (
+  SELECT doc_id,
+    round(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1.0 ELSE 0.0 END) / count(*), 6) AS en_score,
+    round(sum(CASE WHEN tok IN ('der','die','das','und','ist','ein') THEN 1.0 ELSE 0.0 END) / count(*), 6) AS de_score
+  FROM toks WHERE doc_id < 100 GROUP BY 1
+)
+SELECT doc_id, en_score, de_score,
+       CASE WHEN en_score >= de_score THEN 'en' ELSE 'de' END AS lang_guess
+FROM t
+"""
+    o["txt_fingerprint"] = f"""
+WITH {SQL_TOKS},
+sh5 AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id,
+      tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w || ' ' ||
+      lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS s
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE s IS NOT NULL
+)
+SELECT doc_id, min(md5(s)) AS fp FROM sh5 WHERE doc_id < 100 GROUP BY 1
+"""
+
+    o["ev_window_counts"] = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
+FROM events GROUP BY 1, 2
+"""
+    o["ev_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM o GROUP BY 1
+"""
+    return o

@@ -353,7 +353,7 @@ class Index:
         d = self.docs.select("doc_id", col)
         return (
             hits.join(d, "doc_id")
-            .select(F.element_at(F.col(col), F.col("end") + 1).alias("next_tok"))
+            .select(F.try_element_at(F.col(col), F.col("end") + 1).alias("next_tok"))
             .filter(F.col("next_tok").isNotNull())
             .groupBy("next_tok")
             .agg(F.count("*").alias("n"))
