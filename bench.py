@@ -1,0 +1,112 @@
+"""Per-round benchmark: index build throughput + headline query latencies.
+
+Runs on `local[$SPARK_GRAFT_CPUS]` against `$SPARK_GRAFT_SF_DIR` (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+The build is timed fresh (no cache); queries run against the just-built
+index through the same code paths the driver's correctness gate uses
+(blacklab_spark/entry_queries.py). Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from blacklab_spark import entry_queries  # noqa: E402
+from blacklab_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline query set: engine span/rank ops + the training-data pipeline ops
+HEADLINE = [
+    "ix_topk_single",
+    "ix_topk_multi",
+    "ix_topk_filtered",
+    "ix_term_hits",
+    "ix_or_hits",
+    "ix_regex_hits",
+    "ix_phrase",
+    "ix_near",
+    "ix_and_docs",
+    "ix_kwic",
+    "ft_termfreq_top20",
+    "dd_minhash_sig",
+    "dd_lsh_pairs",
+    "dd_simhash",
+    "sim_cosine_topk",
+    "txt_quality",
+    "ev_sessionize",
+]
+
+
+def main() -> None:
+    spark = get_spark(f"local[{CPUS}]", app_name="blacklab_bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # ---- timed fresh index build (docs/sec) ----
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.build import build_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    pages = docs.select(
+        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.col("source").alias("lang"),
+    )
+    out = f"/tmp/blacklab_bench_ix_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, out, n_shards=int(CPUS) if CPUS.isdigit() else 8)
+    build_s = time.time() - t0
+
+    # point the shared query cache at the freshly built index
+    from blacklab_spark.query import Index
+
+    entry_queries._IX_CACHE[os.path.abspath(SF_DIR)] = Index(spark, out)
+
+    qs = entry_queries.build_queries()
+    timings: dict[str, float] = {"build_index": round(build_s, 3)}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    lat = sorted(v for k, v in timings.items() if k != "build_index")
+    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))] if lat else 0.0
+    result = {
+        "metric": "index build + headline query latency (blacklab_spark)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "query_p95_sec": p95,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,13 +37,21 @@ from pyspark.sql import functions as F
 
 from . import B, K1
 from .codec import varint_encode
-from .tokenize import TOKENIZER_VERSION, extract_text_series, fold_series, tokenize_series
+from .tokenize import (
+    TOKENIZER_VERSION,
+    extract_text_series,
+    fold_series,
+    sentence_spans_series,
+    tokenize_series,
+)
 
 DEFAULT_BLOCK = 128
+FORMAT_VERSION = 2  # bumped on any docs/terms/postings schema change
 
 DOCS_SCHEMA = (
     "doc_id long, shard int, url string, lang string, text string, "
-    "doc_len int, tokens array<string>, tokens_fold array<string>"
+    "doc_len int, tokens array<string>, tokens_fold array<string>, "
+    "sents array<array<int>>"
 )
 POSTINGS_SCHEMA = (
     "shard int, term_id long, block_id int, doc_count int, first_doc long, "
@@ -69,13 +77,14 @@ def tokenized_docs(pages: DataFrame) -> DataFrame:
                     "doc_len": toks.map(len).astype("int32"),
                     "tokens": toks,
                     "tokens_fold": folded,
+                    "sents": sentence_spans_series(text),
                 }
             )
 
     return pages.mapInPandas(
         kernel,
         schema="url string, lang string, text string, doc_len int, "
-        "tokens array<string>, tokens_fold array<string>",
+        "tokens array<string>, tokens_fold array<string>, sents array<array<int>>",
     )
 
 
@@ -302,7 +311,7 @@ def build_index(
             ((F.col("doc_id") - F.lit(base_doc_id)) / F.lit(per_shard)).cast("int"),
             F.lit(n_shards - 1),
         ),
-    ).select("doc_id", "shard", "url", "lang", "text", "doc_len", "tokens", "tokens_fold")
+    ).select("doc_id", "shard", "url", "lang", "text", "doc_len", "tokens", "tokens_fold", "sents")
     docs0.repartition("shard").write.mode("overwrite").parquet(f"{seg_dir}/docs")
     cache0.unpersist()
     # read-back = lineage cut: every later stage sees one stable snapshot
@@ -383,6 +392,7 @@ def build_index(
     man.coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/manifest")
 
     meta = {
+        "format_version": FORMAT_VERSION,
         "segment": segment,
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,

@@ -143,7 +143,10 @@ def get_index(spark: SparkSession, sf_dir: str):
     ok = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            ok = json.load(f).get("n_docs") == n
+            m = json.load(f)
+        from .build import FORMAT_VERSION
+
+        ok = m.get("n_docs") == n and m.get("format_version") == FORMAT_VERSION
     if not ok:
         pages = docs.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),

@@ -316,6 +316,32 @@ class Index:
         urls = self.docs.select("doc_id", "url")
         return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
 
+    # ----------------------------------------------------------- span algebra --
+    def doc_lens(self) -> DataFrame:
+        return self.docs.select("doc_id", "doc_len")
+
+    def tag_hits(self, name: str = "s") -> DataFrame:
+        """Inline-tag spans (reference: <s/> tag queries, cql.jj:348-368).
+        Web text has no markup; the build derives sentence spans from
+        punctuation at tokenize time (docs.sents)."""
+        if name != "s":
+            raise ValueError(f"unknown tag: {name!r} (only 's' spans are indexed)")
+        return self.docs.select("doc_id", F.explode("sents").alias("se")).select(
+            "doc_id",
+            F.col("se")[0].cast("int").alias("start"),
+            F.col("se")[1].cast("int").alias("end"),
+        )
+
+    def seq_hits(self, hit_dfs: list[DataFrame], gap_min: int = 0, gap_max: int = 0) -> DataFrame:
+        """General sequence over arbitrary hit frames (SpanQuerySequence);
+        the term-only fast path is phrase_hits (posting intersection)."""
+        from . import spans as S
+
+        out = hit_dfs[0]
+        for nxt in hit_dfs[1:]:
+            out = S.sequence(out, nxt, gap_min, gap_max)
+        return out
+
     # ---------------------------------------------------- forward-index ops --
     def kwic(self, hits: DataFrame, context: int = 5) -> DataFrame:
         """Keyword-in-context from the docs token arrays — the reference reads

@@ -1,0 +1,207 @@
+"""Span algebra: the reference's physical span operators (SURVEY.md §2.3) as
+DataFrame combinators over hits frames `(doc_id long, start int, end int)`.
+
+Every combinator is a declarative plan fragment — Catalyst handles pushdown /
+join strategy; all joins are doc_id-equi (+ positional conditions), so at
+cluster scale they co-partition on doc_id and AQE handles skew. None of these
+collect to the driver.
+
+Reference parity notes (behavior, not code):
+- sequence      -> SpanQuerySequence/SpansSequenceWithGap
+                   (engine/.../search/lucene/SpanQuerySequence.java:33-49,
+                    SpansSequenceWithGap.java:13-57): generates ALL matches.
+- repetition    -> SpanQueryRepetition (SpanQueryRepetition.java:17-25):
+                   emits every consecutive self-match of each length.
+- expand        -> SpanQueryExpansion (SpanQueryExpansion.java:20-36): one hit
+                   per padding amount in [min,max], clamped to [0, doc_len].
+- any_token     -> SpanQueryAnyToken/SpansNGrams (SpanQueryAnyToken.java:22-25):
+                   all n-grams, generated from doc lengths, never from postings.
+- not_spans     -> SpanQueryNot/SpansNot (SpanQueryNot.java:20-25): all single
+                   tokens not inside any clause hit.
+- position_filter -> SpanQueryPositionFilter (SpanQueryPositionFilter.java:160-181
+                   op enum; WITHIN/CONTAINING/STARTS_AT/ENDS_AT/MATCHES + invert).
+- edge          -> SpanQueryEdge (SpanQueryEdge.java:15-23).
+- filter_by_length -> SpanQueryFilterByHitLength (SpanQueryFilterByHitLength.java:16-21).
+- and_spans / or_spans / and_not -> SpansAnd / BLSpanOrQuery / SpanQueryAndNot.
+- capture       -> SpanQueryCaptureGroup (SpanQueryCaptureGroup.java:16-19):
+                   extra (name_start, name_end) columns carried through joins.
+- unique        -> SpansUnique (SpansUnique.java:8-11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HITS_COLS = ("doc_id", "start", "end")
+
+
+def _caps(df: DataFrame) -> list[str]:
+    """Capture-group columns riding along with the core hit columns."""
+    return [c for c in df.columns if c not in HITS_COLS]
+
+
+def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int = 0) -> DataFrame:
+    """Concatenation a ++ b (optionally with [gap_min, gap_max] any-tokens
+    between). Emits ALL matches (the reference diverges from Lucene SpanNear
+    here on purpose — SpanQuerySequence.java:33-49 javadoc)."""
+    aa, bb = a.alias("a"), b.alias("b")
+    if gap_min == 0 and gap_max == 0:
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
+            F.col("b.start") == F.col("a.end")
+        )
+    else:
+        cond = (
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.start") >= F.col("a.end") + gap_min)
+            & (F.col("b.start") <= F.col("a.end") + gap_max)
+        )
+    cap_cols = [F.col(f"a.{c}") for c in _caps(a)] + [F.col(f"b.{c}") for c in _caps(b)]
+    return aa.join(bb, cond).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.start").alias("start"),
+        F.col("b.end").alias("end"),
+        *cap_cols,
+    )
+
+
+def repetition(h: DataFrame, mn: int, mx: int) -> DataFrame:
+    """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths)."""
+    assert 1 <= mn <= mx
+    reps = [h.select(*HITS_COLS)]
+    for _ in range(mx - 1):
+        reps.append(sequence(reps[-1], h.select(*HITS_COLS)))
+    out = reps[mn - 1]
+    for r in reps[mn : mx]:
+        out = out.unionByName(r)
+    return out.dropDuplicates(list(HITS_COLS))
+
+
+def any_token(doc_lens: DataFrame, mn: int, mx: int) -> DataFrame:
+    """[]{mn,mx}: all n-grams of lengths mn..mx, generated from doc lengths
+    (doc_lens: doc_id, doc_len) — never materialized against postings."""
+    assert 0 <= mn <= mx
+    n = F.explode(F.sequence(F.lit(max(mn, 1)), F.lit(mx))).alias("n")
+    with_n = doc_lens.select("doc_id", "doc_len", n).filter(F.col("n") <= F.col("doc_len"))
+    start = F.explode(F.sequence(F.lit(0), F.col("doc_len") - F.col("n"))).alias("start")
+    return with_n.select("doc_id", start, "n").select(
+        "doc_id", F.col("start").cast("int"), (F.col("start") + F.col("n")).cast("int").alias("end")
+    )
+
+
+def expand(h: DataFrame, doc_lens: DataFrame, direction: str, mn: int, mx: int) -> DataFrame:
+    """Pad hits left/right by mn..mx any-tokens; one output hit per padding
+    amount that stays inside [0, doc_len]."""
+    assert direction in ("left", "right")
+    j = h.join(doc_lens, "doc_id")
+    n = F.explode(F.sequence(F.lit(mn), F.lit(mx))).alias("n")
+    j = j.select("doc_id", "start", "end", "doc_len", n)
+    if direction == "left":
+        out = j.select(
+            "doc_id", (F.col("start") - F.col("n")).cast("int").alias("start"), "end"
+        ).filter(F.col("start") >= 0)
+    else:
+        out = j.select(
+            "doc_id", "start", (F.col("end") + F.col("n")).cast("int").alias("end"), "doc_len"
+        ).filter(F.col("end") <= F.col("doc_len")).drop("doc_len")
+    return out
+
+
+def not_spans(doc_lens: DataFrame, h: DataFrame) -> DataFrame:
+    """All single-token positions not inside any hit of h."""
+    pos = doc_lens.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("doc_len") - 1)).alias("p")
+    ).filter(F.col("doc_len") > 0)
+    hh = h.alias("h")
+    cond = (
+        (F.col("p.doc_id") == F.col("h.doc_id"))
+        & (F.col("p.p") >= F.col("h.start"))
+        & (F.col("p.p") < F.col("h.end"))
+    )
+    return (
+        pos.alias("p")
+        .join(hh, cond, "left_anti")
+        .select("doc_id", F.col("p").cast("int").alias("start"),
+                (F.col("p") + 1).cast("int").alias("end"))
+    )
+
+
+# position-filter ops (reference enum SpanQueryPositionFilter.java:160-181)
+_OPS = {
+    "within": lambda p, f: (p.start >= f.start) & (p.end <= f.end),
+    "containing": lambda p, f: (p.start <= f.start) & (p.end >= f.end),
+    "starts_at": lambda p, f: p.start == f.start,
+    "ends_at": lambda p, f: p.end == f.end,
+    "matches": lambda p, f: (p.start == f.start) & (p.end == f.end),
+    "containing_at_start": lambda p, f: (p.start <= f.start) & (f.start < p.end),
+    "containing_at_end": lambda p, f: (p.start < f.end) & (f.end <= p.end),
+}
+
+
+class _Cols:
+    def __init__(self, prefix: str):
+        self.start = F.col(f"{prefix}.start")
+        self.end = F.col(f"{prefix}.end")
+
+
+def position_filter(
+    producer: DataFrame, filt: DataFrame, op: str, invert: bool = False
+) -> DataFrame:
+    """Keep producer hits standing in `op` relation to >=1 filter hit
+    (or to none, when invert). Semi/anti join — producer hits never duplicate."""
+    cond_fn = _OPS[op]
+    p, f = _Cols("p"), _Cols("f")
+    cond = (F.col("p.doc_id") == F.col("f.doc_id")) & cond_fn(p, f)
+    how = "left_anti" if invert else "left_semi"
+    return producer.alias("p").join(filt.alias("f"), cond, how)
+
+
+def within(producer: DataFrame, filt: DataFrame, invert: bool = False) -> DataFrame:
+    return position_filter(producer, filt, "within", invert)
+
+
+def containing(producer: DataFrame, filt: DataFrame, invert: bool = False) -> DataFrame:
+    return position_filter(producer, filt, "containing", invert)
+
+
+def edge(h: DataFrame, trailing: bool = False) -> DataFrame:
+    """Zero-length leading/trailing edge of each hit."""
+    c = F.col("end") if trailing else F.col("start")
+    return h.select("doc_id", c.alias("start"), c.alias("end")).dropDuplicates()
+
+
+def filter_by_length(h: DataFrame, mn: int, mx: int) -> DataFrame:
+    return h.filter((F.col("end") - F.col("start")).between(mn, mx))
+
+
+def and_spans(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Hits equal in (doc,start,end) in both clauses (SpansAnd)."""
+    return a.select(*HITS_COLS).intersect(b.select(*HITS_COLS))
+
+
+def or_spans(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.select(*HITS_COLS).unionByName(b.select(*HITS_COLS)).dropDuplicates(list(HITS_COLS))
+
+
+def and_not(a: DataFrame, b: DataFrame) -> DataFrame:
+    """a minus hits equal to any b hit (SpanQueryAndNot simple form)."""
+    return a.select(*HITS_COLS).exceptAll(b.select(*HITS_COLS)).dropDuplicates(list(HITS_COLS))
+
+
+def capture(h: DataFrame, name: str) -> DataFrame:
+    """Record the current span under `name` (extra columns ride along)."""
+    return h.withColumn(f"{name}_start", F.col("start")).withColumn(
+        f"{name}_end", F.col("end")
+    )
+
+
+def constrained(h: DataFrame, tokens_df: DataFrame, expr_fn) -> DataFrame:
+    """Global constraint `::` (SpanQueryConstrained.java:18-25): join the doc's
+    token array (the colocated forward index) and apply a Column predicate
+    built by expr_fn(tokens_col, df) referencing captured positions."""
+    j = h.join(tokens_df, "doc_id")
+    return j.filter(expr_fn(F.col("tokens"), j)).drop("tokens")
+
+
+def unique(h: DataFrame) -> DataFrame:
+    return h.dropDuplicates(list(HITS_COLS))

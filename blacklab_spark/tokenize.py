@@ -55,6 +55,36 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(TOKEN_RE)
 
 
+_SENT_SPLIT = r"(?<=[.!?])\s+"
+
+
+def sentence_spans_series(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[[start,end]]] sentence spans in TOKEN
+    positions (the reference's inline <s> tags, integrated.md:34-123; here
+    derived from punctuation since web text carries no markup tags).
+    Zero-token sentences are dropped; a doc with no sentence-ending
+    punctuation is one span covering all tokens."""
+    pieces = texts.fillna("").str.split(_SENT_SPLIT, regex=True)
+    counts = pieces.map(
+        lambda ps: [len(_token_pat.findall(p)) for p in ps] if isinstance(ps, list) else []
+    )
+
+    def to_spans(cs: list[int]) -> list[list[int]]:
+        out, acc = [], 0
+        for c in cs:
+            if c:
+                out.append([acc, acc + c])
+            acc += c
+        return out
+
+    return counts.map(to_spans)
+
+
+import re as _re  # noqa: E402
+
+_token_pat = _re.compile(TOKEN_RE)
+
+
 def fold_series(texts: pd.Series) -> pd.Series:
     """Case/accent fold: lower + NFD + strip combining marks."""
     return (

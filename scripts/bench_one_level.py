@@ -1,0 +1,81 @@
+"""One parallelism level of the scaling bench: build + query over a fixed
+pages parquet, print one JSON line. Invoked by scripts/bench_scaling.py as a
+subprocess so each level gets a fresh JVM (clean analog of a separate cluster).
+
+usage: python scripts/bench_one_level.py <cpus> <pages_parquet> <work_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from blacklab_spark.session import get_spark  # noqa: E402
+
+N_SHARDS = 32          # fixed across levels: the JOB is identical, only
+SHUFFLE_PARTITIONS = 64  # executor-thread count varies (N vs 4N executors)
+
+QUERY_SET = [
+    ("topk_single_head", lambda ix: ix.topk(["the"], k=10)),
+    ("topk_single_tail", lambda ix: ix.topk(["w04921"], k=10)),
+    ("topk_multi", lambda ix: ix.topk(["the", "click", "w00100"], k=10)),
+    ("phrase", lambda ix: ix.phrase_hits(["click", "here"])),
+    ("near", lambda ix: ix.near_hits("terms", "service", 0, 3)),
+    ("or_hits", lambda ix: ix.or_hits(["click", "w00050"])),
+    ("and_docs", lambda ix: ix.and_docs(["click", "the"])),
+]
+
+
+def main() -> None:
+    cpus, pages_path, work_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name=f"blacklab_scale_{cpus}",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+    )
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+    # warm the JVM/scheduler so startup cost is excluded from the measurement
+    pages.limit(100).count()
+
+    out = f"{work_dir}/ix_{cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, out, n_shards=N_SHARDS)
+    build_s = time.time() - t0
+
+    ix = Index(spark, out)
+    lat = {}
+    for name, fn in QUERY_SET:
+        t0 = time.time()
+        fn(ix).count()
+        lat[name] = round(time.time() - t0, 3)
+    vals = sorted(lat.values())
+    print(
+        json.dumps(
+            {
+                "cpus": int(cpus),
+                "n_docs": n_docs,
+                "build_s": round(build_s, 2),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "query_lat": lat,
+                "query_p50": vals[len(vals) // 2],
+                "query_p95": vals[min(len(vals) - 1, int(0.95 * len(vals)))],
+                "n_shards": N_SHARDS,
+                "shuffle_partitions": SHUFFLE_PARTITIONS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

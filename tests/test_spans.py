@@ -1,0 +1,156 @@
+"""Span-algebra operator tests over the tiny fixture corpus — mirrors the
+reference's per-operator Spans tests on explicit mock data
+(core/src/test/java/.../search/lucene/TestSpans*.java, SURVEY.md §5.1).
+
+Tiny corpus token layout (doc_id == i, FIXTURES.md tier A):
+  0: The quick brown fox jumps over the lazy dog          (9 tokens, 1 sentence)
+  1: noot mier aap mier mier mier noot noot aap aap aap aap (12)
+  2: The quick brown fox and the quick blue hare          (9)
+  3: May the wind always be at your back                  (8)
+  4: (empty)                                              (0)
+  5: aap x16                                              (16)
+"""
+
+import pytest
+
+from blacklab_spark import spans as S
+
+
+def hits_set(df):
+    return {(r["doc_id"], r["start"], r["end"]) for r in df.collect()}
+
+
+def test_sequence_adjacent(tiny_index):
+    the = tiny_index.term_hits("the")
+    quick = tiny_index.term_hits("quick")
+    got = hits_set(S.sequence(the, quick))
+    assert got == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_sequence_with_gap(tiny_index):
+    # "the" []{1,2} "fox": docs 0 and 2 both have the(0) .. fox(3), gap 2
+    the = tiny_index.term_hits("the")
+    fox = tiny_index.term_hits("fox")
+    got = hits_set(S.sequence(the, fox, gap_min=1, gap_max=2))
+    assert got == {(0, 0, 4), (2, 0, 4)}
+
+
+def test_repetition(tiny_index):
+    # mier at doc1 positions 1,3,4,5 -> runs of 2: (3,5),(4,6); of 3: (3,6)
+    mier = tiny_index.term_hits("mier")
+    got = hits_set(S.repetition(mier, 2, 3))
+    assert got == {(1, 3, 5), (1, 4, 6), (1, 3, 6)}
+
+
+def test_repetition_includes_min_one(tiny_index):
+    mier = tiny_index.term_hits("mier")
+    got = hits_set(S.repetition(mier, 1, 2))
+    singles = {(1, 1, 2), (1, 3, 4), (1, 4, 5), (1, 5, 6)}
+    doubles = {(1, 3, 5), (1, 4, 6)}
+    assert got == singles | doubles
+
+
+def test_any_token_counts(tiny_index):
+    # bigrams per doc: len-1 when len>=2
+    got = S.any_token(tiny_index.doc_lens(), 2, 2).count()
+    assert got == 8 + 11 + 8 + 7 + 0 + 15
+
+
+def test_expand_right_clamps(tiny_index):
+    lazy = tiny_index.term_hits("lazy")  # doc0 pos 7, doc_len 9
+    got = hits_set(S.expand(lazy, tiny_index.doc_lens(), "right", 1, 3))
+    assert got == {(0, 7, 9)}  # +2/+3 would pass doc end
+
+
+def test_expand_left(tiny_index):
+    quick = tiny_index.term_hits("quick")  # doc0:1, doc2:1,6
+    got = hits_set(S.expand(quick, tiny_index.doc_lens(), "left", 1, 1))
+    assert got == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_not_spans(tiny_index):
+    aap = tiny_index.term_hits("aap")
+    got = S.not_spans(tiny_index.doc_lens(), aap)
+    assert got.count() == (9 + 12 + 9 + 8 + 0 + 16) - (5 + 16)
+    assert hits_set(got.filter("doc_id = 1")) == {
+        (1, p, p + 1) for p in (0, 1, 3, 4, 5, 6, 7)
+    }
+
+
+def test_position_filter_within_containing(tiny_index, spark):
+    quick = tiny_index.term_hits("quick")
+    filt = spark.createDataFrame([(2, 4, 9)], "doc_id long, start int, end int")
+    assert hits_set(S.within(quick, filt)) == {(2, 6, 7)}
+    assert hits_set(S.within(quick, filt, invert=True)) == {(0, 1, 2), (2, 1, 2)}
+    big = S.sequence(tiny_index.term_hits("the"), quick)  # the-quick bigrams
+    small = tiny_index.term_hits("quick")
+    assert hits_set(S.containing(big, small)) == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_position_filter_edge_ops(tiny_index, spark):
+    quick = tiny_index.term_hits("quick")
+    f = spark.createDataFrame([(2, 6, 8)], "doc_id long, start int, end int")
+    assert hits_set(S.position_filter(quick, f, "starts_at")) == {(2, 6, 7)}
+    g = spark.createDataFrame([(0, 0, 2)], "doc_id long, start int, end int")
+    assert hits_set(S.position_filter(quick, g, "ends_at")) == {(0, 1, 2)}
+    assert hits_set(S.position_filter(quick, g, "matches")) == set()
+
+
+def test_edge_and_length_filter(tiny_index):
+    bi = S.sequence(tiny_index.term_hits("the"), tiny_index.term_hits("quick"))
+    lead = hits_set(S.edge(bi))
+    assert lead == {(0, 0, 0), (2, 0, 0), (2, 5, 5)}
+    trail = hits_set(S.edge(bi, trailing=True))
+    assert trail == {(0, 2, 2), (2, 2, 2), (2, 7, 7)}
+    assert S.filter_by_length(bi, 2, 2).count() == 3
+    assert S.filter_by_length(bi, 3, 9).count() == 0
+
+
+def test_and_or_andnot_spans(tiny_index):
+    the = tiny_index.term_hits("the")
+    quick = tiny_index.term_hits("quick")
+    assert hits_set(S.and_spans(the, the)) == hits_set(the)
+    assert S.and_spans(the, quick).count() == 0
+    assert hits_set(S.or_spans(the, quick)) == hits_set(the) | hits_set(quick)
+    assert hits_set(S.and_not(S.or_spans(the, quick), quick)) == hits_set(the)
+
+
+def test_capture_rides_through_sequence(tiny_index):
+    the = S.capture(tiny_index.term_hits("the"), "A")
+    quick = tiny_index.term_hits("quick")
+    out = S.sequence(the, quick)
+    rows = {(r.doc_id, r.start, r.end, r.A_start, r.A_end) for r in out.collect()}
+    assert rows == {(0, 0, 2, 0, 1), (2, 0, 2, 0, 1), (2, 5, 7, 5, 6)}
+
+
+def test_constrained_global(tiny_index):
+    """A:[] 'quick' :: A.word = 'the'  — token-array indexing (the reference
+    verifies via forward index, SpanQueryConstrained.java:18-25)."""
+    from pyspark.sql import functions as F
+
+    any1 = S.any_token(tiny_index.doc_lens(), 1, 1)
+    seq = S.sequence(S.capture(any1, "A"), tiny_index.term_hits("quick"))
+    toks = tiny_index.docs.select("doc_id", "tokens_fold")
+
+    out = seq.join(toks, "doc_id").filter(
+        F.element_at("tokens_fold", F.col("A_start") + 1) == "the"
+    )
+    got = {(r.doc_id, r.start, r.end) for r in out.collect()}
+    assert got == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_sentence_tag_hits(tiny_index):
+    # each tiny doc is one sentence (single trailing period), doc4 empty
+    got = hits_set(tiny_index.tag_hits("s"))
+    assert got == {(0, 0, 9), (1, 0, 12), (2, 0, 9), (3, 0, 8), (5, 0, 16)}
+
+
+def test_within_sentence(tiny_index):
+    seq = S.sequence(tiny_index.term_hits("the"), tiny_index.term_hits("quick"))
+    got = hits_set(S.within(seq, tiny_index.tag_hits("s")))
+    assert got == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_unknown_tag_raises(tiny_index):
+    with pytest.raises(ValueError):
+        tiny_index.tag_hits("u")
