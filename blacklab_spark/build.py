@@ -4,9 +4,17 @@ Spark-first re-expression of the reference's index build (IndexTool ->
 IndexerImpl -> BlackLab40PostingsWriter, see SURVEY.md §3.3): where the
 reference inverts term vectors through a two-pass temp file per Lucene segment
 (engine/.../codec/BlackLab40PostingsWriter.java:246-330), we do ONE declarative
-shuffle — `repartition(shard)` + `sortWithinPartitions(shard, term_id, doc_id,
-pos)` — and stream the sorted run through a bounded-memory Arrow kernel that
-emits delta+varint posting blocks.
+shuffle — docs repartitionByRange(shard) — and a whole-shard Arrow kernel
+(_encode_shard_kernel) that explodes, sorts and bulk-varint-encodes the
+posting blocks C-side. The JVM never materializes the token stream: shipping
+compact doc rows (token arrays as Arrow lists) measured ~3x faster end-to-end
+than posexplode + JVM sort + per-token Arrow transfer.
+
+The terms dictionary DERIVES from the blocks table (df = sum(doc_count),
+cf = sum(tf_sum) — exact: a doc hits exactly one block per (shard, term) and
+shard doc-ranges are disjoint), so no separate stats aggregation pass over
+the token stream exists; term_ids are joined back onto the compact blocks
+table, never onto raw tokens.
 
 Sharding = skew handling: postings are partitioned by contiguous doc-id range
 ("shard", FIXTURES column name `salt`). A head term's mega posting list is
@@ -15,13 +23,13 @@ doc range, so phrase intersection, WAND scoring and KWIC are shard-local with
 no query-time shuffle of the posting data.
 
 Scale notes (100 TB / 10^12 docs):
-- n_shards scales with corpus size (target: one shard's postings ~ a few
-  hundred MB so the sorted run streams through an executor comfortably).
-- the only big shuffles are (a) the doc-id range sort (once), (b) the
-  token->term_id dictionary join (sort-merge at scale, broadcast when small),
-  (c) the shard repartition. All are on evenly-distributed keys.
-- the encode kernel is streaming: state is one pending posting group
-  (< block_size docs) + one pending doc, never a whole shard.
+- n_shards scales with corpus size (target: one shard's token stream ~ a few
+  hundred MB so the whole-shard kernel fits an executor comfortably).
+- the only big shuffles are (a) the url-only id rank (narrow), (b) the shard
+  repartition of doc rows. The page payload crosses the wire once.
+- block CONTENT per (shard, term) is deterministic (docs/positions fully
+  sorted); block ROW ORDER follows dictionary first-appearance and is not —
+  every consumer keys by term, never row order.
 """
 
 from __future__ import annotations
@@ -36,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import B, K1
-from .codec import varint_encode
+from .codec import delta_encode, delta_encode_segmented, varint_encode, varint_lengths
 from .tokenize import (
     TOKENIZER_VERSION,
     extract_text_series,
@@ -46,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 2  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 3  # bumped on any docs/terms/postings schema change
 
 DOCS_SCHEMA = (
     "doc_id long, shard int, url string, lang string, text string, "
@@ -55,37 +63,61 @@ DOCS_SCHEMA = (
 )
 POSTINGS_SCHEMA = (
     "shard int, term_id long, block_id int, doc_count int, first_doc long, "
-    "last_doc long, max_tf int, min_dl int, doc_ids binary, tfs binary, "
-    "dls binary, positions binary"
+    "last_doc long, max_tf int, min_dl int, tf_sum long, doc_ids binary, "
+    "tfs binary, dls binary, positions binary"
+)
+# intermediate blocks, keyed by surface term STRING (the one-big-shuffle
+# output; term_id is joined on afterwards over this compact table)
+BLOCKS_SCHEMA = (
+    "shard int, term string, block_id int, doc_count int, first_doc long, "
+    "last_doc long, max_tf int, min_dl int, tf_sum long, doc_ids binary, "
+    "tfs binary, dls binary, positions binary"
 )
 
 
 # ------------------------------------------------------------ tokenization --
 def tokenized_docs(pages: DataFrame) -> DataFrame:
-    """pages -> (url, lang, text, doc_len, tokens, tokens_fold), vectorized."""
+    """pages (+doc_id,shard) -> tokenized docs, vectorized. Runs AFTER id
+    assignment so the range-partitioner's sampling pass never tokenizes."""
 
     def kernel(batches):
-        for pdf in batches:
-            text = extract_text_series(pdf["html"], pdf["text"])
-            toks = tokenize_series(text)
-            folded = toks.map(lambda ts: fold_series(pd.Series(ts, dtype=object)).tolist() if len(ts) else [])
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "lang": pdf["lang"],
-                    "text": text,
-                    "doc_len": toks.map(len).astype("int32"),
-                    "tokens": toks,
-                    "tokens_fold": folded,
-                    "sents": sentence_spans_series(text),
-                }
-            )
+        for pdf0 in batches:
+            # self-chunk: wide rows (html+text+token arrays) want small
+            # batches even when the session Arrow batch size is large
+            for lo in range(0, len(pdf0), 8192):
+                pdf = pdf0.iloc[lo : lo + 8192]
+                text = extract_text_series(pdf["html"], pdf["text"])
+                toks = tokenize_series(text)
+                # dictionary fold: fold each DISTINCT token once per batch
+                # (pandas str ops are per-element Python; Zipf vocab makes
+                # uniques tiny)
+                lens = toks.map(len).to_numpy(dtype=np.int64)
+                if lens.sum():
+                    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                    codes, uniq = pd.factorize(flat)  # hash-based, C-speed
+                    folded_uniq = fold_series(pd.Series(uniq, dtype=object)).to_numpy(dtype=object)
+                    folded_flat = folded_uniq[codes]
+                    bounds = np.cumsum(lens)[:-1]
+                    folded = pd.Series(
+                        [a.tolist() for a in np.split(folded_flat, bounds)], index=toks.index
+                    )
+                else:
+                    folded = toks.map(lambda _: [])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "shard": pdf["shard"],
+                        "url": pdf["url"],
+                        "lang": pdf["lang"],
+                        "text": text,
+                        "doc_len": toks.map(len).astype("int32"),
+                        "tokens": toks,
+                        "tokens_fold": folded,
+                        "sents": sentence_spans_series(text),
+                    }
+                )
 
-    return pages.mapInPandas(
-        kernel,
-        schema="url string, lang string, text string, doc_len int, "
-        "tokens array<string>, tokens_fold array<string>, sents array<array<int>>",
-    )
+    return pages.mapInPandas(kernel, schema=DOCS_SCHEMA)
 
 
 # -------------------------------------------------------- dense id assigner --
@@ -134,151 +166,190 @@ def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -
 
 
 # ---------------------------------------------------------- posting encoder --
-def _encode_blocks_kernel(block_size: int):
-    """Streaming kernel over rows sorted by (shard, term_id, doc_id, pos).
+def _encode_shard_kernel(block_size: int):
+    """Whole-shard Arrow kernel: doc rows (shard, doc_id, doc_len, tokens) ->
+    posting block rows keyed by surface term string. Explode, term grouping
+    (pyarrow dictionary_encode) and the (term, doc, pos) sort (np.lexsort)
+    all run C-speed inside the worker — the JVM never materializes the token
+    stream, which would cost row-to-Arrow conversion per token occurrence.
 
-    Emits one output row per posting block. Bounded state: the open posting
-    group's partial block (+ the last, possibly incomplete, doc's rows).
+    Term-group ORDER within a shard follows dictionary first-appearance and is
+    not deterministic across shuffles; block CONTENT per (shard, term) is —
+    docs and positions are fully sorted before encoding. Every consumer keys
+    by term, never by row order.
+
+    Memory contract: one task holds one shard's exploded token codes +
+    positions (~40 B/token). n_shards is sized so a shard's token stream fits
+    an executor comfortably (module docstring); the reference's segment writer
+    holds comparable per-segment state when inverting term vectors
+    (BlackLab40PostingsWriter.java:246-330).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_pa_schema = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("term", pa.string()),
+            ("block_id", pa.int32()),
+            ("doc_count", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("min_dl", pa.int32()),
+            ("tf_sum", pa.int64()),
+            ("doc_ids", pa.binary()),
+            ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("positions", pa.binary()),
+        ]
+    )
+
+    def emit(out):
+        cols = list(zip(*out))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, out_pa_schema)],
+            schema=out_pa_schema,
+        )
 
     def kernel(batches):
-        # row-level leftovers (possibly mid-doc)
-        rs = None  # dict of np arrays: shard, term_id, doc_id, doc_len, pos
-        # doc-level open group state
-        cur = None  # (shard, term_id)
-        cur_block0 = 0
-        cd, ct, cl, cp = (
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-        )  # docs, tfs, dls, positions(concat)
-
-        def flush_group(shard, term, docs, tfs, dls, poss, block0, out):
-            """Encode `docs` into consecutive blocks starting at block0."""
-            pos_ends = np.cumsum(tfs)
-            pos_starts = pos_ends - tfs
-            n = len(docs)
-            for bi in range(0, n, block_size):
-                bj = min(bi + block_size, n)
-                d, t, dl = docs[bi:bj], tfs[bi:bj], dls[bi:bj]
-                p = poss[pos_starts[bi] : pos_ends[bj - 1]] if len(poss) else poss
-                # delta+varint encode (positions delta'd within each doc)
-                from .codec import delta_encode, delta_encode_segmented
-
-                out.append(
-                    (
-                        int(shard),
-                        int(term),
-                        block0 + bi // block_size,
-                        int(bj - bi),
-                        int(d[0]),
-                        int(d[-1]),
-                        int(t.max()),
-                        int(dl.min()),
-                        varint_encode(delta_encode(d)),
-                        varint_encode(t),
-                        varint_encode(dl),
-                        varint_encode(delta_encode_segmented(p, t)) if len(p) else b"",
-                    )
-                )
-
-        def process(released, final, out):
-            nonlocal cur, cur_block0, cd, ct, cl, cp
-            if released is not None and len(released["doc_id"]):
-                sh, tm, dc, dl, ps = (
-                    released["shard"],
-                    released["term_id"],
-                    released["doc_id"],
-                    released["doc_len"],
-                    released["pos"],
-                )
-                # doc-level aggregation over the sorted run
-                change = np.empty(len(dc), dtype=bool)
-                change[0] = True
-                np.logical_or(
-                    np.logical_or(sh[1:] != sh[:-1], tm[1:] != tm[:-1]),
-                    dc[1:] != dc[:-1],
-                    out=change[1:],
-                )
-                starts = np.flatnonzero(change)
-                tfs = np.diff(np.append(starts, len(dc)))
-                g_sh, g_tm, g_dc, g_dl = sh[starts], tm[starts], dc[starts], dl[starts]
-                # group (shard, term) runs over the doc-level arrays
-                gchange = np.empty(len(starts), dtype=bool)
-                gchange[0] = True
-                np.logical_or(
-                    g_sh[1:] != g_sh[:-1], g_tm[1:] != g_tm[:-1], out=gchange[1:]
-                )
-                gstarts = np.flatnonzero(gchange)
-                gends = np.append(gstarts[1:], len(starts))
-                pos_ends = np.cumsum(tfs)
-                for gi, (a, b) in enumerate(zip(gstarts, gends)):
-                    key = (int(g_sh[a]), int(g_tm[a]))
-                    docs, tfg, dlg = g_dc[a:b], tfs[a:b], g_dl[a:b]
-                    p0 = pos_ends[a] - tfs[a]
-                    p1 = pos_ends[b - 1]
-                    poss = ps[p0:p1]
-                    last_group = gi == len(gstarts) - 1
-                    if cur is not None and key != cur:
-                        # previous open group is finished: flush it fully
-                        flush_group(cur[0], cur[1], cd, ct, cl, cp, cur_block0, out)
-                        cur = None
-                    if cur is None:
-                        cur, cur_block0 = key, 0
-                        cd = np.empty(0, np.int64)
-                        ct = np.empty(0, np.int64)
-                        cl = np.empty(0, np.int64)
-                        cp = np.empty(0, np.int64)
-                    cd = np.concatenate([cd, docs])
-                    ct = np.concatenate([ct, tfg])
-                    cl = np.concatenate([cl, dlg])
-                    cp = np.concatenate([cp, poss])
-                    if not last_group:
-                        flush_group(cur[0], cur[1], cd, ct, cl, cp, cur_block0, out)
-                        cur = None
-                    else:
-                        # stream out any full blocks of the still-open group
-                        nfull = (len(cd) // block_size) * block_size
-                        if nfull:
-                            flush_group(
-                                cur[0], cur[1], cd[:nfull], ct[:nfull], cl[:nfull],
-                                cp[: int(np.cumsum(ct)[nfull - 1])] if len(cp) else cp,
-                                cur_block0, out,
-                            )
-                            cur_block0 += nfull // block_size
-                            poff = int(np.cumsum(ct)[nfull - 1]) if len(cp) else 0
-                            cd, ct, cl, cp = cd[nfull:], ct[nfull:], cl[nfull:], cp[poff:]
-            if final and cur is not None and len(cd):
-                flush_group(cur[0], cur[1], cd, ct, cl, cp, cur_block0, out)
-                cur = None
-
-        cols = ["shard", "term_id", "doc_id", "doc_len", "pos"]
-        out_cols = [
-            "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
-            "max_tf", "min_dl", "doc_ids", "tfs", "dls", "positions",
-        ]
-        for pdf in batches:
-            arrs = {c: pdf[c].to_numpy(dtype=np.int64, copy=False) for c in cols}
-            if rs is not None:
-                arrs = {c: np.concatenate([rs[c], arrs[c]]) for c in cols}
-            if len(arrs["doc_id"]) == 0:
+        vals, docs_l, dls_l, shs_l, counts_l = [], [], [], [], []
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            # hold back the trailing (shard, term, doc) triple — it may continue
-            sh, tm, dc = arrs["shard"], arrs["term_id"], arrs["doc_id"]
-            same_as_last = (sh == sh[-1]) & (tm == tm[-1]) & (dc == dc[-1])
-            # rows of the last triple form a suffix (sorted input)
-            cut = len(dc) - int(same_as_last[::-1].argmin()) if not same_as_last.all() else 0
-            released = {c: a[:cut] for c, a in arrs.items()}
-            rs = {c: a[cut:] for c, a in arrs.items()}
-            out: list[tuple] = []
-            process(released, False, out)
-            yield pd.DataFrame(out, columns=out_cols)
-        # final flush
-        out = []
-        process(rs, True, out)
-        rs = None
-        yield pd.DataFrame(out, columns=out_cols)
+            toks = b.column("tokens")
+            counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            if counts.sum() == 0:
+                continue
+            vals.append(toks.flatten())
+            docs_l.append(b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+            dls_l.append(b.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64))
+            shs_l.append(b.column("shard").to_numpy(zero_copy_only=False).astype(np.int64))
+            counts_l.append(counts)
+        if not vals:
+            return
+        doc_arr = np.concatenate(docs_l)      # per-doc
+        dl_arr = np.concatenate(dls_l)
+        sh_arr = np.concatenate(shs_l)
+        counts = np.concatenate(counts_l)
+        n_docs_local = len(doc_arr)
+        flat_all = pa.concat_arrays(vals)
+        enc = pc.dictionary_encode(flat_all)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        n_codes = len(vocab)
+        total = len(codes)
+        owner = np.repeat(np.arange(n_docs_local, dtype=np.int64), counts)
+        ends = np.cumsum(counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        # single combined sort key: (shard, term code, doc) -> one stable
+        # argsort; position order within a doc survives via stability (tokens
+        # were exploded in position order)
+        sh_small, sh_inv = np.unique(sh_arr, return_inverse=True)
+        n_sh = len(sh_small)
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        if n_sh * n_codes * n_docs_local < (1 << 62):
+            key = (sh_inv[owner] * n_codes + codes) * n_docs_local + owner
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            owner_s = key_s % n_docs_local
+            grp_s = key_s // n_docs_local           # shard*n_codes + code
+            # (grp, owner) pairs change exactly when the combined key changes
+            np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+        else:  # overflow fallback (astronomically large shards)
+            order = np.lexsort((pos, owner, codes, sh_inv[owner]))
+            owner_s = owner[order]
+            grp_s = sh_inv[owner_s] * n_codes + codes[order]
+            np.logical_or(
+                grp_s[1:] != grp_s[:-1], owner_s[1:] != owner_s[:-1], out=change[1:]
+            )
+        pos_s = pos[order]
+        starts = np.flatnonzero(change)
+        tfs = np.diff(np.append(starts, total))
+        g_grp = grp_s[starts]
+        g_owner = owner_s[starts]
+        g_doc = doc_arr[g_owner]
+        g_dl = dl_arr[g_owner]
+        pos_ends = np.cumsum(tfs)
+        # (shard, term) group boundaries over doc-level runs
+        m = len(starts)
+        gchange = np.empty(m, dtype=bool)
+        gchange[0] = True
+        np.not_equal(g_grp[1:], g_grp[:-1], out=gchange[1:])
+        gstarts = np.flatnonzero(gchange)
+        gends = np.append(gstarts[1:], m)
+        # ---- vectorized bulk encode: one varint pass per column for the
+        # WHOLE shard, then per-block byte-range slicing. Per-block
+        # varint_encode calls would be ~15 tiny numpy ops x n_blocks x 4
+        # columns — overhead-dominated (measured 70% of kernel time).
+        # block boundaries (doc-run level): every gstart + every block_size
+        # docs within a group
+        gstart_rep = np.repeat(gstarts, gends - gstarts)
+        rel = np.arange(m, dtype=np.int64) - gstart_rep
+        bstart_mask = (rel % block_size) == 0
+        bstarts = np.flatnonzero(bstart_mask)
+        bends = np.append(bstarts[1:], m)
+        # doc ids: delta within block (absolute at block start)
+        d_delta = delta_encode_segmented(g_doc, None, seg_starts=bstarts)
+        d_bytes = varint_encode(d_delta)
+        d_lens = varint_lengths(d_delta)
+        d_off = np.concatenate(([0], np.cumsum(d_lens)))
+        t_bytes = varint_encode(tfs)
+        t_lens = varint_lengths(tfs)
+        t_off = np.concatenate(([0], np.cumsum(t_lens)))
+        l_bytes = varint_encode(g_dl)
+        l_lens = varint_lengths(g_dl)
+        l_off = np.concatenate(([0], np.cumsum(l_lens)))
+        # positions: delta restarts at each doc; blocks align with doc
+        # boundaries so slicing at doc boundaries is safe
+        p_delta = delta_encode_segmented(pos_s, tfs)
+        p_bytes = varint_encode(p_delta)
+        p_lens = varint_lengths(p_delta)
+        p_voff = np.concatenate(([0], np.cumsum(p_lens)))  # per token value
+        pos_starts_tok = pos_ends - tfs  # token index of each doc-run start
+        # per-block stats (reduceat over doc-run arrays)
+        doc_count = (bends - bstarts).astype(np.int64)
+        first_doc = g_doc[bstarts]
+        last_doc = g_doc[bends - 1]
+        max_tf = np.maximum.reduceat(tfs, bstarts)
+        min_dl = np.minimum.reduceat(g_dl, bstarts)
+        tf_sum = np.add.reduceat(tfs, bstarts)
+        blk_grp = g_grp[bstarts]
+        blk_shard = sh_small[blk_grp // n_codes]
+        blk_code = blk_grp % n_codes
+        block_id = (rel[bstarts] // block_size).astype(np.int64)
+        terms_py = vocab.to_pylist()
+        nb = len(bstarts)
+        out: list[tuple] = []
+        for i in range(nb):
+            a, b_ = int(bstarts[i]), int(bends[i])
+            pb0 = int(p_voff[pos_starts_tok[a]])
+            pb1 = int(p_voff[pos_ends[b_ - 1]])
+            out.append(
+                (
+                    int(blk_shard[i]),
+                    terms_py[int(blk_code[i])],
+                    int(block_id[i]),
+                    int(doc_count[i]),
+                    int(first_doc[i]),
+                    int(last_doc[i]),
+                    int(max_tf[i]),
+                    int(min_dl[i]),
+                    int(tf_sum[i]),
+                    d_bytes[int(d_off[a]) : int(d_off[b_])],
+                    t_bytes[int(t_off[a]) : int(t_off[b_])],
+                    l_bytes[int(l_off[a]) : int(l_off[b_])],
+                    p_bytes[pb0:pb1],
+                )
+            )
+            if len(out) >= 16384:
+                yield emit(out)
+                out = []
+        if out:
+            yield emit(out)
 
     return kernel
 
@@ -296,85 +367,162 @@ def build_index(
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict."""
     t0 = time.time()
+    stage_s: dict[str, float] = {}
+    _last = [t0]
+
+    def tick(name: str) -> None:
+        now = time.time()
+        stage_s[name] = round(now - _last[0], 2)
+        _last[0] = now
+
     spark_ = spark
     seg_dir = os.path.join(out_dir, "segments", segment)
 
-    docs0 = tokenized_docs(pages)
-    docs0, n_docs, cache0 = assign_dense_ids(docs0, "url", "doc_id", id_parts or max(4, n_shards))
+    # dense doc ids = rank over url, computed on the url column ALONE — the
+    # heavy page payload (html/text) never moves through the rank shuffle;
+    # ids join back by url (broadcast at small scale, sort-merge at 10^12)
+    ids, n_docs, cache0 = assign_dense_ids(
+        pages.select("url"), "url", "doc_id", id_parts or max(4, n_shards)
+    )
     if base_doc_id:
-        docs0 = docs0.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
+        ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
     per_shard = max(1, -(-n_docs // n_shards))  # ceil
-
-    docs0 = docs0.withColumn(
+    ids = ids.withColumn(
         "shard",
         F.least(
             ((F.col("doc_id") - F.lit(base_doc_id)) / F.lit(per_shard)).cast("int"),
             F.lit(n_shards - 1),
         ),
-    ).select("doc_id", "shard", "url", "lang", "text", "doc_len", "tokens", "tokens_fold", "sents")
-    docs0.repartition("shard").write.mode("overwrite").parquet(f"{seg_dir}/docs")
+    )
+    if n_docs <= 50_000_000:
+        ids = F.broadcast(ids)
+    pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
+    docs0 = tokenized_docs(pages0)
+    docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
     cache0.unpersist()
     # read-back = lineage cut: every later stage sees one stable snapshot
     docs = spark_.read.parquet(f"{seg_dir}/docs")
+    tick("docs")
     sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
+    tick("stats")
 
-    # ---- terms dictionary (sensitive surface + folded stats) ----
-    ex = docs.select(
-        "doc_id", "shard", "doc_len",
-        F.posexplode("tokens").alias("pos", "term"),
+    # ---- blocks: THE one big shuffle — but of COMPACT doc rows, not exploded
+    # tokens. A JVM explode of the token stream (10^2 x the row count) pays
+    # row-to-Arrow conversion + sort on every token occurrence; instead the
+    # doc rows (token arrays ride as Arrow lists) repartition by shard and the
+    # Arrow kernel explodes/sorts/encodes in numpy. term_ids don't exist yet —
+    # the dict is DERIVED from the compact blocks table (df = sum(doc_count),
+    # cf = sum(tf_sum); exact because a doc hits exactly one block per
+    # (shard, term) and shard doc-ranges are disjoint). This replaces the
+    # reference's two-pass termvec inversion (BlackLab40PostingsWriter.java:
+    # 246-330) AND its per-segment term-stat accumulation with one shuffle.
+    # repartitionByRange, NOT hash repartition: hashing 32 shard values into
+    # 32 partitions collides (some tasks get 3 shards, some 0 — measured 3x
+    # task skew); range boundaries put ~1 shard per partition
+    rows = docs.select("shard", "doc_id", "doc_len", "tokens").repartitionByRange(
+        n_shards, "shard"
     )
-    ex_fold = docs.select("doc_id", F.posexplode("tokens_fold").alias("pos", "term_fold"))
+    blocks = rows.mapInArrow(_encode_shard_kernel(block_size), schema=BLOCKS_SCHEMA)
+    # lineage cut + resume checkpoint: blocks feed 3 consumers (dict, remap,
+    # manifest) — recomputing the big shuffle for each would triple the cost
+    blocks.write.mode("overwrite").parquet(f"{seg_dir}/blocks")
+    blocksr = spark_.read.parquet(f"{seg_dir}/blocks")
+    tick("blocks")
 
-    surf = ex.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
+    # ---- terms dictionary from block stats ----
+    surf = blocksr.groupBy("term").agg(
+        F.sum("doc_count").alias("df"), F.sum("tf_sum").alias("cf")
     )
-    folds = (
-        ex_fold.groupBy("term_fold")
-        .agg(F.countDistinct("doc_id").alias("fold_df"), F.count("*").alias("fold_cf"))
-    )
+
     # term_fold per surface term (deterministic re-fold of the distinct terms)
     def refold(batches):
         for pdf in batches:
             yield pdf.assign(term_fold=fold_series(pdf["term"]))
 
     surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
-    terms0 = surf.join(folds, "term_fold", "left")
-    terms0, n_terms, cache1 = assign_dense_ids(terms0, "term", "term_id", max(4, n_shards))
+    terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, n_shards))
+    # fold stats: fold_cf is additive over variants; fold_df (distinct docs
+    # over ALL variants) equals df for single-variant folds — only folds with
+    # >1 surface variants (rare: case/accent collisions) need a targeted
+    # distinct-doc recount over the forward index.
+    w_fold = terms0.groupBy("term_fold").agg(
+        F.sum("cf").alias("fold_cf"),
+        F.sum("df").alias("df_sum"),
+        F.count("*").alias("n_variants"),
+        F.collect_list("term").alias("variants"),
+    )
+    multi = w_fold.filter(F.col("n_variants") > 1).select("term_fold", "variants")
+    multi_pdf = multi.toPandas()
+    if len(multi_pdf):
+        var2fold = {}
+        for r in multi_pdf.itertuples(index=False):
+            for v in r.variants:
+                var2fold[v] = r.term_fold
+        bvf = spark_.sparkContext.broadcast(var2fold)
+
+        def scan_multi(batches):
+            for pdf in batches:
+                m = bvf.value
+                probe = np.array(list(m.keys()), dtype=object)
+                lens = pdf["tokens"].map(len).to_numpy(np.int64)
+                if lens.sum() == 0:
+                    yield pd.DataFrame({"doc_id": [], "term_fold": []})
+                    continue
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
+                owner = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+                mask = np.isin(flat, probe)
+                hit_d, hit_t = owner[mask], flat[mask]
+                folds = np.array([m[t] for t in hit_t], dtype=object)
+                out = pd.DataFrame({"doc_id": hit_d, "term_fold": folds}).drop_duplicates()
+                yield out
+
+        multi_df = (
+            docs.select("doc_id", "tokens")
+            .mapInPandas(scan_multi, schema="doc_id long, term_fold string")
+            .groupBy("term_fold")
+            .agg(F.countDistinct("doc_id").alias("fold_df_exact"))
+        )
+        folds = w_fold.join(multi_df, "term_fold", "left").select(
+            "term_fold", "fold_cf",
+            F.coalesce("fold_df_exact", "df_sum").alias("fold_df"),
+        )
+    else:
+        folds = w_fold.select(
+            "term_fold", "fold_cf", F.col("df_sum").alias("fold_df")
+        )
+    terms0 = terms0.join(folds, "term_fold", "left")
     # sensitive sort position == term_id (ids are rank over sorted surface term)
     terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
-    terms0.write.mode("overwrite").parquet(f"{seg_dir}/terms_tmp")
-    cache1.unpersist()
-    terms_tmp = spark_.read.parquet(f"{seg_dir}/terms_tmp")
     # insensitive sort position: rank over (term_fold, term) — the collator
-    # sort order for the folded layer (reference: integrated.md:148-153)
+    # sort order for the folded layer (reference: integrated.md:148-153).
     fold_rank, _, cache2 = assign_dense_ids(
-        terms_tmp.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
+        terms0.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
         "_k", "sort_pos_i", max(4, n_shards),
     )
     fold_rank = fold_rank.select("term_id", "sort_pos_i")
     (
-        terms_tmp.join(fold_rank, "term_id")
+        terms0.join(fold_rank, "term_id")
         .coalesce(max(1, n_shards // 4))
         .write.mode("overwrite").parquet(f"{seg_dir}/terms")
     )
+    cache1.unpersist()
     cache2.unpersist()
-    import shutil
-
-    shutil.rmtree(f"{seg_dir}/terms_tmp", ignore_errors=True)
     terms = spark_.read.parquet(f"{seg_dir}/terms")
+    tick("terms")
 
-    # ---- postings: ONE shuffle (repartition by shard) + sorted streaming encode
+    # ---- postings: remap term string -> term_id on the COMPACT blocks table
     dict_df = terms.select("term", "term_id")
     if n_terms <= 2_000_000:
         dict_df = F.broadcast(dict_df)
-    rows = (
-        ex.join(dict_df, "term")
-        .select("shard", "term_id", "doc_id", "doc_len", "pos")
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "term_id", "doc_id", "pos")
+    postings = blocksr.join(dict_df, "term").select(
+        "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
+        "max_tf", "min_dl", "tf_sum", "doc_ids", "tfs", "dls", "positions",
     )
-    postings = rows.mapInPandas(_encode_blocks_kernel(block_size), schema=POSTINGS_SCHEMA)
     postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    import shutil
+
+    shutil.rmtree(f"{seg_dir}/blocks", ignore_errors=True)
+    tick("postings")
 
     # ---- manifest: per-shard lineage + metrics
     man = (
@@ -390,8 +538,10 @@ def build_index(
         .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
     )
     man.coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/manifest")
+    tick("manifest")
 
     meta = {
+        "stage_s": stage_s,
         "format_version": FORMAT_VERSION,
         "segment": segment,
         "n_docs": int(n_docs),

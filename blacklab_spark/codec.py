@@ -52,6 +52,20 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count (vectorized) — lets callers slice a bulk-
+    encoded stream at arbitrary value boundaries without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.uint64(1) << np.uint64(shift))
+        nbits[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    nbits += 1
+    return (nbits + 6) // 7
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes back to an int64 array, fully vectorized."""
     b = np.frombuffer(buf, dtype=np.uint8)
@@ -91,15 +105,21 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(d)
 
 
-def delta_encode_segmented(values: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
-    """Delta-encode within consecutive segments (per-doc position lists)."""
+def delta_encode_segmented(
+    values: np.ndarray, seg_lengths: np.ndarray | None, seg_starts: np.ndarray | None = None
+) -> np.ndarray:
+    """Delta-encode within consecutive segments (per-doc position lists).
+    Segments given as lengths OR directly as start indexes."""
     v = np.asarray(values, dtype=np.int64)
     if v.size == 0:
         return v
     out = np.empty_like(v)
     out[0] = v[0]
     np.subtract(v[1:], v[:-1], out=out[1:])
-    starts = np.concatenate(([0], np.cumsum(seg_lengths)[:-1])).astype(np.int64)
+    if seg_starts is not None:
+        starts = np.asarray(seg_starts, dtype=np.int64)
+    else:
+        starts = np.concatenate(([0], np.cumsum(seg_lengths)[:-1])).astype(np.int64)
     starts = starts[starts < v.size]
     out[starts] = v[starts]  # reset at each segment start (absolute value)
     return out

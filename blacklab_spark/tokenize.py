@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-TOKENIZER_VERSION = "1.0.0"
+TOKENIZER_VERSION = "1.1.0"
 
 # word = runs of unicode letters/digits (Java \w is ascii; we pin an explicit
 # class close to the reference's standard analyzer behavior)
@@ -55,34 +55,57 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(TOKEN_RE)
 
 
-_SENT_SPLIT = r"(?<=[.!?])\s+"
+_COMB_RE = f"{TOKEN_RE}|[.!?]"
 
 
 def sentence_spans_series(texts: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[[start,end]]] sentence spans in TOKEN
     positions (the reference's inline <s> tags, integrated.md:34-123; here
     derived from punctuation since web text carries no markup tags).
-    Zero-token sentences are dropped; a doc with no sentence-ending
-    punctuation is one span covering all tokens."""
-    pieces = texts.fillna("").str.split(_SENT_SPLIT, regex=True)
-    counts = pieces.map(
-        lambda ps: [len(_token_pat.findall(p)) for p in ps] if isinstance(ps, list) else []
-    )
 
-    def to_spans(cs: list[int]) -> list[list[int]]:
-        out, acc = [], 0
-        for c in cs:
-            if c:
-                out.append([acc, acc + c])
-            acc += c
-        return out
+    A sentence ends after the last token preceding a '.', '!' or '?'.
+    Zero-token sentences are dropped; a doc with no sentence punctuation is
+    one span covering all tokens. Single vectorized pass: one combined
+    token-or-punct findall per doc, punct classification on factorized
+    uniques only."""
+    import numpy as np
 
-    return counts.map(to_spans)
-
-
-import re as _re  # noqa: E402
-
-_token_pat = _re.compile(TOKEN_RE)
+    comb = texts.fillna("").str.findall(_COMB_RE)
+    lens = comb.map(len).to_numpy(dtype=np.int64)
+    n = len(comb)
+    if n == 0 or lens.sum() == 0:
+        return comb.map(lambda _: [])
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in comb])
+    codes, uniq = pd.factorize(flat)
+    ispunct_u = np.array([u in ".!?" for u in uniq], dtype=bool)
+    ispunct = ispunct_u[codes]
+    istok = ~ispunct
+    gtok = np.cumsum(istok)  # 1-based running token count
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    out = []
+    for d in range(n):
+        a, b = int(bounds[d]), int(bounds[d + 1])
+        if a == b:
+            out.append([])
+            continue
+        base = int(gtok[a]) - int(istok[a])  # tokens before this doc
+        tok_at = gtok[a:b] - base  # running token count within doc
+        p = np.flatnonzero(ispunct[a:b])
+        total_t = int(tok_at[-1])
+        if total_t == 0:
+            out.append([])
+            continue
+        ends = tok_at[p] if len(p) else np.empty(0, dtype=np.int64)
+        if len(ends) == 0 or ends[-1] != total_t:
+            ends = np.append(ends, total_t)
+        spans, prev = [], 0
+        for e in np.unique(ends):
+            e = int(e)
+            if e > prev:
+                spans.append([prev, e])
+                prev = e
+        out.append(spans)
+    return pd.Series(out, index=texts.index)
 
 
 def fold_series(texts: pd.Series) -> pd.Series:

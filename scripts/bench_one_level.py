@@ -37,6 +37,9 @@ def main() -> None:
         f"local[{cpus}]",
         app_name=f"blacklab_scale_{cpus}",
         shuffle_partitions=SHUFFLE_PARTITIONS,
+        # tmpfs shuffle dir: the sandbox virtio disk has 2x run-to-run jitter,
+        # which would swamp the CPU-scaling signal this bench measures
+        extra_conf={"spark.local.dir": f"{work_dir}/spark_local"},
     )
     from blacklab_spark.build import build_index
     from blacklab_spark.query import Index
@@ -46,18 +49,23 @@ def main() -> None:
     # warm the JVM/scheduler so startup cost is excluded from the measurement
     pages.limit(100).count()
 
+    # best-of-2: first run includes codegen/JIT warmup; min is the
+    # steady-state number a long-running cluster job would see
     out = f"{work_dir}/ix_{cpus}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, pages, out, n_shards=N_SHARDS)
-    build_s = time.time() - t0
+    build_s = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, pages, out, n_shards=N_SHARDS)
+        build_s = min(build_s, time.time() - t0)
 
     ix = Index(spark, out)
     lat = {}
-    for name, fn in QUERY_SET:
-        t0 = time.time()
-        fn(ix).count()
-        lat[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name, fn in QUERY_SET:
+            t0 = time.time()
+            fn(ix).count()
+            lat[name] = min(lat.get(name, float("inf")), round(time.time() - t0, 3))
     vals = sorted(lat.values())
     print(
         json.dumps(

@@ -21,7 +21,8 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-WORK = "/tmp/blacklab_scaling"
+# tmpfs: isolate the CPU-scaling measurement from virtio disk jitter
+WORK = "/dev/shm/blacklab_scaling" if os.path.isdir("/dev/shm") else "/tmp/blacklab_scaling"
 PAGES = f"{WORK}/pages_bench"
 
 
