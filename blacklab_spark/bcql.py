@@ -1,0 +1,442 @@
+"""BCQL (Corpus Query Language) subset: parser + logical patterns + compiler.
+
+Mirrors the reference's three-layer query lifecycle (SURVEY.md §3.1):
+CQL string -> TextPattern AST -> executable plan. Grammar shapes follow
+query-parser/src/main/javacc/.../cql.jj; the IR mirrors
+engine/.../search/textpattern/TextPattern.java's node set; compilation targets
+our DataFrame span algebra instead of BLSpanQuery.
+
+Supported subset (v1):
+  "literal"  "reg.*ex"  "x"%c              bare terms (anchored-regex rule,
+                                           CorpusQueryLanguageParser.java:88-98)
+  [word="x" & word!="y"]  []  []{n,m}      token constraints / any-token
+  A B        sequences (phrase fast path through posting intersection)
+  A | B      union;  A & B  intersect
+  A* A+ A? A{n,m}                          repetition
+  N:A                                      capture groups
+  <s/>       sentence spans;  X within Y;  X containing Y
+  (...)      grouping
+
+Rewrites applied (doc/technical/query rewriting.md:30-64 analogs):
+  SimplestMatcher  regex -> term when the pattern is literal
+  Flatten          nested sequences flatten
+  TrivialRep       A{1,1} -> A
+  CCAnyExpansion   []{m,n} A -> EXPAND(A, left, m, n)  (and mirrored right)
+  phrase fast path SEQ(term...) -> posting-list intersection kernel
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from . import spans as S
+from .query import Index
+
+# ----------------------------------------------------------------- patterns --
+
+
+@dataclass
+class TP:
+    """TextPattern base (reference TextPattern.java:124)."""
+
+
+@dataclass
+class TPTerm(TP):
+    term: str
+    sensitive: bool = False
+
+
+@dataclass
+class TPRegex(TP):
+    pattern: str
+    sensitive: bool = False
+
+
+@dataclass
+class TPAnyToken(TP):
+    mn: int = 1
+    mx: int = 1
+
+
+@dataclass
+class TPNotTerm(TP):
+    """Single-token negation [word!="x"] (SpanQueryNot analog)."""
+
+    inner: TP
+
+
+@dataclass
+class TPSequence(TP):
+    parts: list[TP] = field(default_factory=list)
+
+
+@dataclass
+class TPOr(TP):
+    clauses: list[TP] = field(default_factory=list)
+
+
+@dataclass
+class TPAnd(TP):
+    clauses: list[TP] = field(default_factory=list)
+
+
+@dataclass
+class TPRepetition(TP):
+    clause: TP
+    mn: int
+    mx: int
+
+
+@dataclass
+class TPCapture(TP):
+    name: str
+    clause: TP
+
+
+@dataclass
+class TPTags(TP):
+    name: str
+
+
+@dataclass
+class TPPosFilter(TP):
+    producer: TP
+    filt: TP
+    op: str  # within | containing
+    invert: bool = False
+
+
+# -------------------------------------------------------------------- lexer --
+_TOKEN_SPEC = [
+    ("QUOTED", r'"(?:[^"\\]|\\.)*"'),
+    ("FLAGS", r"%[cdis]+"),
+    ("NUMBER", r"\d+"),
+    ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
+    ("TAG", r"<\s*[A-Za-z_][A-Za-z0-9_]*\s*/\s*>"),
+    ("OP", r"!=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,"),
+    ("WS", r"\s+"),
+]
+_LEX = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _LEX.match(q, i)
+        if not m:
+            raise ValueError(f"BCQL lex error at {i}: {q[i:i+20]!r}")
+        if m.lastgroup == "WS":
+            i = m.end()
+            continue
+        out.append((m.lastgroup, m.group()))
+        i = m.end()
+    out.append(("EOF", ""))
+    return out
+
+
+_LITERAL_RE = re.compile(r"^[\wÀ-ɏ]*$", re.UNICODE)
+
+
+def _quoted_to_tp(raw: str, flags: str | None) -> TP:
+    """Bare string -> anchored regex -> simplified (SimplestMatcher;
+    reference CorpusQueryLanguageParser.java:88-98 + TextPatternRegex.
+    rewriteForQuery TextPatternRegex.java:73-98)."""
+    s = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    sensitive = bool(flags and "c" in flags) or bool(flags and "s" in flags)
+    if _LITERAL_RE.match(s):
+        return TPTerm(s, sensitive)
+    return TPRegex(s, sensitive)
+
+
+# ------------------------------------------------------------------- parser --
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"BCQL parse error: expected {val!r}, got {v!r}")
+
+    # query := seqOr (('within'|'containing') seqOr)*
+    def query(self) -> TP:
+        left = self.seq_or()
+        while self.peek()[1] in ("within", "containing"):
+            op = self.next()[1]
+            right = self.seq_or()
+            left = TPPosFilter(left, right, op)
+        return left
+
+    # seqOr := seqAnd ('|' seqAnd)*
+    def seq_or(self) -> TP:
+        parts = [self.seq_and()]
+        while self.peek()[1] == "|":
+            self.next()
+            parts.append(self.seq_and())
+        return parts[0] if len(parts) == 1 else TPOr(parts)
+
+    def seq_and(self) -> TP:
+        parts = [self.sequence()]
+        while self.peek()[1] == "&":
+            self.next()
+            parts.append(self.sequence())
+        return parts[0] if len(parts) == 1 else TPAnd(parts)
+
+    # sequence := seqpart+
+    def sequence(self) -> TP:
+        parts = [self.seqpart()]
+        while True:
+            k, v = self.peek()
+            if k in ("QUOTED", "TAG") or v in ("[", "(", "!") or (
+                k == "NAME" and v not in ("within", "containing")
+                and self.toks[self.i + 1][1] == ":"
+            ):
+                parts.append(self.seqpart())
+            else:
+                break
+        flat: list[TP] = []  # Flatten (SpanQuerySequence.flattenSequence)
+        for p in parts:
+            if isinstance(p, TPSequence):
+                flat.extend(p.parts)
+            else:
+                flat.append(p)
+        return flat[0] if len(flat) == 1 else TPSequence(flat)
+
+    # seqpart := [NAME ':'] atom repetition?
+    def seqpart(self) -> TP:
+        k, v = self.peek()
+        if k == "NAME" and self.toks[self.i + 1][1] == ":":
+            name = self.next()[1]
+            self.next()  # ':'
+            inner = self.seqpart()
+            return TPCapture(name, inner)
+        node = self.atom()
+        return self.maybe_repeat(node)
+
+    def maybe_repeat(self, node: TP) -> TP:
+        k, v = self.peek()
+        if v == "*":
+            self.next()
+            return TPRepetition(node, 0, 8)
+        if v == "+":
+            self.next()
+            return TPRepetition(node, 1, 8)
+        if v == "?":
+            self.next()
+            return TPRepetition(node, 0, 1)
+        if v == "{":
+            self.next()
+            mn = int(self.next()[1])
+            mx = mn
+            if self.peek()[1] == ",":
+                self.next()
+                if self.peek()[0] == "NUMBER":
+                    mx = int(self.next()[1])
+                else:
+                    mx = 8
+            self.expect("}")
+            if mn == 1 and mx == 1:  # TrivialRep
+                return node
+            return TPRepetition(node, mn, mx)
+        return node
+
+    def atom(self) -> TP:
+        k, v = self.peek()
+        if k == "QUOTED":
+            self.next()
+            flags = None
+            if self.peek()[0] == "FLAGS":
+                flags = self.next()[1]
+            return _quoted_to_tp(v, flags)
+        if k == "TAG":
+            self.next()
+            name = re.sub(r"[<>/\s]", "", v)
+            return TPTags(name)
+        if v == "(":
+            self.next()
+            node = self.query()
+            self.expect(")")
+            return node
+        if v == "!":
+            self.next()
+            return TPNotTerm(self.atom())
+        if v == "[":
+            self.next()
+            if self.peek()[1] == "]":
+                self.next()
+                return TPAnyToken(1, 1)
+            node = self.pred_or()
+            self.expect("]")
+            return node
+        raise ValueError(f"BCQL parse error at {v!r}")
+
+    # token-level predicates inside [...]
+    def pred_or(self) -> TP:
+        parts = [self.pred_and()]
+        while self.peek()[1] == "|":
+            self.next()
+            parts.append(self.pred_and())
+        return parts[0] if len(parts) == 1 else TPOr(parts)
+
+    def pred_and(self) -> TP:
+        parts = [self.pred()]
+        while self.peek()[1] == "&":
+            self.next()
+            parts.append(self.pred())
+        return parts[0] if len(parts) == 1 else TPAnd(parts)
+
+    def pred(self) -> TP:
+        neg = False
+        if self.peek()[1] == "!":
+            self.next()
+            neg = True
+        k, annot = self.next()
+        if k != "NAME":
+            raise ValueError(f"BCQL: expected annotation name, got {annot!r}")
+        if annot != "word":
+            raise ValueError(
+                f"BCQL: unknown annotation {annot!r} (web corpus indexes 'word')"
+            )
+        op = self.next()[1]
+        if op not in ("=", "!="):
+            raise ValueError(f"BCQL: expected = or !=, got {op!r}")
+        qk, qv = self.next()
+        if qk != "QUOTED":
+            raise ValueError("BCQL: expected quoted value")
+        flags = None
+        if self.peek()[0] == "FLAGS":
+            flags = self.next()[1]
+        node = _quoted_to_tp(qv, flags)
+        if (op == "!=") != neg:
+            node = TPNotTerm(node)
+        return node
+
+
+def parse(q: str) -> TP:
+    p = _Parser(_lex(q))
+    node = p.query()
+    if p.peek()[0] != "EOF":
+        raise ValueError(f"BCQL: trailing input at {p.peek()[1]!r}")
+    return node
+
+
+# ----------------------------------------------------------------- compiler --
+def compile_pattern(ix: Index, tp: TP) -> DataFrame:
+    """TextPattern -> hits DataFrame (the reference's translate() +
+    rewrite() collapsed; Catalyst handles the relational part)."""
+    if isinstance(tp, TPTerm):
+        return ix.term_hits(tp.term, fold=not tp.sensitive)
+    if isinstance(tp, TPRegex):
+        return ix.regex_hits(tp.pattern, fold=not tp.sensitive)
+    if isinstance(tp, TPAnyToken):
+        return S.any_token(ix.doc_lens(), tp.mn, tp.mx)
+    if isinstance(tp, TPNotTerm):
+        return S.not_spans(ix.doc_lens(), compile_pattern(ix, tp.inner))
+    if isinstance(tp, TPTags):
+        return ix.tag_hits(tp.name)
+    if isinstance(tp, TPOr):
+        out = compile_pattern(ix, tp.clauses[0])
+        for c in tp.clauses[1:]:
+            out = S.or_spans(out, compile_pattern(ix, c))
+        return out
+    if isinstance(tp, TPAnd):
+        out = compile_pattern(ix, tp.clauses[0])
+        for c in tp.clauses[1:]:
+            out = S.and_spans(out, compile_pattern(ix, c))
+        return out
+    if isinstance(tp, TPRepetition):
+        if isinstance(tp.clause, TPAnyToken) and tp.clause.mn == tp.clause.mx == 1:
+            return S.any_token(ix.doc_lens(), max(tp.mn, 1), tp.mx)
+        return S.repetition(compile_pattern(ix, tp.clause), max(tp.mn, 1), tp.mx)
+    if isinstance(tp, TPCapture):
+        return S.capture(compile_pattern(ix, tp.clause), tp.name)
+    if isinstance(tp, TPPosFilter):
+        return S.position_filter(
+            compile_pattern(ix, tp.producer),
+            compile_pattern(ix, tp.filt),
+            tp.op,
+            tp.invert,
+        )
+    if isinstance(tp, TPSequence):
+        return _compile_sequence(ix, tp.parts)
+    raise TypeError(f"unknown pattern node {tp!r}")
+
+
+def _is_pure_term(p: TP) -> bool:
+    return isinstance(p, TPTerm) and not p.sensitive
+
+
+def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
+    # EmptyClauseAlts (reference SpanQuerySequence.rewrite:415-452): a
+    # clause that can match empty (A?, A{0,n}) splits the sequence into
+    # with/without alternatives — positional joins can't express empties.
+    for i, p in enumerate(parts):
+        if (
+            isinstance(p, TPRepetition)
+            and p.mn == 0
+            and not isinstance(p.clause, TPAnyToken)
+        ):
+            without = parts[:i] + parts[i + 1 :]
+            with_ = parts[:i] + [TPRepetition(p.clause, 1, p.mx)] + parts[i + 1 :]
+            if not without:
+                return _compile_sequence(ix, with_)
+            return S.or_spans(
+                _compile_sequence(ix, without), _compile_sequence(ix, with_)
+            )
+    # phrase fast path: all plain folded terms -> posting intersection kernel
+    if all(_is_pure_term(p) for p in parts):
+        return ix.phrase_hits([p.term for p in parts], fold=True)
+    # CCAnyExpansion: absorb []{m,n} neighbors into expansions
+    out: DataFrame | None = None
+    pending_gap: tuple[int, int] | None = None
+    doc_lens = ix.doc_lens()
+    for p in parts:
+        if isinstance(p, TPAnyToken):
+            gap = (p.mn, p.mx)
+        elif isinstance(p, TPRepetition) and isinstance(p.clause, TPAnyToken):
+            gap = (p.mn * p.clause.mn, p.mx * p.clause.mx)
+        else:
+            gap = None
+        if gap is not None:
+            if out is None:
+                pending_gap = gap  # leading []: expand first real clause left
+            else:
+                pending_gap = gap  # gap before next clause
+            continue
+        h = compile_pattern(ix, p)
+        if out is None:
+            if pending_gap is not None:
+                h = S.expand(h, doc_lens, "left", pending_gap[0], pending_gap[1])
+                pending_gap = None
+            out = h
+        else:
+            if pending_gap is not None:
+                out = S.sequence(out, h, gap_min=pending_gap[0], gap_max=pending_gap[1])
+                pending_gap = None
+            else:
+                out = S.sequence(out, h)
+    if out is None:
+        # sequence of only any-tokens: total n-gram range
+        mn = sum(p.mn if isinstance(p, TPAnyToken) else p.mn * p.clause.mn for p in parts)
+        mx = sum(p.mx if isinstance(p, TPAnyToken) else p.mx * p.clause.mx for p in parts)
+        return S.any_token(doc_lens, mn, mx)
+    if pending_gap is not None:  # trailing []: expand right
+        out = S.expand(out, doc_lens, "right", pending_gap[0], pending_gap[1])
+    return out
+
+
+def find(ix: Index, query: str) -> DataFrame:
+    """Parse and execute a BCQL query -> hits (doc_id, start, end [,captures])."""
+    return compile_pattern(ix, parse(query))

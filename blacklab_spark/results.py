@@ -1,0 +1,164 @@
+"""Results pipeline: post-hit relational ops (SURVEY.md §2.4).
+
+The reference's fluent Search tree (engine/.../searches/SearchHits.java:32-128,
+SearchDocs.java:25-81) composes sort/sample/filter/window/group/facet over
+hits and docs; every one of those is a DataFrame transformation here — the
+reference's HitGroupsTokenFrequencies "fast path" (skip hit materialization,
+aggregate straight off the forward index, results/HitGroupsTokenFrequencies.java:8-13)
+is simply what Spark's hash aggregate does naturally.
+
+All functions take (index, hits_df, ...) and return DataFrames; hits frames
+are (doc_id long, start int, end int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .query import Index
+
+
+def _hit_text_col(ix: Index, hits: DataFrame, part: str, context: int, fold: bool):
+    """Join token arrays and build the context string for `part`:
+    'match' | 'before' | 'after' (reference: HitPropertyHitText.java:13-16,
+    HitPropertyBeforeHit.java:16-19, HitPropertyAfterHit.java:16-19)."""
+    col = "tokens_fold" if fold else "tokens"
+    j = hits.join(ix.docs.select("doc_id", F.col(col).alias("_toks")), "doc_id")
+    if part == "match":
+        c = F.slice(F.col("_toks"), F.col("start") + 1, F.col("end") - F.col("start"))
+    elif part == "before":
+        first = F.greatest(F.lit(1), F.col("start") + 1 - context)
+        # reference sorts before-context right-to-left; keep natural order, doc
+        # divergence: we sort on the reversed token sequence like the reference
+        c = F.reverse(F.slice(F.col("_toks"), first, F.col("start") + 1 - first))
+    elif part == "after":
+        c = F.slice(
+            F.col("_toks"),
+            F.col("end") + 1,
+            F.least(F.lit(context), F.size("_toks") - F.col("end")),
+        )
+    else:
+        raise ValueError(part)
+    return j.withColumn("_key", F.array_join(c, " ")).drop("_toks")
+
+
+def sort_hits(
+    ix: Index,
+    hits: DataFrame,
+    by: str = "match",
+    context: int = 5,
+    fold: bool = True,
+    descending: bool = False,
+) -> DataFrame:
+    """Hits.sort(HitProperty) (reference results/HitsAbstract.java:279-293).
+    by: 'match' | 'before' | 'after' | 'doc' | 'position'."""
+    if by in ("doc", "position"):
+        keys = [F.col("doc_id"), F.col("start"), F.col("end")]
+    else:
+        hits = _hit_text_col(ix, hits, by, context, fold)
+        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
+    if descending:
+        keys = [k.desc() for k in keys]
+    out = hits.orderBy(*keys)
+    return out.drop("_key") if "_key" in out.columns else out
+
+
+def window_hits(hits: DataFrame, first: int, n: int) -> DataFrame:
+    """Hits.window(first, n) (reference HitsAbstract.java:157); hit order is
+    the canonical (doc_id, start, end)."""
+    w = Window.orderBy("doc_id", "start", "end")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > first) & (F.col("_rn") <= first + n))
+        .drop("_rn")
+    )
+
+
+def sample_hits(hits: DataFrame, fraction: float | None = None, n: int | None = None, seed: int = 42) -> DataFrame:
+    """Hits.sample (reference HitsAbstract.java:213-255, SampleParameters
+    fixed-count or percentage, seeded)."""
+    if fraction is not None:
+        return hits.sample(fraction=fraction, seed=seed)
+    assert n is not None
+    return (
+        hits.orderBy(F.xxhash64("doc_id", "start", "end", F.lit(seed)))
+        .limit(n)
+    )
+
+
+def group_hits_by_text(
+    ix: Index,
+    hits: DataFrame,
+    part: str = "match",
+    context: int = 5,
+    fold: bool = True,
+    max_hits_per_group: int = 10,
+) -> DataFrame:
+    """HitGroups.fromHits keyed by hit text (reference results/HitGroups.java:
+    54-118): group sizes plus up to N stored hits per group."""
+    h = _hit_text_col(ix, hits, part, context, fold)
+    return h.groupBy(F.col("_key").alias("group_key")).agg(
+        F.count("*").alias("size"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "start", "end"))),
+            1,
+            max_hits_per_group,
+        ).alias("sample_hits"),
+    )
+
+
+def group_hits_by_metadata(ix: Index, hits: DataFrame, field: str) -> DataFrame:
+    """Group hits by a document metadata field (reference:
+    HitPropertyDocumentStoredField.java:7-11)."""
+    d = ix.docs.select("doc_id", field)
+    return hits.join(d, "doc_id").groupBy(field).agg(F.count("*").alias("size"))
+
+
+def doc_results(hits: DataFrame) -> DataFrame:
+    """Hits -> per-document hit counts (reference results/DocResults.java:43-91)."""
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
+def facets(ix: Index, doc_ids: DataFrame, fields: list[str]) -> DataFrame:
+    """Doc counts per metadata value(s) (reference searches/SearchFacets.java)."""
+    d = doc_ids.select("doc_id").dropDuplicates().join(ix.docs, "doc_id")
+    return d.groupBy(*fields).agg(F.countDistinct("doc_id").alias("n_docs"))
+
+
+def collocations(
+    ix: Index, hits: DataFrame, context: int = 5, fold: bool = True
+) -> DataFrame:
+    """Context-window term frequencies around hits (reference
+    searches/SearchHits.collocations:128 via results/Contexts.java:64-116):
+    explode the [start-k, end+k) window minus the match itself."""
+    col = "tokens_fold" if fold else "tokens"
+    j = hits.join(ix.docs.select("doc_id", col), "doc_id")
+    first = F.greatest(F.lit(1), F.col("start") + 1 - context)
+    before = F.slice(F.col(col), first, F.col("start") + 1 - first)
+    after = F.slice(
+        F.col(col),
+        F.col("end") + 1,
+        F.least(F.lit(context), F.size(col) - F.col("end")),
+    )
+    return (
+        j.select(F.explode(F.concat(before, after)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def filter_hits_by_metadata(ix: Index, hits: DataFrame, predicate: str) -> DataFrame:
+    """SpanQueryFiltered (reference SpanQueryFiltered.java:21-24): keep hits
+    whose document matches a metadata predicate (SQL expression string)."""
+    d = ix.docs.filter(F.expr(predicate)).select("doc_id")
+    return hits.join(d, "doc_id", "left_semi")
+
+
+def concordances(ix: Index, hits: DataFrame, context_chars: int = 40) -> DataFrame:
+    """Character-based concordances from the stored text (reference
+    results/Concordances.java reads the content store; our content store is
+    the docs.text column). Positions are token indexes, so the original char
+    span is recovered by re-walking tokens — v1 approximates with the KWIC
+    token window joined as strings; exact char offsets are a later round."""
+    return ix.kwic(hits, context=max(1, context_chars // 6))
