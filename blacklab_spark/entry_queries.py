@@ -217,6 +217,116 @@ def build_queries() -> dict:
     ).select(F.col("doc_id").cast("long"), F.col("start").cast("int"),
              F.col("end").cast("int"), "left", "match", "right")
 
+    # ---------------- BCQL / span algebra (engine-backed) ----------------
+    def _bcql(s, d, query):
+        from . import bcql
+
+        return _ix_hits(bcql.find(get_index(s, d), query))
+
+    q["ix_bcql_gap"] = lambda s, d: _bcql(s, d, '"fast" []{1,2} "scan"')
+    q["ix_repetition"] = lambda s, d: _bcql(s, d, '[word="table"]{2,2}')
+    q["ix_not_token"] = lambda s, d: _bcql(s, d, '[word!="the"]')
+    q["ix_expand_right"] = lambda s, d: _bcql(s, d, '"table" []')
+    q["ix_seq_or"] = lambda s, d: _bcql(s, d, '"fast" "sort" | "table" "scan"')
+
+    def ix_capture(s, d):
+        from . import bcql
+
+        df = bcql.find(get_index(s, d), '"table" A:[]')
+        return df.select(
+            F.col("doc_id").cast("long"), F.col("start").cast("int"),
+            F.col("end").cast("int"), F.col("A_start").cast("int"),
+            F.col("A_end").cast("int"),
+        )
+
+    q["ix_capture"] = ix_capture
+
+    # ---------------- results pipeline (engine-backed) ----------------
+    def rs_group_text(s, d):
+        from . import results as R
+
+        ix = get_index(s, d)
+        hits = ix.or_hits(["table", "vector"])
+        return R.group_hits_by_text(ix, hits).select(
+            "group_key", F.col("size").cast("long")
+        )
+
+    q["rs_group_text"] = rs_group_text
+
+    def rs_colloc2(s, d):
+        from . import results as R
+
+        ix = get_index(s, d)
+        return R.collocations(ix, ix.term_hits("table"), context=2).select(
+            "term", F.col("n").cast("long")
+        )
+
+    q["rs_colloc2"] = rs_colloc2
+
+    def rs_sorted_window(s, d):
+        from . import results as R
+
+        ix = get_index(s, d)
+        hits = ix.term_hits("merge")
+        srt = R._hit_text_col(ix, hits, "after", 3, True)
+        w = Window.orderBy("_key", "doc_id", "start")
+        return (
+            srt.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > 10) & (F.col("rank") <= 30))
+            .select(
+                F.col("rank").cast("int"), F.col("doc_id").cast("long"),
+                F.col("start").cast("int"), F.col("end").cast("int"),
+            )
+        )
+
+    q["rs_sorted_window"] = rs_sorted_window
+
+    # ---------------- multimodal plumbing (stubbed decode) ----------------
+    def mm_image_meta(s, d):
+        from . import multimodal as M
+
+        docs = _docs(s, d).filter(F.col("doc_id") < 200)
+        return M.image_metadata(M.attach_payload(docs)).select(
+            "doc_id", F.col("n_bytes").cast("int"), F.col("width").cast("int"),
+            F.col("height").cast("int"), F.col("channels").cast("int"),
+        )
+
+    q["mm_image_meta"] = mm_image_meta
+
+    def mm_frames(s, d):
+        from . import multimodal as M
+
+        docs = _docs(s, d).filter(F.col("doc_id") < 100)
+        return M.sample_frames(M.attach_payload(docs)).select(
+            "doc_id", F.col("frame_id").cast("int"), "frame_hash"
+        )
+
+    q["mm_frames"] = mm_frames
+
+    # ---------------- embedding near-dup (dedup family) ----------------
+    def dd_emb_neardup(s, d):
+        e = s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        a = e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+        )
+        j = a.crossJoin(e.withColumnRenamed("vec_id", "b_id")).filter(
+            F.col("a_id") != F.col("b_id")
+        )
+        dot = F.aggregate(F.zip_with("va", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        nb = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        scored = j.select("a_id", "b_id", F.round(dot / F.sqrt(na * nb), 6).alias("cos"))
+        w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "b_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("nn_id"), "cos")
+        )
+
+    q["dd_emb_neardup"] = dd_emb_neardup
+
     # ---------------- forward-index fast path ----------------
     def ft_termfreq(s, d):
         return (
@@ -557,6 +667,104 @@ SELECT h.doc_id, h.start, h.e AS "end",
 FROM h JOIN tarr USING (doc_id)
 """
 
+    o["ix_bcql_gap"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos + 2 AND a.pos + 3
+WHERE a.tok = 'fast' AND b.tok = 'scan'
+"""
+    o["ix_repetition"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' AND b.tok = 'table'
+"""
+    o["ix_not_token"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks WHERE tok <> 'the'
+"""
+    o["ix_expand_right"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table'
+"""
+    o["ix_capture"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end",
+       a.pos + 1 AS "A_start", a.pos + 2 AS "A_end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table'
+"""
+    o["ix_seq_or"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE (a.tok = 'fast' AND b.tok = 'sort') OR (a.tok = 'table' AND b.tok = 'scan')
+"""
+    o["rs_group_text"] = f"""
+WITH {SQL_TOKS}
+SELECT tok AS group_key, CAST(count(*) AS BIGINT) AS size
+FROM toks WHERE tok IN ('table', 'vector') GROUP BY 1
+"""
+    o["rs_colloc2"] = f"""
+WITH {SQL_TOKS}
+SELECT b.tok AS term, CAST(count(*) AS BIGINT) AS n
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
+WHERE a.tok = 'table' GROUP BY 1
+"""
+    o["rs_sorted_window"] = f"""
+WITH {SQL_TOKS},
+tarr AS (SELECT doc_id, list(tok ORDER BY pos) AS arr FROM toks GROUP BY doc_id),
+h AS (
+  SELECT t.doc_id, t.pos AS start, t.pos + 1 AS e,
+         coalesce(array_to_string(arr[t.pos + 2 : least(len(arr), t.pos + 4)], ' '), '') AS k
+  FROM toks t JOIN tarr USING (doc_id) WHERE t.tok = 'merge'
+)
+SELECT rank, doc_id, start, e AS "end" FROM (
+  SELECT CAST(row_number() OVER (ORDER BY k, doc_id, start) AS INT) AS rank, *
+  FROM h
+) WHERE rank > 10 AND rank <= 30
+"""
+    _H16 = (
+        "(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 + "
+        "(instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 + "
+        "(instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)"
+    )
+    o["mm_image_meta"] = f"""
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(1 + ({_H16}) % 64 AS INT) AS width,
+       CAST(1 + (({_H16}) // 64) % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents WHERE doc_id < 200
+"""
+    o["mm_frames"] = f"""
+SELECT doc_id, CAST(f.fi AS INT) AS frame_id, md5(text || CAST(f.fi AS VARCHAR)) AS frame_hash
+FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f
+WHERE doc_id < 100 AND f.fi < 1 + ({_H16}) % 4
+"""
+    o["dd_emb_neardup"] = """
+WITH e AS (
+  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i AS i FROM (
+    SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) u(vec_id, v, i)
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM e GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+  FROM e a JOIN e b USING (i)
+  WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+)
+SELECT a_id AS vec_id, b_id AS nn_id, cos FROM (
+  SELECT a_id, b_id, round(dot / sqrt(na.n * nb.n), 6) AS cos,
+         row_number() OVER (PARTITION BY a_id ORDER BY round(dot / sqrt(na.n * nb.n), 6) DESC, b_id) AS rn
+  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+) WHERE rn = 1
+"""
     o["ft_termfreq_top20"] = f"""
 WITH {SQL_TOKS}
 SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf FROM toks
