@@ -364,8 +364,14 @@ def build_index(
     segment: str = "seg0",
     base_doc_id: int = 0,
     id_parts: int | None = None,
+    resume: bool = False,
 ) -> dict:
-    """Build one index segment from a pages DataFrame. Returns meta dict."""
+    """Build one index segment from a pages DataFrame. Returns meta dict.
+
+    resume=True: stages whose parquet committed under identical build params
+    (docs / blocks / terms / postings) are reused, not recomputed — the
+    north-rule "resumable from checkpoint" (each stage write is a snapshot;
+    the manifest carries per-shard lineage + metrics)."""
     t0 = time.time()
     stage_s: dict[str, float] = {}
     _last = [t0]
@@ -378,30 +384,66 @@ def build_index(
     spark_ = spark
     seg_dir = os.path.join(out_dir, "segments", segment)
 
-    # dense doc ids = rank over url, computed on the url column ALONE — the
-    # heavy page payload (html/text) never moves through the rank shuffle;
-    # ids join back by url (broadcast at small scale, sort-merge at 10^12)
-    ids, n_docs, cache0 = assign_dense_ids(
-        pages.select("url"), "url", "doc_id", id_parts or max(4, n_shards)
-    )
-    if base_doc_id:
-        ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
-    per_shard = max(1, -(-n_docs // n_shards))  # ceil
-    ids = ids.withColumn(
-        "shard",
-        F.least(
-            ((F.col("doc_id") - F.lit(base_doc_id)) / F.lit(per_shard)).cast("int"),
-            F.lit(n_shards - 1),
-        ),
-    )
-    if n_docs <= 50_000_000:
-        ids = F.broadcast(ids)
-    pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
-    docs0 = tokenized_docs(pages0)
-    docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
-    cache0.unpersist()
-    # read-back = lineage cut: every later stage sees one stable snapshot
-    docs = spark_.read.parquet(f"{seg_dir}/docs")
+    # --- resume support: a stage whose parquet committed (_SUCCESS) under
+    # identical build params is never recomputed. Mirrors the north rule's
+    # "resumable from checkpoint": each stage write is the checkpoint, the
+    # manifest carries per-shard lineage, and parquet commit protocol makes
+    # the _SUCCESS marker atomic-enough for a restarted driver.
+    params = {
+        "n_shards": n_shards,
+        "block_size": block_size,
+        "base_doc_id": base_doc_id,
+        "tokenizer_version": TOKENIZER_VERSION,
+        "format_version": FORMAT_VERSION,
+    }
+    params_path = f"{seg_dir}/build_params.json"
+    if resume and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) != params:
+                resume = False  # params changed: full rebuild
+    elif resume:
+        resume = False
+    if not resume:
+        import shutil as _sh
+
+        _sh.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        with open(params_path, "w") as f:
+            json.dump(params, f)
+
+    def _done(name: str) -> bool:
+        return resume and os.path.exists(f"{seg_dir}/{name}/_SUCCESS")
+
+    if _done("docs"):
+        docs = spark_.read.parquet(f"{seg_dir}/docs")
+        n_docs = docs.count()
+        per_shard = max(1, -(-n_docs // n_shards))
+        stage_s["docs_resumed"] = True
+    else:
+        # dense doc ids = rank over url, computed on the url column ALONE —
+        # the heavy page payload (html/text) never moves through the rank
+        # shuffle; ids join back by url (broadcast small, sort-merge at 10^12)
+        ids, n_docs, cache0 = assign_dense_ids(
+            pages.select("url"), "url", "doc_id", id_parts or max(4, n_shards)
+        )
+        if base_doc_id:
+            ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
+        per_shard = max(1, -(-n_docs // n_shards))  # ceil
+        ids = ids.withColumn(
+            "shard",
+            F.least(
+                ((F.col("doc_id") - F.lit(base_doc_id)) / F.lit(per_shard)).cast("int"),
+                F.lit(n_shards - 1),
+            ),
+        )
+        if n_docs <= 50_000_000:
+            ids = F.broadcast(ids)
+        pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
+        docs0 = tokenized_docs(pages0)
+        docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
+        cache0.unpersist()
+        # read-back = lineage cut: later stages see one stable snapshot
+        docs = spark_.read.parquet(f"{seg_dir}/docs")
     tick("docs")
     sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
     tick("stats")
@@ -419,106 +461,117 @@ def build_index(
     # repartitionByRange, NOT hash repartition: hashing 32 shard values into
     # 32 partitions collides (some tasks get 3 shards, some 0 — measured 3x
     # task skew); range boundaries put ~1 shard per partition
-    rows = docs.select("shard", "doc_id", "doc_len", "tokens").repartitionByRange(
-        n_shards, "shard"
-    )
-    blocks = rows.mapInArrow(_encode_shard_kernel(block_size), schema=BLOCKS_SCHEMA)
-    # lineage cut + resume checkpoint: blocks feed 3 consumers (dict, remap,
-    # manifest) — recomputing the big shuffle for each would triple the cost
-    blocks.write.mode("overwrite").parquet(f"{seg_dir}/blocks")
-    blocksr = spark_.read.parquet(f"{seg_dir}/blocks")
+    postings_done = _done("postings") and _done("terms")
+    if _done("blocks") or postings_done:
+        blocksr = None if postings_done else spark_.read.parquet(f"{seg_dir}/blocks")
+    else:
+        rows = docs.select("shard", "doc_id", "doc_len", "tokens").repartitionByRange(
+            n_shards, "shard"
+        )
+        blocks = rows.mapInArrow(_encode_shard_kernel(block_size), schema=BLOCKS_SCHEMA)
+        # lineage cut + resume checkpoint: blocks feed 3 consumers (dict,
+        # remap, manifest) — recomputing the shuffle per consumer would
+        # triple the cost
+        blocks.write.mode("overwrite").parquet(f"{seg_dir}/blocks")
+        blocksr = spark_.read.parquet(f"{seg_dir}/blocks")
     tick("blocks")
 
-    # ---- terms dictionary from block stats ----
-    surf = blocksr.groupBy("term").agg(
-        F.sum("doc_count").alias("df"), F.sum("tf_sum").alias("cf")
-    )
-
-    # term_fold per surface term (deterministic re-fold of the distinct terms)
-    def refold(batches):
-        for pdf in batches:
-            yield pdf.assign(term_fold=fold_series(pdf["term"]))
-
-    surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
-    terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, n_shards))
-    # fold stats: fold_cf is additive over variants; fold_df (distinct docs
-    # over ALL variants) equals df for single-variant folds — only folds with
-    # >1 surface variants (rare: case/accent collisions) need a targeted
-    # distinct-doc recount over the forward index.
-    w_fold = terms0.groupBy("term_fold").agg(
-        F.sum("cf").alias("fold_cf"),
-        F.sum("df").alias("df_sum"),
-        F.count("*").alias("n_variants"),
-        F.collect_list("term").alias("variants"),
-    )
-    multi = w_fold.filter(F.col("n_variants") > 1).select("term_fold", "variants")
-    multi_pdf = multi.toPandas()
-    if len(multi_pdf):
-        var2fold = {}
-        for r in multi_pdf.itertuples(index=False):
-            for v in r.variants:
-                var2fold[v] = r.term_fold
-        bvf = spark_.sparkContext.broadcast(var2fold)
-
-        def scan_multi(batches):
-            for pdf in batches:
-                m = bvf.value
-                probe = np.array(list(m.keys()), dtype=object)
-                lens = pdf["tokens"].map(len).to_numpy(np.int64)
-                if lens.sum() == 0:
-                    yield pd.DataFrame({"doc_id": [], "term_fold": []})
-                    continue
-                flat = np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
-                owner = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
-                mask = np.isin(flat, probe)
-                hit_d, hit_t = owner[mask], flat[mask]
-                folds = np.array([m[t] for t in hit_t], dtype=object)
-                out = pd.DataFrame({"doc_id": hit_d, "term_fold": folds}).drop_duplicates()
-                yield out
-
-        multi_df = (
-            docs.select("doc_id", "tokens")
-            .mapInPandas(scan_multi, schema="doc_id long, term_fold string")
-            .groupBy("term_fold")
-            .agg(F.countDistinct("doc_id").alias("fold_df_exact"))
-        )
-        folds = w_fold.join(multi_df, "term_fold", "left").select(
-            "term_fold", "fold_cf",
-            F.coalesce("fold_df_exact", "df_sum").alias("fold_df"),
-        )
+    if _done("terms"):
+        terms = spark_.read.parquet(f"{seg_dir}/terms")
+        n_terms = terms.count()
+        tick("terms")
     else:
-        folds = w_fold.select(
-            "term_fold", "fold_cf", F.col("df_sum").alias("fold_df")
+        # ---- terms dictionary from block stats ----
+        surf = blocksr.groupBy("term").agg(
+            F.sum("doc_count").alias("df"), F.sum("tf_sum").alias("cf")
         )
-    terms0 = terms0.join(folds, "term_fold", "left")
-    # sensitive sort position == term_id (ids are rank over sorted surface term)
-    terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
-    # insensitive sort position: rank over (term_fold, term) — the collator
-    # sort order for the folded layer (reference: integrated.md:148-153).
-    fold_rank, _, cache2 = assign_dense_ids(
-        terms0.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
-        "_k", "sort_pos_i", max(4, n_shards),
-    )
-    fold_rank = fold_rank.select("term_id", "sort_pos_i")
-    (
-        terms0.join(fold_rank, "term_id")
-        .coalesce(max(1, n_shards // 4))
-        .write.mode("overwrite").parquet(f"{seg_dir}/terms")
-    )
-    cache1.unpersist()
-    cache2.unpersist()
-    terms = spark_.read.parquet(f"{seg_dir}/terms")
-    tick("terms")
+
+        # term_fold per surface term (deterministic re-fold of the distinct terms)
+        def refold(batches):
+            for pdf in batches:
+                yield pdf.assign(term_fold=fold_series(pdf["term"]))
+
+        surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
+        terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, n_shards))
+        # fold stats: fold_cf is additive over variants; fold_df (distinct docs
+        # over ALL variants) equals df for single-variant folds — only folds with
+        # >1 surface variants (rare: case/accent collisions) need a targeted
+        # distinct-doc recount over the forward index.
+        w_fold = terms0.groupBy("term_fold").agg(
+            F.sum("cf").alias("fold_cf"),
+            F.sum("df").alias("df_sum"),
+            F.count("*").alias("n_variants"),
+            F.collect_list("term").alias("variants"),
+        )
+        multi = w_fold.filter(F.col("n_variants") > 1).select("term_fold", "variants")
+        multi_pdf = multi.toPandas()
+        if len(multi_pdf):
+            var2fold = {}
+            for r in multi_pdf.itertuples(index=False):
+                for v in r.variants:
+                    var2fold[v] = r.term_fold
+            bvf = spark_.sparkContext.broadcast(var2fold)
+
+            def scan_multi(batches):
+                for pdf in batches:
+                    m = bvf.value
+                    probe = np.array(list(m.keys()), dtype=object)
+                    lens = pdf["tokens"].map(len).to_numpy(np.int64)
+                    if lens.sum() == 0:
+                        yield pd.DataFrame({"doc_id": [], "term_fold": []})
+                        continue
+                    flat = np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
+                    owner = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+                    mask = np.isin(flat, probe)
+                    hit_d, hit_t = owner[mask], flat[mask]
+                    folds = np.array([m[t] for t in hit_t], dtype=object)
+                    out = pd.DataFrame({"doc_id": hit_d, "term_fold": folds}).drop_duplicates()
+                    yield out
+
+            multi_df = (
+                docs.select("doc_id", "tokens")
+                .mapInPandas(scan_multi, schema="doc_id long, term_fold string")
+                .groupBy("term_fold")
+                .agg(F.countDistinct("doc_id").alias("fold_df_exact"))
+            )
+            folds = w_fold.join(multi_df, "term_fold", "left").select(
+                "term_fold", "fold_cf",
+                F.coalesce("fold_df_exact", "df_sum").alias("fold_df"),
+            )
+        else:
+            folds = w_fold.select(
+                "term_fold", "fold_cf", F.col("df_sum").alias("fold_df")
+            )
+        terms0 = terms0.join(folds, "term_fold", "left")
+        # sensitive sort position == term_id (ids are rank over sorted surface term)
+        terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
+        # insensitive sort position: rank over (term_fold, term) — the collator
+        # sort order for the folded layer (reference: integrated.md:148-153).
+        fold_rank, _, cache2 = assign_dense_ids(
+            terms0.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
+            "_k", "sort_pos_i", max(4, n_shards),
+        )
+        fold_rank = fold_rank.select("term_id", "sort_pos_i")
+        (
+            terms0.join(fold_rank, "term_id")
+            .coalesce(max(1, n_shards // 4))
+            .write.mode("overwrite").parquet(f"{seg_dir}/terms")
+        )
+        cache1.unpersist()
+        cache2.unpersist()
+        terms = spark_.read.parquet(f"{seg_dir}/terms")
+        tick("terms")
 
     # ---- postings: remap term string -> term_id on the COMPACT blocks table
-    dict_df = terms.select("term", "term_id")
-    if n_terms <= 2_000_000:
-        dict_df = F.broadcast(dict_df)
-    postings = blocksr.join(dict_df, "term").select(
-        "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
-        "max_tf", "min_dl", "tf_sum", "doc_ids", "tfs", "dls", "positions",
-    )
-    postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    if not _done("postings"):
+        dict_df = terms.select("term", "term_id")
+        if n_terms <= 2_000_000:
+            dict_df = F.broadcast(dict_df)
+        postings = blocksr.join(dict_df, "term").select(
+            "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
+            "max_tf", "min_dl", "tf_sum", "doc_ids", "tfs", "dls", "positions",
+        )
+        postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
     import shutil
 
     shutil.rmtree(f"{seg_dir}/blocks", ignore_errors=True)

@@ -1,0 +1,134 @@
+"""CLI entrypoints: build / add / compact / query / bench.
+
+spark-submit usage (north rule: launched via spark-submit --py-files):
+
+    zip -r blacklab_spark.zip blacklab_spark
+    spark-submit --py-files blacklab_spark.zip -m blacklab_spark.cli ...
+    # or locally:
+    python -m blacklab_spark build  --pages /path/pages.parquet --out /path/ix
+    python -m blacklab_spark add    --pages delta.parquet --out /path/ix --segment seg1
+    python -m blacklab_spark compact --out /path/ix
+    python -m blacklab_spark query  --out /path/ix --topk "term1 term2" -k 10
+    python -m blacklab_spark query  --out /path/ix --bcql '"fast" []{1,2} "scan"'
+    python -m blacklab_spark bench  --out /tmp/ix --pages /path/pages.parquet
+
+Mirrors the reference's IndexTool / BatchQuery tools
+(tools/.../tools/IndexTool.java:50, tools/.../performance/BatchQuery.java:10-19).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="blacklab_spark")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_build = sub.add_parser("build", help="build an index from a pages parquet")
+    p_build.add_argument("--pages", required=True)
+    p_build.add_argument("--out", required=True)
+    p_build.add_argument("--shards", type=int, default=32)
+    p_build.add_argument("--block-size", type=int, default=128)
+    p_build.add_argument("--resume", action="store_true")
+
+    p_add = sub.add_parser("add", help="add a delta segment")
+    p_add.add_argument("--pages", required=True)
+    p_add.add_argument("--out", required=True)
+    p_add.add_argument("--segment", required=True)
+    p_add.add_argument("--shards", type=int, default=32)
+
+    p_compact = sub.add_parser("compact", help="merge all segments into one")
+    p_compact.add_argument("--out", required=True)
+    p_compact.add_argument("--shards", type=int, default=32)
+
+    p_query = sub.add_parser("query", help="run a query against a built index")
+    p_query.add_argument("--out", required=True)
+    p_query.add_argument("--topk", help="space-separated terms for BM25 top-k")
+    p_query.add_argument("--bcql", help="BCQL query string")
+    p_query.add_argument("--phrase", help="space-separated phrase terms")
+    p_query.add_argument("-k", type=int, default=10)
+    p_query.add_argument("--limit", type=int, default=20)
+
+    p_bench = sub.add_parser("bench", help="timed build + query set")
+    p_bench.add_argument("--pages", required=True)
+    p_bench.add_argument("--out", required=True)
+    p_bench.add_argument("--shards", type=int, default=32)
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(args.master, app_name=f"blacklab_{args.cmd}")
+    try:
+        return _run(spark, args)
+    finally:
+        spark.stop()
+
+
+def _run(spark, args) -> int:
+    from .build import add_segment, build_index, compact
+
+    if args.cmd == "build":
+        pages = spark.read.parquet(args.pages)
+        meta = build_index(
+            spark, pages, args.out, n_shards=args.shards,
+            block_size=args.block_size, resume=args.resume,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "add":
+        pages = spark.read.parquet(args.pages)
+        meta = add_segment(spark, pages, args.out, args.segment, n_shards=args.shards)
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "compact":
+        meta = compact(spark, args.out, n_shards=args.shards)
+        print(json.dumps(meta))
+        return 0
+
+    from .query import Index
+
+    if args.cmd == "query":
+        ix = Index(spark, args.out)
+        if args.topk:
+            df = ix.topk(args.topk.split(), k=args.k)
+        elif args.bcql:
+            from . import bcql
+
+            df = bcql.find(ix, args.bcql).limit(args.limit)
+        elif args.phrase:
+            df = ix.phrase_hits(args.phrase.split()).limit(args.limit)
+        else:
+            print("need --topk, --bcql or --phrase", file=sys.stderr)
+            return 2
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "bench":
+        pages = spark.read.parquet(args.pages)
+        n = pages.count()
+        t0 = time.time()
+        build_index(spark, pages, args.out, n_shards=args.shards)
+        build_s = time.time() - t0
+        ix = Index(spark, args.out)
+        t0 = time.time()
+        ix.topk(["the"], k=10).collect()
+        q_s = time.time() - t0
+        print(json.dumps({
+            "n_docs": n, "build_s": round(build_s, 2),
+            "docs_per_sec": round(n / build_s, 1), "topk_s": round(q_s, 3),
+        }))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
