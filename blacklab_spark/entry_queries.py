@@ -240,6 +240,16 @@ def build_queries() -> dict:
         )
 
     q["ix_capture"] = ix_capture
+    q["ix_fuzzy"] = lambda s, d: _ix_hits(get_index(s, d).fuzzy_hits("tble", 1))
+
+    def ix_termfreq(s, d):
+        return (
+            get_index(s, d).term_freqs(fold=True)
+            .orderBy(F.col("cf").desc(), "term").limit(15)
+            .select("term", F.col("cf").cast("long"))
+        )
+
+    q["ix_termfreq"] = ix_termfreq
 
     # ---------------- results pipeline (engine-backed) ----------------
     def rs_group_text(s, d):
@@ -701,6 +711,16 @@ WITH {SQL_TOKS}
 SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
 FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE (a.tok = 'fast' AND b.tok = 'sort') OR (a.tok = 'table' AND b.tok = 'scan')
+"""
+    o["ix_fuzzy"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
+WHERE levenshtein(tok, 'tble') <= 1
+"""
+    o["ix_termfreq"] = f"""
+WITH {SQL_TOKS}
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf FROM toks
+GROUP BY 1 ORDER BY cf DESC, term LIMIT 15
 """
     o["rs_group_text"] = f"""
 WITH {SQL_TOKS}

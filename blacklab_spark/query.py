@@ -172,6 +172,23 @@ class Index:
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
         return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
 
+    def fuzzy_hits(self, term: str, max_edits: int = 1, fold: bool = True) -> DataFrame:
+        """Edit-distance term match (reference: SpanFuzzyQuery,
+        engine/.../search/lucene/SpanFuzzyQuery.java:29-34): expand via
+        levenshtein over the terms dict, then union the posting lists."""
+        col = "term_fold" if fold else "term"
+        q = fold_token(term) if fold else term
+        parts = []
+        for seg in self.segments:
+            rows = (
+                seg.terms.filter(F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
+                .select("term_id", col).toPandas()
+            )
+            if len(rows):
+                rows["qidx"] = 0
+                parts.append(_hits_explode(self._postings_for(seg, rows, True)))
+        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+
     def phrase_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
         """Exact consecutive sequence (reference: SpanQuerySequence,
         engine/.../search/lucene/SpanQuerySequence.java:33-49): intersect
