@@ -571,7 +571,15 @@ def build_index(
             "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
             "max_tf", "min_dl", "tf_sum", "doc_ids", "tfs", "dls", "positions",
         )
-        postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
+        # term-clustered layout (the analog of Lucene's term-sorted postings
+        # file): range-partition + sort by term_id so parquet file- and
+        # row-group stats prune term lookups to ~1 file; kernel output order
+        # is dictionary first-appearance, whose min/max stats prune nothing
+        (
+            postings.repartitionByRange(n_shards, "term_id")
+            .sortWithinPartitions("term_id", "shard", "block_id")
+            .write.mode("overwrite").parquet(f"{seg_dir}/postings")
+        )
     import shutil
 
     shutil.rmtree(f"{seg_dir}/blocks", ignore_errors=True)
