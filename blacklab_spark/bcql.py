@@ -440,3 +440,117 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
 def find(ix: Index, query: str) -> DataFrame:
     """Parse and execute a BCQL query -> hits (doc_id, start, end [,captures])."""
     return compile_pattern(ix, parse(query))
+
+
+# ------------------------------------------------------------ serialization --
+# mirrors TextPatternSerializerJson.java / TextPatternSerializerCql.java:
+# patterns round-trip through plain dicts (JSON-able) and back to CQL text.
+
+_NODE_TYPES = {
+    "term": TPTerm, "regex": TPRegex, "anytoken": TPAnyToken, "not": TPNotTerm,
+    "sequence": TPSequence, "or": TPOr, "and": TPAnd, "repeat": TPRepetition,
+    "capture": TPCapture, "tags": TPTags, "posfilter": TPPosFilter,
+}
+
+
+def to_dict(tp: TP) -> dict:
+    if isinstance(tp, TPTerm):
+        return {"type": "term", "term": tp.term, "sensitive": tp.sensitive}
+    if isinstance(tp, TPRegex):
+        return {"type": "regex", "pattern": tp.pattern, "sensitive": tp.sensitive}
+    if isinstance(tp, TPAnyToken):
+        return {"type": "anytoken", "min": tp.mn, "max": tp.mx}
+    if isinstance(tp, TPNotTerm):
+        return {"type": "not", "clause": to_dict(tp.inner)}
+    if isinstance(tp, TPSequence):
+        return {"type": "sequence", "clauses": [to_dict(p) for p in tp.parts]}
+    if isinstance(tp, TPOr):
+        return {"type": "or", "clauses": [to_dict(p) for p in tp.clauses]}
+    if isinstance(tp, TPAnd):
+        return {"type": "and", "clauses": [to_dict(p) for p in tp.clauses]}
+    if isinstance(tp, TPRepetition):
+        return {"type": "repeat", "clause": to_dict(tp.clause), "min": tp.mn, "max": tp.mx}
+    if isinstance(tp, TPCapture):
+        return {"type": "capture", "name": tp.name, "clause": to_dict(tp.clause)}
+    if isinstance(tp, TPTags):
+        return {"type": "tags", "name": tp.name}
+    if isinstance(tp, TPPosFilter):
+        return {
+            "type": "posfilter", "op": tp.op, "invert": tp.invert,
+            "producer": to_dict(tp.producer), "filter": to_dict(tp.filt),
+        }
+    raise TypeError(repr(tp))
+
+
+def from_dict(d: dict) -> TP:
+    t = d["type"]
+    if t == "term":
+        return TPTerm(d["term"], d.get("sensitive", False))
+    if t == "regex":
+        return TPRegex(d["pattern"], d.get("sensitive", False))
+    if t == "anytoken":
+        return TPAnyToken(d["min"], d["max"])
+    if t == "not":
+        return TPNotTerm(from_dict(d["clause"]))
+    if t == "sequence":
+        return TPSequence([from_dict(c) for c in d["clauses"]])
+    if t == "or":
+        return TPOr([from_dict(c) for c in d["clauses"]])
+    if t == "and":
+        return TPAnd([from_dict(c) for c in d["clauses"]])
+    if t == "repeat":
+        return TPRepetition(from_dict(d["clause"]), d["min"], d["max"])
+    if t == "capture":
+        return TPCapture(d["name"], from_dict(d["clause"]))
+    if t == "tags":
+        return TPTags(d["name"])
+    if t == "posfilter":
+        return TPPosFilter(
+            from_dict(d["producer"]), from_dict(d["filter"]), d["op"], d.get("invert", False)
+        )
+    raise ValueError(t)
+
+
+def _q(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def to_cql(tp: TP) -> str:
+    """Pattern -> CQL text (round-trips through parse; mirrors
+    TextPatternSerializerCql.java)."""
+    if isinstance(tp, TPTerm):
+        return _q(tp.term) + ("%c" if tp.sensitive else "")
+    if isinstance(tp, TPRegex):
+        return _q(tp.pattern) + ("%c" if tp.sensitive else "")
+    if isinstance(tp, TPAnyToken):
+        if tp.mn == tp.mx == 1:
+            return "[]"
+        return f"[]{{{tp.mn},{tp.mx}}}"
+    if isinstance(tp, TPNotTerm):
+        inner = tp.inner
+        if isinstance(inner, (TPTerm, TPRegex)):
+            v = inner.term if isinstance(inner, TPTerm) else inner.pattern
+            return f"[word!={_q(v)}]"
+        return f"!{to_cql(inner)}"
+    if isinstance(tp, TPSequence):
+        return " ".join(_wrap(p) for p in tp.parts)
+    if isinstance(tp, TPOr):
+        return " | ".join(_wrap(p) for p in tp.clauses)
+    if isinstance(tp, TPAnd):
+        return " & ".join(_wrap(p) for p in tp.clauses)
+    if isinstance(tp, TPRepetition):
+        return f"{_wrap(tp.clause)}{{{tp.mn},{tp.mx}}}"
+    if isinstance(tp, TPCapture):
+        return f"{tp.name}:{_wrap(tp.clause)}"
+    if isinstance(tp, TPTags):
+        return f"<{tp.name}/>"
+    if isinstance(tp, TPPosFilter):
+        return f"{_wrap(tp.producer)} {tp.op} {_wrap(tp.filt)}"
+    raise TypeError(repr(tp))
+
+
+def _wrap(tp: TP) -> str:
+    s = to_cql(tp)
+    if isinstance(tp, (TPSequence, TPOr, TPAnd, TPPosFilter)):
+        return f"({s})"
+    return s

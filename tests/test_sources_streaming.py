@@ -1,0 +1,78 @@
+"""Sources normalization + streaming delta-segment ingest + serialization."""
+
+import json
+
+from blacklab_spark import bcql, sources
+
+
+def test_sources_csv_jsonl_text(spark, tmp_path):
+    # CSV
+    csv = tmp_path / "c.csv"
+    csv.write_text("u,t,l\nhttp://a,hello world,en\nhttp://b,tweede tekst,nl\n")
+    df = sources.pages_from_csv(spark, str(csv), url="u", text="t", lang="l")
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r.url: (r.text, r.lang) for r in df.collect()}
+    assert rows["http://a"] == ("hello world", "en")
+    # JSONL
+    jl = tmp_path / "d.jsonl"
+    jl.write_text('{"url": "http://c", "text": "drie", "lang": "nl"}\n')
+    dj = sources.pages_from_jsonl(spark, str(jl), lang="lang")
+    assert dj.collect()[0].text == "drie"
+    # plain text dir
+    td = tmp_path / "txts"
+    td.mkdir()
+    (td / "one.txt").write_text("file one content")
+    dt = sources.pages_from_text_dir(spark, str(td))
+    r = dt.collect()[0]
+    assert r.text == "file one content" and r.url.endswith("one.txt")
+
+
+def test_streaming_ingest_builds_segments(spark, tmp_path):
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+    from blacklab_spark.streaming import stream_build, stream_pages_from_parquet_dir
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+    # drop two files -> two micro-batch delta segments (availableNow may
+    # fold them into one batch; assert on the INDEX content, not batch count)
+    pages = pages_df(spark, "tiny").collect()
+    spark.createDataFrame(pages[:3], pages_df(spark, "tiny").schema).write.parquet(
+        str(inbox / "f1.parquet")
+    )
+    q = stream_build(
+        stream_pages_from_parquet_dir(spark, str(inbox) + "/*"),
+        out, ck, n_shards=2,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(pages[3:], pages_df(spark, "tiny").schema).write.parquet(
+        str(inbox / "f2.parquet")
+    )
+    q2 = stream_build(
+        stream_pages_from_parquet_dir(spark, str(inbox) + "/*"),
+        out, ck, n_shards=2,
+    )
+    q2.awaitTermination(120)
+    ix = Index(spark, out)
+    assert ix.n_docs == 6
+    # the streamed index answers queries like a batch-built one
+    assert ix.count_hits("aap") == 21
+
+
+def test_serialization_roundtrip():
+    qs = [
+        '"the" "quick"',
+        '"a" [word="b"]{2,3} | "c"',
+        '("x" "y") within <s/>',
+        'A:[] "quick"',
+        '[word!="aap"]',
+    ]
+    for q in qs:
+        tp = bcql.parse(q)
+        # dict/JSON roundtrip
+        d = json.loads(json.dumps(bcql.to_dict(tp)))
+        assert bcql.from_dict(d) == tp
+        # CQL roundtrip: parse(to_cql(tp)) == tp
+        assert bcql.parse(bcql.to_cql(tp)) == tp
