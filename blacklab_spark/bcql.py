@@ -398,10 +398,25 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
     # phrase fast path: all plain folded terms -> posting intersection kernel
     if all(_is_pure_term(p) for p in parts):
         return ix.phrase_hits([p.term for p in parts], fold=True)
+    # CCNFA / FiSeq (SURVEY.md §4.3, ClauseCombinerNfa.java:29-66): a leading
+    # regex next to a term clause is verified against the forward index
+    # (token arrays) anchored at the term's hits, when the term is the
+    # cheaper side — never join a huge expanded-term hit set.
+    if (
+        len(parts) >= 2
+        and isinstance(parts[0], TPRegex)
+        and _is_pure_term(parts[1])
+    ):
+        nv, tdf = ix.regex_stats(parts[0].pattern, not parts[0].sensitive)
+        if tdf > ix.term_df(parts[1].term):
+            rest = _compile_sequence(ix, parts[1:])
+            col = "tokens" if parts[0].sensitive else "tokens_fold"
+            return S.verify_adjacent(rest, ix.docs, parts[0].pattern, "left", col)
     # CCAnyExpansion: absorb []{m,n} neighbors into expansions
     out: DataFrame | None = None
     pending_gap: tuple[int, int] | None = None
     doc_lens = ix.doc_lens()
+    prev_part: TP | None = None
     for p in parts:
         if isinstance(p, TPAnyToken):
             gap = (p.mn, p.mx)
@@ -415,6 +430,19 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
             else:
                 pending_gap = gap  # gap before next clause
             continue
+        # FiSeq right-extension: regex directly after a term-anchored prefix
+        if (
+            out is not None
+            and pending_gap is None
+            and isinstance(p, TPRegex)
+            and _is_pure_term(prev_part)
+        ):
+            nv, tdf = ix.regex_stats(p.pattern, not p.sensitive)
+            if tdf > ix.term_df(prev_part.term):
+                col = "tokens" if p.sensitive else "tokens_fold"
+                out = S.verify_adjacent(out, ix.docs, p.pattern, "right", col)
+                prev_part = p
+                continue
         h = compile_pattern(ix, p)
         if out is None:
             if pending_gap is not None:
@@ -427,6 +455,7 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
                 pending_gap = None
             else:
                 out = S.sequence(out, h)
+        prev_part = p
     if out is None:
         # sequence of only any-tokens: total n-gram range
         mn = sum(p.mn if isinstance(p, TPAnyToken) else p.mn * p.clause.mn for p in parts)

@@ -172,6 +172,34 @@ class Index:
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
         return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
 
+    def term_df(self, term: str, fold: bool = True) -> int:
+        """Global document frequency from the terms dict (cost model input —
+        the analog of the reference's reverseMatchingCost term stats,
+        BLSpanQuery.java:289-303)."""
+        col = "term_fold" if fold else "term"
+        q = fold_token(term) if fold else term
+        dfc = "fold_df" if fold else "df"
+        total = 0
+        for seg in self.segments:
+            r = seg.terms.filter(F.col(col) == q).agg(F.max(dfc)).collect()[0][0]
+            total += int(r or 0)
+        return total
+
+    def regex_stats(self, pattern: str, fold: bool = True) -> tuple[int, int]:
+        """(n matching terms, total df) for a regex over the dict — the cost
+        of the postings path for an expanded multi-term query."""
+        col = "term_fold" if fold else "term"
+        anchored = f"^(?:{pattern})$"
+        nv, tdf = 0, 0
+        for seg in self.segments:
+            r = (
+                seg.terms.filter(F.col(col).rlike(anchored))
+                .agg(F.count("*"), F.sum("df")).collect()[0]
+            )
+            nv += int(r[0] or 0)
+            tdf += int(r[1] or 0)
+        return nv, tdf
+
     def fuzzy_hits(self, term: str, max_edits: int = 1, fold: bool = True) -> DataFrame:
         """Edit-distance term match (reference: SpanFuzzyQuery,
         engine/.../search/lucene/SpanFuzzyQuery.java:29-34): expand via
@@ -386,6 +414,22 @@ class Index:
                 " ",
             ).alias("right"),
         )
+
+    def snippet(self, doc_id: int, start: int, end: int, context: int = 5) -> dict:
+        """Single-hit snippet (reference: WebserviceRequestHandler.opDocSnippet,
+        wslib/.../WebserviceRequestHandler.java:211): token context + the
+        stored text. Driver-side convenience over one doc row."""
+        h = self.spark.createDataFrame(
+            [(doc_id, start, end)], "doc_id long, start int, end int"
+        )
+        row = self.kwic(h, context).collect()
+        return row[0].asDict() if row else {}
+
+    def doc_contents(self, doc_id: int) -> str | None:
+        """Original document text from the content store (docs.text column —
+        reference: search/DocUtil.java over the content store)."""
+        r = self.docs.filter(F.col("doc_id") == doc_id).select("text").collect()
+        return r[0]["text"] if r else None
 
     def next_token_freq(self, term: str, fold: bool = True) -> DataFrame:
         """Collocation fast path: frequency of the token after each hit —

@@ -164,6 +164,15 @@ def containing(producer: DataFrame, filt: DataFrame, invert: bool = False) -> Da
     return position_filter(producer, filt, "containing", invert)
 
 
+def filter_ngrams(
+    doc_lens: DataFrame, hits: DataFrame, mn: int, mx: int, op: str = "within"
+) -> DataFrame:
+    """All n-grams of length mn..mx standing in `op` relation to a hit
+    (reference: SpanQueryFilterNGrams, SpanQueryFilterNGrams.java:15-18) —
+    composed as any-token generation + position filter."""
+    return position_filter(any_token(doc_lens, mn, mx), hits, op)
+
+
 def edge(h: DataFrame, trailing: bool = False) -> DataFrame:
     """Zero-length leading/trailing edge of each hit."""
     c = F.col("end") if trailing else F.col("start")
@@ -193,6 +202,41 @@ def capture(h: DataFrame, name: str) -> DataFrame:
     return h.withColumn(f"{name}_start", F.col("start")).withColumn(
         f"{name}_end", F.col("end")
     )
+
+
+def verify_adjacent(
+    anchor: DataFrame,
+    tokens_df: DataFrame,
+    pattern: str,
+    direction: str = "right",
+    tokens_col: str = "tokens_fold",
+) -> DataFrame:
+    """Forward-index sequence matching (the reference's signature
+    optimization: ClauseCombinerNfa -> SpanQueryFiSeq, SURVEY.md §4.3):
+    instead of materializing the expensive clause's hits (regex/high-df) and
+    joining, verify the neighbor token of each ANCHOR hit by indexing into
+    the doc's token array — the "forward index" is a colocated column, so
+    this is a broadcast-free array lookup, no shuffle of the expensive side.
+
+    direction='right': anchor ++ pattern-token; 'left': pattern-token ++ anchor.
+    Returns extended spans."""
+    anchored = f"^(?:{pattern})$"
+    j = anchor.join(tokens_df.select("doc_id", tokens_col), "doc_id")
+    if direction == "right":
+        tok = F.try_element_at(F.col(tokens_col), F.col("end") + 1)
+        out = j.filter(tok.isNotNull() & tok.rlike(anchored)).select(
+            "doc_id", "start", (F.col("end") + 1).alias("end"),
+            *[c for c in anchor.columns if c not in HITS_COLS],
+        )
+    else:
+        tok = F.try_element_at(F.col(tokens_col), F.col("start"))  # 1-based: pos start-1
+        out = j.filter(
+            (F.col("start") >= 1) & tok.isNotNull() & tok.rlike(anchored)
+        ).select(
+            "doc_id", (F.col("start") - 1).alias("start"), "end",
+            *[c for c in anchor.columns if c not in HITS_COLS],
+        )
+    return out
 
 
 def constrained(h: DataFrame, tokens_df: DataFrame, expr_fn) -> DataFrame:
