@@ -109,6 +109,32 @@ class TPPosFilter(TP):
     invert: bool = False
 
 
+@dataclass
+class TPConstrained(TP):
+    """Global constraint `A:[] "x" B:[] :: A.word = B.word`
+    (reference: constrainedQuery cql.jj:155-167 -> SpanQueryConstrained)."""
+
+    clause: TP
+    constraint: "CExpr"
+
+
+@dataclass
+class CExpr:
+    """MatchFilter node: comparison or boolean combination."""
+
+    op: str  # '=' '!=' '&' '|'
+    left: "CExpr | CRef | str"
+    right: "CExpr | CRef | str"
+
+
+@dataclass
+class CRef:
+    """Capture dereference `A.word` or function `start(A)` / `end(A)`."""
+
+    name: str
+    kind: str = "word"  # word | start | end
+
+
 # -------------------------------------------------------------------- lexer --
 _TOKEN_SPEC = [
     ("QUOTED", r'"(?:[^"\\]|\\.)*"'),
@@ -116,7 +142,7 @@ _TOKEN_SPEC = [
     ("NUMBER", r"\d+"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
     ("TAG", r"<\s*[A-Za-z_][A-Za-z0-9_]*\s*/\s*>"),
-    ("OP", r"!=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,"),
+    ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>"),
     ("WS", r"\s+"),
 ]
 _LEX = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
@@ -170,14 +196,71 @@ class _Parser:
         if v != val:
             raise ValueError(f"BCQL parse error: expected {val!r}, got {v!r}")
 
-    # query := seqOr (('within'|'containing') seqOr)*
+    # query := seqOr (('within'|'containing') seqOr)* ('::' constraint)?
     def query(self) -> TP:
         left = self.seq_or()
         while self.peek()[1] in ("within", "containing"):
             op = self.next()[1]
             right = self.seq_or()
             left = TPPosFilter(left, right, op)
+        if self.peek()[1] == "::":
+            self.next()
+            left = TPConstrained(left, self.constraint())
         return left
+
+    # constraint := cand ('|' cand)* ; cand := catom ('&' catom)*
+    def constraint(self) -> CExpr:
+        parts = [self.cand()]
+        while self.peek()[1] == "|":
+            self.next()
+            parts.append(self.cand())
+        out = parts[0]
+        for p in parts[1:]:
+            out = CExpr("|", out, p)
+        return out
+
+    def cand(self) -> CExpr:
+        parts = [self.catom()]
+        while self.peek()[1] == "&":
+            self.next()
+            parts.append(self.catom())
+        out = parts[0]
+        for p in parts[1:]:
+            out = CExpr("&", out, p)
+        return out
+
+    def catom(self) -> CExpr:
+        if self.peek()[1] == "(":
+            self.next()
+            e = self.constraint()
+            self.expect(")")
+            return e
+        left = self.cval()
+        op = self.next()[1]
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"BCQL constraint: bad comparator {op!r}")
+        right = self.cval()
+        return CExpr(op, left, right)
+
+    def cval(self):
+        k, v = self.next()
+        if k == "QUOTED":
+            return v[1:-1]
+        if k == "NUMBER":
+            return int(v)
+        if k == "NAME" and v in ("start", "end") and self.peek()[1] == "(":
+            self.next()
+            nk, name = self.next()
+            self.expect(")")
+            return CRef(name, v)
+        if k == "NAME":
+            if self.peek()[1] == ".":
+                self.next()
+                _, annot = self.next()
+                if annot != "word":
+                    raise ValueError(f"BCQL constraint: unknown annotation {annot!r}")
+            return CRef(v, "word")
+        raise ValueError(f"BCQL constraint: unexpected {v!r}")
 
     # seqOr := seqAnd ('|' seqAnd)*
     def seq_or(self) -> TP:
@@ -371,7 +454,38 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         )
     if isinstance(tp, TPSequence):
         return _compile_sequence(ix, tp.parts)
+    if isinstance(tp, TPConstrained):
+        from pyspark.sql import functions as F
+
+        hits = compile_pattern(ix, tp.clause)
+        j = hits.join(ix.docs.select("doc_id", "tokens_fold"), "doc_id")
+        return j.filter(_constraint_col(tp.constraint)).drop("tokens_fold")
     raise TypeError(f"unknown pattern node {tp!r}")
+
+
+def _constraint_col(e):
+    """MatchFilter tree -> Spark Column (reference: MatchFilter*.java —
+    capture word deref = token-array indexing over the forward index)."""
+    from pyspark.sql import functions as F
+
+    def val(v):
+        if isinstance(v, CRef):
+            if v.kind == "start":
+                return F.col(f"{v.name}_start")
+            if v.kind == "end":
+                return F.col(f"{v.name}_end")
+            return F.element_at("tokens_fold", F.col(f"{v.name}_start") + 1)
+        return F.lit(v)
+
+    if e.op == "&":
+        return _constraint_col(e.left) & _constraint_col(e.right)
+    if e.op == "|":
+        return _constraint_col(e.left) | _constraint_col(e.right)
+    l, r = val(e.left), val(e.right)
+    return {
+        "=": l == r, "!=": l != r, "<": l < r, "<=": l <= r,
+        ">": l > r, ">=": l >= r,
+    }[e.op]
 
 
 def _is_pure_term(p: TP) -> bool:

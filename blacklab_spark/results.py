@@ -108,6 +108,24 @@ def group_hits_by_text(
     )
 
 
+def group_hits_by_capture(
+    ix: Index, hits: DataFrame, name: str, fold: bool = True
+) -> DataFrame:
+    """Group hits by a capture group's text (reference:
+    HitPropertyCaptureGroup.java:17-20) — slice the token array at the
+    captured span's positions."""
+    col = "tokens_fold" if fold else "tokens"
+    j = hits.join(ix.docs.select("doc_id", F.col(col).alias("_toks")), "doc_id")
+    key = F.array_join(
+        F.slice(
+            F.col("_toks"), F.col(f"{name}_start") + 1,
+            F.col(f"{name}_end") - F.col(f"{name}_start"),
+        ),
+        " ",
+    )
+    return j.groupBy(key.alias("group_key")).agg(F.count("*").alias("size"))
+
+
 def group_hits_by_metadata(ix: Index, hits: DataFrame, field: str) -> DataFrame:
     """Group hits by a document metadata field (reference:
     HitPropertyDocumentStoredField.java:7-11)."""
