@@ -241,6 +241,7 @@ def build_queries() -> dict:
 
     q["ix_capture"] = ix_capture
     q["ix_fuzzy"] = lambda s, d: _ix_hits(get_index(s, d).fuzzy_hits("tble", 1))
+    q["ix_constraint"] = lambda s, d: _bcql(s, d, '"table" A:[] :: A.word = "scan"')
 
     def ix_termfreq(s, d):
         return (
@@ -711,6 +712,12 @@ WITH {SQL_TOKS}
 SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
 FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE (a.tok = 'fast' AND b.tok = 'sort') OR (a.tok = 'table' AND b.tok = 'scan')
+"""
+    o["ix_constraint"] = f"""
+WITH {SQL_TOKS}
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' AND b.tok = 'scan'
 """
     o["ix_fuzzy"] = f"""
 WITH {SQL_TOKS}
