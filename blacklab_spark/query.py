@@ -158,19 +158,26 @@ class Index:
         return self.or_hits([term], fold=fold)
 
     def or_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
-        """Union of single-term position hits (reference: BLSpanOrQuery)."""
+        """Union of single-term position hits (reference: BLSpanOrQuery).
+
+        No dedupe: distinct surface terms cannot share a (doc, pos) — one
+        token per position — and resolve() dedupes query terms. This is the
+        SpanGuarantees move (SpanGuarantees.java:22-67): provable uniqueness
+        skips a real shuffle."""
         parts = []
         for seg, tids in zip(self.segments, self.resolve(terms, fold)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
-        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+        return self._union(parts, HITS_SCHEMA)
 
     def regex_hits(self, pattern: str, fold: bool = True) -> DataFrame:
+        """Regex over the dict -> postings union (unique by the same argument
+        as or_hits: matching term_ids are distinct)."""
         parts = []
         for seg, tids in zip(self.segments, self._resolve_regex(pattern, fold)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
-        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+        return self._union(parts, HITS_SCHEMA)
 
     def term_df(self, term: str, fold: bool = True) -> int:
         """Global document frequency from the terms dict (cost model input —
