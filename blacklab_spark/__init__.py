@@ -16,7 +16,22 @@ No code is copied from the reference; file:line citations in docstrings point
 at the behavior being mirrored, not at code being translated.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 K1 = 1.2  # Lucene 8 BM25 default (reference scores via default IndexSearcher:
 B = 0.75  # engine/.../search/BlackLabIndexAbstract.java:521 -> BM25Similarity)
+
+__all__ = [
+    "K1", "B",
+    # public API modules (imported lazily to keep `import blacklab_spark`
+    # free of a SparkSession dependency):
+    # .session.get_spark      — configured SparkSession factory
+    # .build.build_index/add_segment/compact — index construction
+    # .query.Index            — span queries + BM25 top-k
+    # .spans                  — span algebra combinators
+    # .bcql.parse/find        — Corpus Query Language
+    # .results                — sort/group/sample/window/facets/collocations
+    # .sources                — input format readers -> pages schema
+    # .streaming.stream_build — Structured Streaming delta ingest
+    # .multimodal             — binary payload plumbing
+]
