@@ -31,6 +31,29 @@ QUERY_SET = [
 ]
 
 
+def probe_speed() -> float:
+    """Single-threaded memory-subsystem probe. The sandbox host has
+    intermittent phases where memory-heavy ops run 10-80x slow (argsort of
+    7M int64 measured 0.03s vs 4.4s minutes apart); benchmarking inside a
+    slow phase inverts the scaling ratio."""
+    import numpy as np
+
+    c = np.arange(7_000_000, dtype=np.int64)[::-1].copy()
+    t0 = time.time()
+    np.argsort(c, kind="stable")
+    return time.time() - t0
+
+
+def wait_for_quiet(limit_s: float = 0.3, max_wait: int = 600) -> list[float]:
+    probes = [probe_speed()]
+    waited = 0
+    while probes[-1] > limit_s and waited < max_wait:
+        time.sleep(30)
+        waited += 30
+        probes.append(probe_speed())
+    return probes
+
+
 def main() -> None:
     cpus, pages_path, work_dir = sys.argv[1], sys.argv[2], sys.argv[3]
     spark = get_spark(
@@ -49,11 +72,15 @@ def main() -> None:
     # warm the JVM/scheduler so startup cost is excluded from the measurement
     pages.limit(100).count()
 
-    # best-of-2: first run includes codegen/JIT warmup; min is the
-    # steady-state number a long-running cluster job would see
+    # best-of-3 with a host-speed gate per rep: first run includes
+    # codegen/JIT warmup; min is the steady-state number a long-running
+    # cluster job would see, and the gate keeps reps out of the sandbox
+    # host's intermittent slow phases
     out = f"{work_dir}/ix_{cpus}"
     build_s = float("inf")
-    for _ in range(2):
+    all_probes = []
+    for _ in range(3):
+        all_probes.append(wait_for_quiet())
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         build_index(spark, pages, out, n_shards=N_SHARDS)
@@ -62,6 +89,7 @@ def main() -> None:
     ix = Index(spark, out)
     lat = {}
     for _ in range(2):
+        wait_for_quiet()
         for name, fn in QUERY_SET:
             t0 = time.time()
             fn(ix).count()
@@ -79,6 +107,7 @@ def main() -> None:
                 "query_p95": vals[min(len(vals) - 1, int(0.95 * len(vals)))],
                 "n_shards": N_SHARDS,
                 "shuffle_partitions": SHUFFLE_PARTITIONS,
+                "speed_probes_s": [round(p[-1], 3) for p in all_probes],
             }
         )
     )
