@@ -424,7 +424,7 @@ def build_index(
         # the heavy page payload (html/text) never moves through the rank
         # shuffle; ids join back by url (broadcast small, sort-merge at 10^12)
         ids, n_docs, cache0 = assign_dense_ids(
-            pages.select("url"), "url", "doc_id", id_parts or max(4, n_shards)
+            pages.select("url"), "url", "doc_id", id_parts or max(4, min(n_shards, 64))
         )
         if base_doc_id:
             ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
@@ -492,7 +492,9 @@ def build_index(
                 yield pdf.assign(term_fold=fold_series(pdf["term"]))
 
         surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
-        terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, n_shards))
+        # rank passes over the SMALL dict: capping partitions avoids per-task
+        # overhead dominating when n_shards is large
+        terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, min(n_shards, 32)))
         # fold stats: fold_cf is additive over variants; fold_df (distinct docs
         # over ALL variants) equals df for single-variant folds — only folds with
         # >1 surface variants (rare: case/accent collisions) need a targeted
@@ -549,7 +551,7 @@ def build_index(
         # sort order for the folded layer (reference: integrated.md:148-153).
         fold_rank, _, cache2 = assign_dense_ids(
             terms0.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
-            "_k", "sort_pos_i", max(4, n_shards),
+            "_k", "sort_pos_i", max(4, min(n_shards, 32)),
         )
         fold_rank = fold_rank.select("term_id", "sort_pos_i")
         (

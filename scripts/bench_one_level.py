@@ -17,8 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from blacklab_spark.session import get_spark  # noqa: E402
 
-N_SHARDS = 32          # fixed across levels: the JOB is identical, only
-SHUFFLE_PARTITIONS = 64  # executor-thread count varies (N vs 4N executors)
+N_SHARDS = 128          # fixed across levels: the JOB is identical, only
+SHUFFLE_PARTITIONS = 128  # executor-thread count varies (N vs 4N executors).
+# 128 shards, not 32: small whole-shard kernels (~1M tokens) keep concurrent
+# worker memory pressure low — 32 fat shards measured 2x ANTI-scaling at
+# local[32] (blocks stage 98s vs 11s at 128 shards, same input)
 
 QUERY_SET = [
     ("topk_single_head", lambda ix: ix.topk(["the"], k=10)),
