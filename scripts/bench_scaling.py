@@ -26,6 +26,30 @@ WORK = "/dev/shm/blacklab_scaling" if os.path.isdir("/dev/shm") else "/tmp/black
 PAGES = f"{WORK}/pages_bench"
 
 
+def _cpu_burn(_):
+    import time
+
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += sum(range(10000))
+    return x
+
+
+def _mem_stream(_):
+    import time
+
+    import numpy as np
+
+    a = np.arange(30_000_000, dtype=np.int64)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.0:
+        _ = a.copy()  # 240 MB/iteration rw
+        n += 1
+    return n
+
+
 def machine_probes() -> dict:
     """Quantify the sandbox VM's scaling ceilings: pure-CPU work vs
     memory-streaming work at 8 and 32 processes. A real N->4N executor
@@ -35,26 +59,8 @@ def machine_probes() -> dict:
     import multiprocessing as mp
     import time
 
-    import numpy as np
-
-    def cpu_burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 2.0:
-            x += sum(range(10000))
-        return x
-
-    def mem_stream(_):
-        a = np.arange(30_000_000, dtype=np.int64)
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 2.0:
-            b = a.copy()  # 240 MB/iteration rw
-            n += 1
-        return n
-
     out = {}
-    for name, fn in (("cpu", cpu_burn), ("membw", mem_stream)):
+    for name, fn in (("cpu", _cpu_burn), ("membw", _mem_stream)):
         for nproc in (8, 32):
             t0 = time.time()
             with mp.Pool(nproc) as p:
