@@ -80,14 +80,21 @@ def main() -> None:
     # cluster job would see, and the gate keeps reps out of the sandbox
     # host's intermittent slow phases
     out = f"{work_dir}/ix_{cpus}"
-    build_s = float("inf")
+    reps: list[tuple[float, bool]] = []
     all_probes = []
-    for _ in range(3):
-        all_probes.append(wait_for_quiet())
+    for _ in range(4):
+        pre = wait_for_quiet(limit_s=0.06)
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         build_index(spark, pages, out, n_shards=N_SHARDS)
-        build_s = min(build_s, time.time() - t0)
+        dt = time.time() - t0
+        post = probe_speed()  # discard reps contaminated by a mid-run slow phase
+        reps.append((dt, post < 0.1))
+        all_probes.append(pre + [post])
+        if sum(1 for _, ok in reps if ok) >= 2:
+            break
+    valid = [t for t, ok in reps if ok]
+    build_s = min(valid) if valid else min(t for t, _ in reps)
 
     ix = Index(spark, out)
     lat = {}
