@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 3  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 4  # bumped on any docs/terms/postings schema change
 
 DOCS_SCHEMA = (
     "doc_id long, shard int, url string, lang string, text string, "
@@ -76,9 +76,13 @@ BLOCKS_SCHEMA = (
 
 
 # ------------------------------------------------------------ tokenization --
-def tokenized_docs(pages: DataFrame) -> DataFrame:
+def tokenized_docs(pages: DataFrame, store_text: bool = True) -> DataFrame:
     """pages (+doc_id,shard) -> tokenized docs, vectorized. Runs AFTER id
-    assignment so the range-partitioner's sampling pass never tokenizes."""
+    assignment so the range-partitioner's sampling pass never tokenizes.
+
+    store_text=False drops the text copy (40% of docs bytes): the INPUT pages
+    table is the content store (SURVEY.md §1.1 decision); doc_contents /
+    char-level concordances then need the pages table, not the index."""
 
     def kernel(batches):
         for pdf0 in batches:
@@ -98,8 +102,25 @@ def tokenized_docs(pages: DataFrame) -> DataFrame:
                     folded_uniq = fold_series(pd.Series(uniq, dtype=object)).to_numpy(dtype=object)
                     folded_flat = folded_uniq[codes]
                     bounds = np.cumsum(lens)[:-1]
+                    # store NULL when folding is the identity for the whole
+                    # doc (most lowercase web docs): ~30% of docs bytes;
+                    # Index.docs coalesces back to tokens
+                    same_u = folded_uniq == uniq
+                    same_flat = same_u[codes]
+                    starts = np.concatenate(([0], bounds))
+                    doc_same = np.ones(len(lens), dtype=bool)
+                    nz = lens > 0
+                    if nz.any():
+                        # consecutive non-empty starts bound each doc's run
+                        # exactly (empty docs contribute zero tokens)
+                        doc_same[nz] = (
+                            np.add.reduceat(same_flat.astype(np.int64), starts[nz])
+                            == lens[nz]
+                        )
+                    fl = np.split(folded_flat, bounds)
                     folded = pd.Series(
-                        [a.tolist() for a in np.split(folded_flat, bounds)], index=toks.index
+                        [None if s else a.tolist() for s, a in zip(doc_same, fl)],
+                        index=toks.index, dtype=object,
                     )
                 else:
                     folded = toks.map(lambda _: [])
@@ -109,7 +130,7 @@ def tokenized_docs(pages: DataFrame) -> DataFrame:
                         "shard": pdf["shard"],
                         "url": pdf["url"],
                         "lang": pdf["lang"],
-                        "text": text,
+                        "text": text if store_text else None,
                         "doc_len": toks.map(len).astype("int32"),
                         "tokens": toks,
                         "tokens_fold": folded,
@@ -365,6 +386,7 @@ def build_index(
     base_doc_id: int = 0,
     id_parts: int | None = None,
     resume: bool = False,
+    store_text: bool = True,
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
 
@@ -392,6 +414,7 @@ def build_index(
     params = {
         "n_shards": n_shards,
         "block_size": block_size,
+        "store_text": store_text,
         "base_doc_id": base_doc_id,
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
@@ -439,7 +462,7 @@ def build_index(
         if n_docs <= 50_000_000:
             ids = F.broadcast(ids)
         pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
-        docs0 = tokenized_docs(pages0)
+        docs0 = tokenized_docs(pages0, store_text=store_text)
         docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
         cache0.unpersist()
         # read-back = lineage cut: later stages see one stable snapshot

@@ -86,7 +86,9 @@ class Index:
         d = self.segments[0].docs
         for s in self.segments[1:]:
             d = d.unionByName(s.docs)
-        return d
+        # the build stores tokens_fold = NULL when identical to tokens
+        # (most docs in lowercase web text) — reconstitute transparently
+        return d.withColumn("tokens_fold", F.coalesce("tokens_fold", "tokens"))
 
     @property
     def terms_df(self) -> DataFrame:

@@ -65,7 +65,12 @@ def main() -> None:
         shuffle_partitions=SHUFFLE_PARTITIONS,
         # tmpfs shuffle dir: the sandbox virtio disk has 2x run-to-run jitter,
         # which would swamp the CPU-scaling signal this bench measures
-        extra_conf={"spark.local.dir": f"{work_dir}/spark_local"},
+        extra_conf={
+            "spark.local.dir": f"{work_dir}/spark_local",
+            # 32 threads sharing the default 8g heap GC-throttle the Arrow/
+            # shuffle path (~11% measured); same heap at both levels
+            "spark.driver.memory": "32g",
+        },
     )
     from blacklab_spark.build import build_index
     from blacklab_spark.query import Index
