@@ -539,10 +539,12 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
         else:
             gap = None
         if gap is not None:
-            if out is None:
-                pending_gap = gap  # leading []: expand first real clause left
+            # consecutive any-token parts accumulate: '"a" [] [] "b"' is a
+            # {2,2} gap, not {1,1} (bounds add)
+            if pending_gap is not None:
+                pending_gap = (pending_gap[0] + gap[0], pending_gap[1] + gap[1])
             else:
-                pending_gap = gap  # gap before next clause
+                pending_gap = gap
             continue
         # FiSeq right-extension: regex directly after a term-anchored prefix
         if (

@@ -449,6 +449,7 @@ def build_index(
         ids, n_docs, cache0 = assign_dense_ids(
             pages.select("url"), "url", "doc_id", id_parts or max(4, min(n_shards, 64))
         )
+        tick("doc_ids")
         if base_doc_id:
             ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
         per_shard = max(1, -(-n_docs // n_shards))  # ceil
@@ -518,6 +519,7 @@ def build_index(
         # rank passes over the SMALL dict: capping partitions avoids per-task
         # overhead dominating when n_shards is large
         terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, min(n_shards, 32)))
+        tick("term_ids")
         # fold stats: fold_cf is additive over variants; fold_df (distinct docs
         # over ALL variants) equals df for single-variant folds — only folds with
         # >1 surface variants (rare: case/accent collisions) need a targeted
@@ -577,6 +579,7 @@ def build_index(
             "_k", "sort_pos_i", max(4, min(n_shards, 32)),
         )
         fold_rank = fold_rank.select("term_id", "sort_pos_i")
+        tick("fold_rank")
         (
             terms0.join(fold_rank, "term_id")
             .coalesce(max(1, n_shards // 4))
@@ -676,7 +679,13 @@ def add_segment(spark, pages: DataFrame, out_dir: str, segment: str, **kw) -> di
     return build_index(spark, pages, out_dir, segment=segment, base_doc_id=base, **kw)
 
 
-def compact(spark: SparkSession, out_dir: str, n_shards: int = 8, block_size: int = DEFAULT_BLOCK) -> dict:
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    n_shards: int = 8,
+    block_size: int = DEFAULT_BLOCK,
+    pages: DataFrame | None = None,
+) -> dict:
     """Merge all segments into one (reference:
     BlackLab40PostingsWriter.merge, codec/BlackLab40PostingsWriter.java:102-140).
 
@@ -685,22 +694,38 @@ def compact(spark: SparkSession, out_dir: str, n_shards: int = 8, block_size: in
     a one-shot build over the union. A block-level merge that avoids
     re-tokenization is a later-round optimization; re-encode cost here is the
     shard shuffle only (extraction/tokenization is NOT redone).
+
+    Segments built with store_text=False have docs.text = NULL, so the
+    default rebuild path would silently produce an EMPTY merged index —
+    pass the original `pages` DataFrame for those, or this raises.
     """
     reg_path = os.path.join(out_dir, "segments.json")
     with open(reg_path) as f:
         segs = json.load(f)["segments"]
-    docs = None
-    for seg in segs:
-        d = spark.read.parquet(f"{out_dir}/segments/{seg}/docs")
-        docs = d if docs is None else docs.unionByName(d)
-    # re-derive a pages-shaped frame (text already extracted; html unused)
-    pages = docs.select(
-        "url",
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
-        "text",
-        "lang",
-    )
+    if pages is None:
+        for seg in segs:
+            pp = f"{out_dir}/segments/{seg}/build_params.json"
+            with open(pp) as f:
+                if not json.load(f).get("store_text", True):
+                    raise ValueError(
+                        f"compact(): segment {seg!r} was built with "
+                        "store_text=False (docs.text is NULL) — rebuilding "
+                        "from docs would tokenize empty strings and produce "
+                        "an empty index. Pass the original pages DataFrame: "
+                        "compact(spark, out_dir, pages=pages)."
+                    )
+        docs = None
+        for seg in segs:
+            d = spark.read.parquet(f"{out_dir}/segments/{seg}/docs")
+            docs = d if docs is None else docs.unionByName(d)
+        # re-derive a pages-shaped frame (text already extracted; html unused)
+        pages = docs.select(
+            "url",
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,
         segment="compacted",

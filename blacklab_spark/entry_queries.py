@@ -173,14 +173,14 @@ def _ix_hits(df: DataFrame) -> DataFrame:
 
 
 def _ix_topk(spark, sf_dir, terms, k, where_src=None) -> DataFrame:
+    from .rank import rank_head
+
     ix = get_index(spark, sf_dir)
     raw = ix.topk(terms, k=k + 10, quantize=False, where_lang=where_src)
-    out = (
-        raw.select("doc_id", F.round("score", 6).alias("score"))
-        .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        ))
-        .filter(F.col("rank") <= k)
+    # re-rank on the ROUNDED score (float policy) without a global window
+    out = rank_head(
+        raw.select("doc_id", F.round("score", 6).alias("score")),
+        [("score", False), ("doc_id", True)], 0, k, "rank",
     )
     return out.select(F.col("rank").cast("int"), F.col("doc_id").cast("long"), "score")
 
@@ -276,18 +276,14 @@ def build_queries() -> dict:
 
     def rs_sorted_window(s, d):
         from . import results as R
+        from .rank import rank_head
 
         ix = get_index(s, d)
         hits = ix.term_hits("merge")
         srt = R._hit_text_col(ix, hits, "after", 3, True)
-        w = Window.orderBy("_key", "doc_id", "start")
-        return (
-            srt.withColumn("rank", F.row_number().over(w))
-            .filter((F.col("rank") > 10) & (F.col("rank") <= 30))
-            .select(
-                F.col("rank").cast("int"), F.col("doc_id").cast("long"),
-                F.col("start").cast("int"), F.col("end").cast("int"),
-            )
+        return rank_head(srt, ["_key", "doc_id", "start"], 10, 20, "rank").select(
+            F.col("rank").cast("int"), F.col("doc_id").cast("long"),
+            F.col("start").cast("int"), F.col("end").cast("int"),
         )
 
     q["rs_sorted_window"] = rs_sorted_window
@@ -358,12 +354,11 @@ def build_queries() -> dict:
     q["ft_facet_source"] = ft_facet_source
 
     def ft_window(s, d):
+        from .rank import rank_head
+
         h = _toks(s, d).filter(F.col("tok") == "table")
-        w = Window.orderBy("doc_id", "pos")
-        return (
-            h.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
-            .select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"))
+        return rank_head(h, ["doc_id", "pos"], 20, 20).select(
+            "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
         )
 
     q["ft_window"] = ft_window
@@ -490,12 +485,11 @@ def build_queries() -> dict:
         nv = F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
         nq = F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
         scored = j.select("vec_id", F.round(dot / F.sqrt(nv * nq), 6).alias("cos"))
-        w = Window.orderBy(F.col("cos").desc(), "vec_id")
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .select(F.col("rank").cast("int"), "vec_id", "cos")
-        )
+        from .rank import rank_head
+
+        return rank_head(
+            scored, [("cos", False), ("vec_id", True)], 0, 10, "rank"
+        ).select(F.col("rank").cast("int"), "vec_id", "cos")
 
     q["sim_cosine_topk"] = sim_cosine_topk
 
@@ -530,12 +524,11 @@ def build_queries() -> dict:
         nv = F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
         nq = F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
         scored = j.select("vec_id", F.round(dot / F.sqrt(nv * nq), 6).alias("cos"))
-        w = Window.orderBy(F.col("cos").desc(), "vec_id")
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .select(F.col("rank").cast("int"), "vec_id", "cos")
-        )
+        from .rank import rank_head
+
+        return rank_head(
+            scored, [("cos", False), ("vec_id", True)], 0, 5, "rank"
+        ).select(F.col("rank").cast("int"), "vec_id", "cos")
 
     q["sim_ann_lsh"] = sim_ann_lsh
 

@@ -361,12 +361,9 @@ class Index:
                     )
                 )
         scored = self._union(parts, SCORE_SCHEMA)
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        top = (
-            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .withColumn("rank", F.row_number().over(w))
-        )
+        from .rank import rank_head
+
+        top = rank_head(scored, [("score", False), ("doc_id", True)], 0, k, "rank")
         urls = self.docs.select("doc_id", "url")
         return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
 
@@ -457,11 +454,20 @@ class Index:
 
     def term_freqs(self, fold: bool = True) -> DataFrame:
         if fold:
-            return (
-                self.terms_df.groupBy(F.col("term_fold").alias("term"))
+            # fold_cf is replicated across a fold's variant rows WITHIN a
+            # segment (max collapses the copies), but segment doc sets are
+            # disjoint, so ACROSS segments the per-segment counts must add —
+            # a single max over the unioned rows would return the largest
+            # segment's count instead of the total.
+            parts = [
+                seg.terms.groupBy(F.col("term_fold").alias("term"))
                 .agg(F.max("fold_cf").alias("cf_seg"))
-                .groupBy("term").agg(F.sum("cf_seg").alias("cf"))
-            )
+                for seg in self.segments
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return u.groupBy("term").agg(F.sum("cf_seg").alias("cf"))
         return self.terms_df.groupBy("term").agg(F.sum("cf").alias("cf"))
 
     def _union(self, parts: list[DataFrame], schema: str) -> DataFrame:
@@ -653,7 +659,14 @@ def _score_kernel(idf: dict, avgdl: float, k: int, quantize: bool):
             # stop when the bound can't beat the current kth score
             q = next(iter(idf))
             mt = pdf["max_tf"].to_numpy(np.float64)
-            ml = pdf["min_dl"].to_numpy(np.float64)
+            # the bound must be computed over the SAME dl transform the scorer
+            # uses: quantize_dl rounds DOWN, so a raw min_dl bound could sit
+            # BELOW a block's true max score and wrongly prune it. quantize_dl
+            # is monotone, so quantize_dl(min_dl) is a valid per-block min.
+            ml_i = pdf["min_dl"].to_numpy(np.int64)
+            if quantize:
+                ml_i = quantize_dl(ml_i)
+            ml = ml_i.astype(np.float64)
             bound = idf[q] * (K1 + 1) * mt / (mt + K1 * (1 - B + B * ml / avgdl))
             order = np.argsort(-bound)
             best_docs, best_scores = [], []

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .query import Index
-
+from .rank import rank_head, ranked_all  # noqa: F401  (re-export)
 
 def _hit_text_col(ix: Index, hits: DataFrame, part: str, context: int, fold: bool):
     """Join token arrays and build the context string for `part`:
@@ -66,13 +66,14 @@ def sort_hits(
 
 def window_hits(hits: DataFrame, first: int, n: int) -> DataFrame:
     """Hits.window(first, n) (reference HitsAbstract.java:157); hit order is
-    the canonical (doc_id, start, end)."""
-    w = Window.orderBy("doc_id", "start", "end")
-    return (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > first) & (F.col("_rn") <= first + n))
-        .drop("_rn")
-    )
+    the canonical (doc_id, start, end). Small windows take the
+    TakeOrderedAndProject path (no full sort, no single-partition window);
+    deep pagination falls back to the range-partition rank."""
+    keys = ["doc_id", "start", "end"]
+    if first + n <= 100_000:
+        return rank_head(hits, keys, first, n)
+    r = ranked_all(hits, keys, "_rn")
+    return r.filter((F.col("_rn") > first) & (F.col("_rn") <= first + n)).drop("_rn")
 
 
 def sample_hits(hits: DataFrame, fraction: float | None = None, n: int | None = None, seed: int = 42) -> DataFrame:

@@ -66,7 +66,12 @@ def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int = 0) -> 
 
 
 def repetition(h: DataFrame, mn: int, mx: int) -> DataFrame:
-    """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths)."""
+    """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths).
+
+    Capture columns on the clause are intentionally dropped: a capture inside
+    a repetition is ambiguous (which iteration?) — the reference records
+    per-iteration match-info lists; we keep only the span. Wrap the capture
+    OUTSIDE the repetition (`A:("x"{2,3})`) to record the full span."""
     assert 1 <= mn <= mx
     reps = [h.select(*HITS_COLS)]
     for _ in range(mx - 1):
@@ -93,16 +98,19 @@ def expand(h: DataFrame, doc_lens: DataFrame, direction: str, mn: int, mx: int) 
     """Pad hits left/right by mn..mx any-tokens; one output hit per padding
     amount that stays inside [0, doc_len]."""
     assert direction in ("left", "right")
+    caps = _caps(h)
     j = h.join(doc_lens, "doc_id")
     n = F.explode(F.sequence(F.lit(mn), F.lit(mx))).alias("n")
-    j = j.select("doc_id", "start", "end", "doc_len", n)
+    j = j.select("doc_id", "start", "end", "doc_len", *caps, n)
     if direction == "left":
         out = j.select(
-            "doc_id", (F.col("start") - F.col("n")).cast("int").alias("start"), "end"
+            "doc_id", (F.col("start") - F.col("n")).cast("int").alias("start"),
+            "end", *caps,
         ).filter(F.col("start") >= 0)
     else:
         out = j.select(
-            "doc_id", "start", (F.col("end") + F.col("n")).cast("int").alias("end"), "doc_len"
+            "doc_id", "start", (F.col("end") + F.col("n")).cast("int").alias("end"),
+            "doc_len", *caps,
         ).filter(F.col("end") <= F.col("doc_len")).drop("doc_len")
     return out
 
@@ -184,12 +192,32 @@ def filter_by_length(h: DataFrame, mn: int, mx: int) -> DataFrame:
 
 
 def and_spans(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Hits equal in (doc,start,end) in both clauses (SpansAnd)."""
-    return a.select(*HITS_COLS).intersect(b.select(*HITS_COLS))
+    """Hits equal in (doc,start,end) in both clauses (SpansAnd). Capture
+    columns from BOTH sides ride through (the reference merges match info)."""
+    caps_a, caps_b = _caps(a), _caps(b)
+    if not caps_a and not caps_b:
+        return a.select(*HITS_COLS).intersect(b.select(*HITS_COLS))
+    a2 = a.dropDuplicates([*HITS_COLS, *caps_a])
+    b2 = b.dropDuplicates([*HITS_COLS, *caps_b]).select(
+        *HITS_COLS, *[c for c in caps_b if c not in caps_a]
+    )
+    return a2.join(b2, list(HITS_COLS))
 
 
 def or_spans(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.select(*HITS_COLS).unionByName(b.select(*HITS_COLS)).dropDuplicates(list(HITS_COLS))
+    """Union of clause hits. Capture columns survive (NULL-filled on the
+    branch that lacks them — e.g. the EmptyClauseAlts no-optional branch);
+    dedupe keys include captures so distinct match infos both survive."""
+    caps_a, caps_b = _caps(a), _caps(b)
+    if not caps_a and not caps_b:
+        return (
+            a.select(*HITS_COLS).unionByName(b.select(*HITS_COLS))
+            .dropDuplicates(list(HITS_COLS))
+        )
+    out = a.select(*HITS_COLS, *caps_a).unionByName(
+        b.select(*HITS_COLS, *caps_b), allowMissingColumns=True
+    )
+    return out.dropDuplicates(out.columns)
 
 
 def and_not(a: DataFrame, b: DataFrame) -> DataFrame:
