@@ -43,16 +43,21 @@ class TP:
     """TextPattern base (reference TextPattern.java:124)."""
 
 
+ANNOTS = ("word", "lemma", "pos")
+
+
 @dataclass
 class TPTerm(TP):
     term: str
     sensitive: bool = False
+    annot: str = "word"
 
 
 @dataclass
 class TPRegex(TP):
     pattern: str
     sensitive: bool = False
+    annot: str = "word"
 
 
 @dataclass
@@ -129,10 +134,11 @@ class CExpr:
 
 @dataclass
 class CRef:
-    """Capture dereference `A.word` or function `start(A)` / `end(A)`."""
+    """Capture dereference `A.word` / `A.lemma` / `A.pos` or function
+    `start(A)` / `end(A)`."""
 
     name: str
-    kind: str = "word"  # word | start | end
+    kind: str = "word"  # word | lemma | pos | start | end
 
 
 # -------------------------------------------------------------------- lexer --
@@ -254,12 +260,14 @@ class _Parser:
             self.expect(")")
             return CRef(name, v)
         if k == "NAME":
+            kind = "word"
             if self.peek()[1] == ".":
                 self.next()
                 _, annot = self.next()
-                if annot != "word":
+                if annot not in ANNOTS:
                     raise ValueError(f"BCQL constraint: unknown annotation {annot!r}")
-            return CRef(v, "word")
+                kind = annot
+            return CRef(v, kind)
         raise ValueError(f"BCQL constraint: unexpected {v!r}")
 
     # seqOr := seqAnd ('|' seqAnd)*
@@ -388,9 +396,9 @@ class _Parser:
         k, annot = self.next()
         if k != "NAME":
             raise ValueError(f"BCQL: expected annotation name, got {annot!r}")
-        if annot != "word":
+        if annot not in ANNOTS:
             raise ValueError(
-                f"BCQL: unknown annotation {annot!r} (web corpus indexes 'word')"
+                f"BCQL: unknown annotation {annot!r} (supported: {ANNOTS})"
             )
         op = self.next()[1]
         if op not in ("=", "!="):
@@ -402,6 +410,8 @@ class _Parser:
         if self.peek()[0] == "FLAGS":
             flags = self.next()[1]
         node = _quoted_to_tp(qv, flags)
+        if annot != "word":
+            node.annot = annot
         if (op == "!=") != neg:
             node = TPNotTerm(node)
         return node
@@ -420,9 +430,9 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     """TextPattern -> hits DataFrame (the reference's translate() +
     rewrite() collapsed; Catalyst handles the relational part)."""
     if isinstance(tp, TPTerm):
-        return ix.term_hits(tp.term, fold=not tp.sensitive)
+        return ix.term_hits(tp.term, fold=not tp.sensitive, annot=tp.annot)
     if isinstance(tp, TPRegex):
-        return ix.regex_hits(tp.pattern, fold=not tp.sensitive)
+        return ix.regex_hits(tp.pattern, fold=not tp.sensitive, annot=tp.annot)
     if isinstance(tp, TPAnyToken):
         return S.any_token(ix.doc_lens(), tp.mn, tp.mx)
     if isinstance(tp, TPNotTerm):
@@ -455,17 +465,31 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     if isinstance(tp, TPSequence):
         return _compile_sequence(ix, tp.parts)
     if isinstance(tp, TPConstrained):
-        from pyspark.sql import functions as F
-
+        cols = sorted(_constraint_layers(tp.constraint)) or ["tokens_fold"]
         hits = compile_pattern(ix, tp.clause)
-        j = hits.join(ix.docs.select("doc_id", "tokens_fold"), "doc_id")
-        return j.filter(_constraint_col(tp.constraint)).drop("tokens_fold")
+        j = hits.join(ix.docs.select("doc_id", *cols), "doc_id")
+        return j.filter(_constraint_col(tp.constraint)).drop(*cols)
     raise TypeError(f"unknown pattern node {tp!r}")
+
+
+_LAYER_COL = {"word": "tokens_fold", "lemma": "tokens_lemma", "pos": "tokens_pos"}
+
+
+def _constraint_layers(e) -> set[str]:
+    """Forward-index layer columns a MatchFilter tree dereferences."""
+    out: set[str] = set()
+    for side in (e.left, e.right):
+        if isinstance(side, CExpr):
+            out |= _constraint_layers(side)
+        elif isinstance(side, CRef) and side.kind in _LAYER_COL:
+            out.add(_LAYER_COL[side.kind])
+    return out
 
 
 def _constraint_col(e):
     """MatchFilter tree -> Spark Column (reference: MatchFilter*.java —
-    capture word deref = token-array indexing over the forward index)."""
+    capture annotation deref = token-array indexing over that layer's
+    forward index)."""
     from pyspark.sql import functions as F
 
     def val(v):
@@ -474,7 +498,7 @@ def _constraint_col(e):
                 return F.col(f"{v.name}_start")
             if v.kind == "end":
                 return F.col(f"{v.name}_end")
-            return F.element_at("tokens_fold", F.col(f"{v.name}_start") + 1)
+            return F.element_at(_LAYER_COL[v.kind], F.col(f"{v.name}_start") + 1)
         return F.lit(v)
 
     if e.op == "&":
@@ -489,7 +513,7 @@ def _constraint_col(e):
 
 
 def _is_pure_term(p: TP) -> bool:
-    return isinstance(p, TPTerm) and not p.sensitive
+    return isinstance(p, TPTerm) and not p.sensitive and p.annot == "word"
 
 
 def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
@@ -519,6 +543,7 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
     if (
         len(parts) >= 2
         and isinstance(parts[0], TPRegex)
+        and parts[0].annot == "word"
         and _is_pure_term(parts[1])
     ):
         nv, tdf = ix.regex_stats(parts[0].pattern, not parts[0].sensitive)
@@ -551,6 +576,7 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
             out is not None
             and pending_gap is None
             and isinstance(p, TPRegex)
+            and p.annot == "word"
             and _is_pure_term(prev_part)
         ):
             nv, tdf = ix.regex_stats(p.pattern, not p.sensitive)
@@ -600,9 +626,9 @@ _NODE_TYPES = {
 
 def to_dict(tp: TP) -> dict:
     if isinstance(tp, TPTerm):
-        return {"type": "term", "term": tp.term, "sensitive": tp.sensitive}
+        return {"type": "term", "term": tp.term, "sensitive": tp.sensitive, "annot": tp.annot}
     if isinstance(tp, TPRegex):
-        return {"type": "regex", "pattern": tp.pattern, "sensitive": tp.sensitive}
+        return {"type": "regex", "pattern": tp.pattern, "sensitive": tp.sensitive, "annot": tp.annot}
     if isinstance(tp, TPAnyToken):
         return {"type": "anytoken", "min": tp.mn, "max": tp.mx}
     if isinstance(tp, TPNotTerm):
@@ -630,9 +656,9 @@ def to_dict(tp: TP) -> dict:
 def from_dict(d: dict) -> TP:
     t = d["type"]
     if t == "term":
-        return TPTerm(d["term"], d.get("sensitive", False))
+        return TPTerm(d["term"], d.get("sensitive", False), d.get("annot", "word"))
     if t == "regex":
-        return TPRegex(d["pattern"], d.get("sensitive", False))
+        return TPRegex(d["pattern"], d.get("sensitive", False), d.get("annot", "word"))
     if t == "anytoken":
         return TPAnyToken(d["min"], d["max"])
     if t == "not":
@@ -664,8 +690,12 @@ def to_cql(tp: TP) -> str:
     """Pattern -> CQL text (round-trips through parse; mirrors
     TextPatternSerializerCql.java)."""
     if isinstance(tp, TPTerm):
+        if tp.annot != "word":
+            return f"[{tp.annot}={_q(tp.term)}" + ("%c" if tp.sensitive else "") + "]"
         return _q(tp.term) + ("%c" if tp.sensitive else "")
     if isinstance(tp, TPRegex):
+        if tp.annot != "word":
+            return f"[{tp.annot}={_q(tp.pattern)}" + ("%c" if tp.sensitive else "") + "]"
         return _q(tp.pattern) + ("%c" if tp.sensitive else "")
     if isinstance(tp, TPAnyToken):
         if tp.mn == tp.mx == 1:

@@ -54,35 +54,57 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 4  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 5  # bumped on any docs/terms/postings schema change
+
+# annotation layers (reference: one parallel layer per annotation,
+# AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
+# via the terms dict fold columns); "lemma"/"pos" are derived IN-KERNEL from
+# the word dictionary (tokenize.lemma_fold/pos_fold over folded uniques), so
+# enabling them adds NO bytes to the build shuffle.
+DEFAULT_ANNOTATIONS = ("word",)
 
 DOCS_SCHEMA = (
     "doc_id long, shard int, url string, lang string, text string, "
     "doc_len int, tokens array<string>, tokens_fold array<string>, "
+    "tokens_lemma array<string>, tokens_pos array<string>, "
     "sents array<array<int>>"
 )
 POSTINGS_SCHEMA = (
-    "shard int, term_id long, block_id int, doc_count int, first_doc long, "
+    "shard int, annot string, term_id long, block_id int, doc_count int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, tf_sum long, doc_ids binary, "
     "tfs binary, dls binary, positions binary"
 )
-# intermediate blocks, keyed by surface term STRING (the one-big-shuffle
-# output; term_id is joined on afterwards over this compact table)
+# intermediate blocks, keyed by (annot, surface term STRING) (the
+# one-big-shuffle output; term_id is joined on afterwards over this table)
 BLOCKS_SCHEMA = (
-    "shard int, term string, block_id int, doc_count int, first_doc long, "
+    "shard int, annot string, term string, block_id int, doc_count int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, tf_sum long, doc_ids binary, "
     "tfs binary, dls binary, positions binary"
 )
 
 
 # ------------------------------------------------------------ tokenization --
-def tokenized_docs(pages: DataFrame, store_text: bool = True) -> DataFrame:
+def tokenized_docs(
+    pages: DataFrame,
+    store_text: bool = True,
+    annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
+) -> DataFrame:
     """pages (+doc_id,shard) -> tokenized docs, vectorized. Runs AFTER id
     assignment so the range-partitioner's sampling pass never tokenizes.
 
     store_text=False drops the text copy (40% of docs bytes): the INPUT pages
     table is the content store (SURVEY.md §1.1 decision); doc_contents /
-    char-level concordances then need the pages table, not the index."""
+    char-level concordances then need the pages table, not the index.
+
+    annotations beyond "word" add per-token parallel layers (reference: one
+    forward index per annotation, integrated.md:139-146): tokens_lemma
+    (NULL-compressed when identical to the effective fold layer) and
+    tokens_pos. Values derive from tokenize.lemma_fold/pos_fold on the
+    DISTINCT folded tokens of the batch — per-unique, not per-token cost."""
+    from .tokenize import lemma_array, pos_array
+
+    want_lemma = "lemma" in annotations
+    want_pos = "pos" in annotations
 
     def kernel(batches):
         for pdf0 in batches:
@@ -96,34 +118,53 @@ def tokenized_docs(pages: DataFrame, store_text: bool = True) -> DataFrame:
                 # (pandas str ops are per-element Python; Zipf vocab makes
                 # uniques tiny)
                 lens = toks.map(len).to_numpy(dtype=np.int64)
+                none_col = pd.Series([None] * len(toks), index=toks.index, dtype=object)
+                lemmas, poss = none_col, none_col
                 if lens.sum():
                     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
                     codes, uniq = pd.factorize(flat)  # hash-based, C-speed
                     folded_uniq = fold_series(pd.Series(uniq, dtype=object)).to_numpy(dtype=object)
                     folded_flat = folded_uniq[codes]
                     bounds = np.cumsum(lens)[:-1]
-                    # store NULL when folding is the identity for the whole
-                    # doc (most lowercase web docs): ~30% of docs bytes;
-                    # Index.docs coalesces back to tokens
-                    same_u = folded_uniq == uniq
-                    same_flat = same_u[codes]
                     starts = np.concatenate(([0], bounds))
-                    doc_same = np.ones(len(lens), dtype=bool)
                     nz = lens > 0
-                    if nz.any():
-                        # consecutive non-empty starts bound each doc's run
-                        # exactly (empty docs contribute zero tokens)
-                        doc_same[nz] = (
-                            np.add.reduceat(same_flat.astype(np.int64), starts[nz])
-                            == lens[nz]
+
+                    def null_compressed(flat_vals, same_u):
+                        """Per-doc lists, NULL when the layer equals its base
+                        layer for the whole doc (cuts stored bytes; readers
+                        coalesce back)."""
+                        same_flat = same_u[codes]
+                        doc_same = np.ones(len(lens), dtype=bool)
+                        if nz.any():
+                            # consecutive non-empty starts bound each doc's
+                            # run (empty docs contribute zero tokens)
+                            doc_same[nz] = (
+                                np.add.reduceat(same_flat.astype(np.int64), starts[nz])
+                                == lens[nz]
+                            )
+                        parts = np.split(flat_vals, bounds)
+                        return pd.Series(
+                            [None if s else a.tolist() for s, a in zip(doc_same, parts)],
+                            index=toks.index, dtype=object,
                         )
-                    fl = np.split(folded_flat, bounds)
-                    folded = pd.Series(
-                        [None if s else a.tolist() for s, a in zip(doc_same, fl)],
-                        index=toks.index, dtype=object,
-                    )
+
+                    folded = null_compressed(folded_flat, folded_uniq == uniq)
+                    if want_lemma:
+                        lem_u = lemma_array(folded_uniq)
+                        lemmas = null_compressed(lem_u[codes], lem_u == folded_uniq)
+                    if want_pos:
+                        pos_u = pos_array(folded_uniq)
+                        pos_flat = pos_u[codes]
+                        poss = pd.Series(
+                            [a.tolist() for a in np.split(pos_flat, bounds)],
+                            index=toks.index, dtype=object,
+                        )
                 else:
                     folded = toks.map(lambda _: [])
+                    if want_lemma:
+                        lemmas = folded
+                    if want_pos:
+                        poss = folded
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
@@ -134,6 +175,8 @@ def tokenized_docs(pages: DataFrame, store_text: bool = True) -> DataFrame:
                         "doc_len": toks.map(len).astype("int32"),
                         "tokens": toks,
                         "tokens_fold": folded,
+                        "tokens_lemma": lemmas,
+                        "tokens_pos": poss,
                         "sents": sentence_spans_series(text),
                     }
                 )
@@ -187,30 +230,38 @@ def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -
 
 
 # ---------------------------------------------------------- posting encoder --
-def _encode_shard_kernel(block_size: int):
+def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS):
     """Whole-shard Arrow kernel: doc rows (shard, doc_id, doc_len, tokens) ->
-    posting block rows keyed by surface term string. Explode, term grouping
+    posting block rows keyed by (annot, term string). Explode, term grouping
     (pyarrow dictionary_encode) and the (term, doc, pos) sort (np.lexsort)
     all run C-speed inside the worker — the JVM never materializes the token
     stream, which would cost row-to-Arrow conversion per token occurrence.
 
+    Extra annotation layers (lemma/pos) are derived from the WORD dictionary
+    inside the kernel (tokenize.lemma_fold/pos_fold over folded uniques, then
+    a code remap) — the shuffle ships only the surface tokens regardless of
+    layer count; a layer costs one more per-shard sort + encode.
+
     Term-group ORDER within a shard follows dictionary first-appearance and is
-    not deterministic across shuffles; block CONTENT per (shard, term) is —
-    docs and positions are fully sorted before encoding. Every consumer keys
-    by term, never by row order.
+    not deterministic across shuffles; block CONTENT per (shard, annot, term)
+    is — docs and positions are fully sorted before encoding. Every consumer
+    keys by (annot, term), never by row order.
 
     Memory contract: one task holds one shard's exploded token codes +
-    positions (~40 B/token). n_shards is sized so a shard's token stream fits
-    an executor comfortably (module docstring); the reference's segment writer
-    holds comparable per-segment state when inverting term vectors
-    (BlackLab40PostingsWriter.java:246-330).
+    positions (~40 B/token/layer-in-flight). n_shards is sized so a shard's
+    token stream fits an executor comfortably (module docstring); the
+    reference's segment writer holds comparable per-segment state when
+    inverting term vectors (BlackLab40PostingsWriter.java:246-330).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from .tokenize import lemma_array, pos_array
+
     out_pa_schema = pa.schema(
         [
             ("shard", pa.int32()),
+            ("annot", pa.string()),
             ("term", pa.string()),
             ("block_id", pa.int32()),
             ("doc_count", pa.int32()),
@@ -258,121 +309,238 @@ def _encode_shard_kernel(block_size: int):
         n_docs_local = len(doc_arr)
         flat_all = pa.concat_arrays(vals)
         enc = pc.dictionary_encode(flat_all)
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = enc.dictionary
-        n_codes = len(vocab)
-        total = len(codes)
+        word_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        word_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        total = len(word_codes)
         owner = np.repeat(np.arange(n_docs_local, dtype=np.int64), counts)
         ends = np.cumsum(counts)
         pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-        # single combined sort key: (shard, term code, doc) -> one stable
-        # argsort; position order within a doc survives via stability (tokens
-        # were exploded in position order)
         sh_small, sh_inv = np.unique(sh_arr, return_inverse=True)
         n_sh = len(sh_small)
-        change = np.empty(total, dtype=bool)
-        change[0] = True
-        if n_sh * n_codes * n_docs_local < (1 << 62):
-            key = (sh_inv[owner] * n_codes + codes) * n_docs_local + owner
-            order = np.argsort(key, kind="stable")
-            key_s = key[order]
-            owner_s = key_s % n_docs_local
-            grp_s = key_s // n_docs_local           # shard*n_codes + code
-            # (grp, owner) pairs change exactly when the combined key changes
-            np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
-        else:  # overflow fallback (astronomically large shards)
-            order = np.lexsort((pos, owner, codes, sh_inv[owner]))
-            owner_s = owner[order]
-            grp_s = sh_inv[owner_s] * n_codes + codes[order]
-            np.logical_or(
-                grp_s[1:] != grp_s[:-1], owner_s[1:] != owner_s[:-1], out=change[1:]
-            )
-        pos_s = pos[order]
-        starts = np.flatnonzero(change)
-        tfs = np.diff(np.append(starts, total))
-        g_grp = grp_s[starts]
-        g_owner = owner_s[starts]
-        g_doc = doc_arr[g_owner]
-        g_dl = dl_arr[g_owner]
-        pos_ends = np.cumsum(tfs)
-        # (shard, term) group boundaries over doc-level runs
-        m = len(starts)
-        gchange = np.empty(m, dtype=bool)
-        gchange[0] = True
-        np.not_equal(g_grp[1:], g_grp[:-1], out=gchange[1:])
-        gstarts = np.flatnonzero(gchange)
-        gends = np.append(gstarts[1:], m)
-        # ---- vectorized bulk encode: one varint pass per column for the
-        # WHOLE shard, then per-block byte-range slicing. Per-block
-        # varint_encode calls would be ~15 tiny numpy ops x n_blocks x 4
-        # columns — overhead-dominated (measured 70% of kernel time).
-        # block boundaries (doc-run level): every gstart + every block_size
-        # docs within a group
-        gstart_rep = np.repeat(gstarts, gends - gstarts)
-        rel = np.arange(m, dtype=np.int64) - gstart_rep
-        bstart_mask = (rel % block_size) == 0
-        bstarts = np.flatnonzero(bstart_mask)
-        bends = np.append(bstarts[1:], m)
-        # doc ids: delta within block (absolute at block start)
-        d_delta = delta_encode_segmented(g_doc, None, seg_starts=bstarts)
-        d_bytes = varint_encode(d_delta)
-        d_lens = varint_lengths(d_delta)
-        d_off = np.concatenate(([0], np.cumsum(d_lens)))
-        t_bytes = varint_encode(tfs)
-        t_lens = varint_lengths(tfs)
-        t_off = np.concatenate(([0], np.cumsum(t_lens)))
-        l_bytes = varint_encode(g_dl)
-        l_lens = varint_lengths(g_dl)
-        l_off = np.concatenate(([0], np.cumsum(l_lens)))
-        # positions: delta restarts at each doc; blocks align with doc
-        # boundaries so slicing at doc boundaries is safe
-        p_delta = delta_encode_segmented(pos_s, tfs)
-        p_bytes = varint_encode(p_delta)
-        p_lens = varint_lengths(p_delta)
-        p_voff = np.concatenate(([0], np.cumsum(p_lens)))  # per token value
-        pos_starts_tok = pos_ends - tfs  # token index of each doc-run start
-        # per-block stats (reduceat over doc-run arrays)
-        doc_count = (bends - bstarts).astype(np.int64)
-        first_doc = g_doc[bstarts]
-        last_doc = g_doc[bends - 1]
-        max_tf = np.maximum.reduceat(tfs, bstarts)
-        min_dl = np.minimum.reduceat(g_dl, bstarts)
-        tf_sum = np.add.reduceat(tfs, bstarts)
-        blk_grp = g_grp[bstarts]
-        blk_shard = sh_small[blk_grp // n_codes]
-        blk_code = blk_grp % n_codes
-        block_id = (rel[bstarts] // block_size).astype(np.int64)
-        terms_py = vocab.to_pylist()
-        nb = len(bstarts)
-        out: list[tuple] = []
-        for i in range(nb):
-            a, b_ = int(bstarts[i]), int(bends[i])
-            pb0 = int(p_voff[pos_starts_tok[a]])
-            pb1 = int(p_voff[pos_ends[b_ - 1]])
-            out.append(
-                (
-                    int(blk_shard[i]),
-                    terms_py[int(blk_code[i])],
-                    int(block_id[i]),
-                    int(doc_count[i]),
-                    int(first_doc[i]),
-                    int(last_doc[i]),
-                    int(max_tf[i]),
-                    int(min_dl[i]),
-                    int(tf_sum[i]),
-                    d_bytes[int(d_off[a]) : int(d_off[b_])],
-                    t_bytes[int(t_off[a]) : int(t_off[b_])],
-                    l_bytes[int(l_off[a]) : int(l_off[b_])],
-                    p_bytes[pb0:pb1],
+
+        # derived layers share the word explosion: map the word dictionary
+        # through the pinned derivation, re-factorize the derived uniques,
+        # remap codes — per-unique cost, never per-token
+        _fv = [None]
+
+        def get_folded_vocab():
+            if _fv[0] is None:
+                _fv[0] = fold_series(
+                    pd.Series(word_vocab, dtype=object)
+                ).to_numpy(dtype=object)
+            return _fv[0]
+
+        def layer_codes(annot):
+            if annot == "word":
+                return word_codes, word_vocab
+            fv = get_folded_vocab()
+            derived = lemma_array(fv) if annot == "lemma" else pos_array(fv)
+            uniq, inv = np.unique(derived, return_inverse=True)
+            return inv.astype(np.int64)[word_codes], uniq.astype(object)
+
+        def encode_layer(annot, codes, vocab):
+            n_codes = len(vocab)
+            # single combined sort key: (shard, term code, doc) -> one stable
+            # argsort; position order within a doc survives via stability
+            # (tokens were exploded in position order)
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            if n_sh * n_codes * n_docs_local < (1 << 62):
+                key = (sh_inv[owner] * n_codes + codes) * n_docs_local + owner
+                # int32 keys when the range allows: numpy's stable argsort on
+                # ints is a radix sort, so halving key width halves the
+                # dominant memory traffic of the kernel — 32 concurrent
+                # kernel tasks are bandwidth-bound, not CPU-bound
+                if n_sh * n_codes * n_docs_local < (1 << 31):
+                    key = key.astype(np.int32)
+                order = np.argsort(key, kind="stable")
+                key_s = key[order].astype(np.int64)
+                owner_s = key_s % n_docs_local
+                grp_s = key_s // n_docs_local           # shard*n_codes + code
+                # (grp, owner) pairs change exactly when the key changes
+                np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+            else:  # overflow fallback (astronomically large shards)
+                order = np.lexsort((pos, owner, codes, sh_inv[owner]))
+                owner_s = owner[order]
+                grp_s = sh_inv[owner_s] * n_codes + codes[order]
+                np.logical_or(
+                    grp_s[1:] != grp_s[:-1], owner_s[1:] != owner_s[:-1], out=change[1:]
                 )
-            )
-            if len(out) >= 16384:
+            pos_s = pos[order]
+            starts = np.flatnonzero(change)
+            tfs = np.diff(np.append(starts, total))
+            g_grp = grp_s[starts]
+            g_owner = owner_s[starts]
+            g_doc = doc_arr[g_owner]
+            g_dl = dl_arr[g_owner]
+            pos_ends = np.cumsum(tfs)
+            # (shard, term) group boundaries over doc-level runs
+            m = len(starts)
+            gchange = np.empty(m, dtype=bool)
+            gchange[0] = True
+            np.not_equal(g_grp[1:], g_grp[:-1], out=gchange[1:])
+            gstarts = np.flatnonzero(gchange)
+            gends = np.append(gstarts[1:], m)
+            # ---- vectorized bulk encode: one varint pass per column for the
+            # WHOLE shard, then per-block byte-range slicing. Per-block
+            # varint_encode calls would be ~15 tiny numpy ops x n_blocks x 4
+            # columns — overhead-dominated (measured 70% of kernel time).
+            # block boundaries (doc-run level): every gstart + every
+            # block_size docs within a group
+            # fold-df correction markers (word layer): a doc holding >1
+            # surface variant of a fold (Café/café) is overcounted when
+            # variant dfs are summed; emit the exact per-(shard, fold)
+            # overcount as block_id = -1 rows so the terms stage never
+            # re-scans the forward index. Docs live in exactly one shard, so
+            # per-shard corrections add up exactly across shards/segments.
+            if annot == "word":
+                fv = get_folded_vocab()
+                f_uniq, f_inv = np.unique(fv, return_inverse=True)
+                vc = np.bincount(f_inv, minlength=len(f_uniq))
+                markers: list[tuple] = []
+                ggs = g_grp[gstarts]
+                for f_id in np.flatnonzero(vc > 1):
+                    member_codes = np.flatnonzero(f_inv == f_id)
+                    for si in range(n_sh):
+                        parts, runs = [], 0
+                        for c in member_codes:
+                            gk = si * n_codes + int(c)
+                            gi = int(np.searchsorted(ggs, gk))
+                            if gi < len(ggs) and ggs[gi] == gk:
+                                a0, b0 = int(gstarts[gi]), int(gends[gi])
+                                parts.append(g_doc[a0:b0])
+                                runs += b0 - a0
+                        if len(parts) >= 2:
+                            overcount = runs - len(np.unique(np.concatenate(parts)))
+                            if overcount > 0:
+                                markers.append(
+                                    (int(sh_small[si]), "word", str(f_uniq[f_id]),
+                                     -1, int(overcount), 0, 0, 0, 0, 0,
+                                     b"", b"", b"", b"")
+                                )
+                if markers:
+                    yield emit(markers)
+            gstart_rep = np.repeat(gstarts, gends - gstarts)
+            rel = np.arange(m, dtype=np.int64) - gstart_rep
+            bstart_mask = (rel % block_size) == 0
+            bstarts = np.flatnonzero(bstart_mask)
+            bends = np.append(bstarts[1:], m)
+            # doc ids: delta within block (absolute at block start)
+            d_delta = delta_encode_segmented(g_doc, None, seg_starts=bstarts)
+            d_bytes = varint_encode(d_delta)
+            d_lens = varint_lengths(d_delta)
+            d_off = np.concatenate(([0], np.cumsum(d_lens)))
+            t_bytes = varint_encode(tfs)
+            t_lens = varint_lengths(tfs)
+            t_off = np.concatenate(([0], np.cumsum(t_lens)))
+            l_bytes = varint_encode(g_dl)
+            l_lens = varint_lengths(g_dl)
+            l_off = np.concatenate(([0], np.cumsum(l_lens)))
+            # positions: delta restarts at each doc; blocks align with doc
+            # boundaries so slicing at doc boundaries is safe
+            p_delta = delta_encode_segmented(pos_s, tfs)
+            p_bytes = varint_encode(p_delta)
+            p_lens = varint_lengths(p_delta)
+            p_voff = np.concatenate(([0], np.cumsum(p_lens)))  # per token value
+            pos_starts_tok = pos_ends - tfs  # token index of each doc-run start
+            # per-block stats (reduceat over doc-run arrays)
+            doc_count = (bends - bstarts).astype(np.int64)
+            first_doc = g_doc[bstarts]
+            last_doc = g_doc[bends - 1]
+            max_tf = np.maximum.reduceat(tfs, bstarts)
+            min_dl = np.minimum.reduceat(g_dl, bstarts)
+            tf_sum = np.add.reduceat(tfs, bstarts)
+            blk_grp = g_grp[bstarts]
+            blk_shard = sh_small[blk_grp // n_codes]
+            blk_code = blk_grp % n_codes
+            block_id = (rel[bstarts] // block_size).astype(np.int64)
+            terms_py = vocab.tolist()
+            nb = len(bstarts)
+            out: list[tuple] = []
+            for i in range(nb):
+                a, b_ = int(bstarts[i]), int(bends[i])
+                pb0 = int(p_voff[pos_starts_tok[a]])
+                pb1 = int(p_voff[pos_ends[b_ - 1]])
+                out.append(
+                    (
+                        int(blk_shard[i]),
+                        annot,
+                        terms_py[int(blk_code[i])],
+                        int(block_id[i]),
+                        int(doc_count[i]),
+                        int(first_doc[i]),
+                        int(last_doc[i]),
+                        int(max_tf[i]),
+                        int(min_dl[i]),
+                        int(tf_sum[i]),
+                        d_bytes[int(d_off[a]) : int(d_off[b_])],
+                        t_bytes[int(t_off[a]) : int(t_off[b_])],
+                        l_bytes[int(l_off[a]) : int(l_off[b_])],
+                        p_bytes[pb0:pb1],
+                    )
+                )
+                if len(out) >= 16384:
+                    yield emit(out)
+                    out = []
+            if out:
                 yield emit(out)
-                out = []
-        if out:
-            yield emit(out)
+
+        for annot in annotations:
+            codes, vocab = layer_codes(annot)
+            yield from encode_layer(annot, codes, vocab)
 
     return kernel
+
+
+# ------------------------------------------------------- dict finish kernel --
+def _dict_kernel(stats: pd.DataFrame, corr: pd.DataFrame) -> pd.DataFrame:
+    """Single-task dictionary finish (small-dict path): term_fold, dense
+    term_id (rank over (annot, term)), fold stats with marker corrections,
+    and both collator sort orders — the reference's per-segment
+    single-threaded terms sort (TermsIntegrated.java:23-27) in one kernel."""
+    from .tokenize import fold_series
+
+    stats = stats.drop(columns=[c for c in ("_g",) if c in stats.columns])
+    corr = corr.drop(columns=[c for c in ("_g",) if c in corr.columns])
+    cols = [
+        "annot", "term", "df", "cf", "term_fold", "fold_cf", "fold_df",
+        "term_id", "sort_pos_s", "sort_pos_i",
+    ]
+    if len(stats) == 0:
+        return pd.DataFrame(columns=cols)
+    annot = stats["annot"].to_numpy(dtype=object)
+    term = stats["term"].to_numpy(dtype=object)
+    tf = term.copy()
+    w = annot == "word"
+    if w.any():
+        tf[w] = fold_series(pd.Series(tf[w], dtype=object)).to_numpy(dtype=object)
+    df = stats["df"].to_numpy(np.int64)
+    cf = stats["cf"].to_numpy(np.int64)
+    order = np.lexsort((term, annot))
+    term_id = np.empty(len(order), np.int64)
+    term_id[order] = np.arange(len(order))
+    # ":" separator is unambiguous: annot names are a fixed set without ":".
+    # (NB: pandas elementwise str concat silently DROPS "\0" chars.)
+    fold_key = pd.Series([a + ":" + t for a, t in zip(annot, tf)], dtype=object)
+    g = pd.DataFrame({"k": fold_key, "df": df, "cf": cf}).groupby("k", sort=False)
+    fold_cf = g["cf"].transform("sum").to_numpy(np.int64)
+    df_sum = g["df"].transform("sum").to_numpy(np.int64)
+    over = {
+        a + ":" + t: int(o)
+        for a, t, o in corr[["annot", "term_fold", "overcount"]].itertuples(index=False)
+    }
+    over_arr = fold_key.map(over).fillna(0).to_numpy(np.int64)
+    fold_df = df_sum - over_arr
+    order_i = np.lexsort((term, tf, annot))
+    sort_pos_i = np.empty(len(order_i), np.int64)
+    sort_pos_i[order_i] = np.arange(len(order_i))
+    return pd.DataFrame(
+        {
+            "annot": annot, "term": term, "df": df, "cf": cf, "term_fold": tf,
+            "fold_cf": fold_cf, "fold_df": fold_df, "term_id": term_id,
+            "sort_pos_s": term_id, "sort_pos_i": sort_pos_i,
+        }
+    )
 
 
 # ------------------------------------------------------------------- build --
@@ -387,6 +555,7 @@ def build_index(
     id_parts: int | None = None,
     resume: bool = False,
     store_text: bool = True,
+    annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
 
@@ -411,11 +580,14 @@ def build_index(
     # "resumable from checkpoint": each stage write is the checkpoint, the
     # manifest carries per-shard lineage, and parquet commit protocol makes
     # the _SUCCESS marker atomic-enough for a restarted driver.
+    annotations = tuple(annotations)
+    assert annotations[0] == "word" and set(annotations) <= {"word", "lemma", "pos"}
     params = {
         "n_shards": n_shards,
         "block_size": block_size,
         "store_text": store_text,
         "base_doc_id": base_doc_id,
+        "annotations": list(annotations),
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
     }
@@ -463,7 +635,7 @@ def build_index(
         if n_docs <= 50_000_000:
             ids = F.broadcast(ids)
         pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
-        docs0 = tokenized_docs(pages0, store_text=store_text)
+        docs0 = tokenized_docs(pages0, store_text=store_text, annotations=annotations)
         docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
         cache0.unpersist()
         # read-back = lineage cut: later stages see one stable snapshot
@@ -492,7 +664,9 @@ def build_index(
         rows = docs.select("shard", "doc_id", "doc_len", "tokens").repartitionByRange(
             n_shards, "shard"
         )
-        blocks = rows.mapInArrow(_encode_shard_kernel(block_size), schema=BLOCKS_SCHEMA)
+        blocks = rows.mapInArrow(
+            _encode_shard_kernel(block_size, annotations), schema=BLOCKS_SCHEMA
+        )
         # lineage cut + resume checkpoint: blocks feed 3 consumers (dict,
         # remap, manifest) — recomputing the shuffle per consumer would
         # triple the cost
@@ -500,103 +674,99 @@ def build_index(
         blocksr = spark_.read.parquet(f"{seg_dir}/blocks")
     tick("blocks")
 
+    TERMS_SCHEMA = (
+        "annot string, term string, df long, cf long, term_fold string, "
+        "fold_cf long, fold_df long, term_id long, sort_pos_s long, sort_pos_i long"
+    )
     if _done("terms"):
         terms = spark_.read.parquet(f"{seg_dir}/terms")
         n_terms = terms.count()
         tick("terms")
     else:
         # ---- terms dictionary from block stats ----
-        surf = blocksr.groupBy("term").agg(
+        # real posting rows only; block_id = -1 rows are fold-df correction
+        # markers emitted by the kernel (term = fold string, doc_count =
+        # overcount of docs holding >1 surface variant of the fold)
+        stats = blocksr.filter(F.col("block_id") >= 0).groupBy("annot", "term").agg(
             F.sum("doc_count").alias("df"), F.sum("tf_sum").alias("cf")
         )
-
-        # term_fold per surface term (deterministic re-fold of the distinct terms)
-        def refold(batches):
-            for pdf in batches:
-                yield pdf.assign(term_fold=fold_series(pdf["term"]))
-
-        surf = surf.mapInPandas(refold, schema="term string, df long, cf long, term_fold string")
-        # rank passes over the SMALL dict: capping partitions avoids per-task
-        # overhead dominating when n_shards is large
-        terms0, n_terms, cache1 = assign_dense_ids(surf, "term", "term_id", max(4, min(n_shards, 32)))
-        tick("term_ids")
-        # fold stats: fold_cf is additive over variants; fold_df (distinct docs
-        # over ALL variants) equals df for single-variant folds — only folds with
-        # >1 surface variants (rare: case/accent collisions) need a targeted
-        # distinct-doc recount over the forward index.
-        w_fold = terms0.groupBy("term_fold").agg(
-            F.sum("cf").alias("fold_cf"),
-            F.sum("df").alias("df_sum"),
-            F.count("*").alias("n_variants"),
-            F.collect_list("term").alias("variants"),
+        corr = (
+            blocksr.filter(F.col("block_id") < 0)
+            .groupBy("annot", F.col("term").alias("term_fold"))
+            .agg(F.sum("doc_count").alias("overcount"))
         )
-        multi = w_fold.filter(F.col("n_variants") > 1).select("term_fold", "variants")
-        multi_pdf = multi.toPandas()
-        if len(multi_pdf):
-            var2fold = {}
-            for r in multi_pdf.itertuples(index=False):
-                for v in r.variants:
-                    var2fold[v] = r.term_fold
-            bvf = spark_.sparkContext.broadcast(var2fold)
-
-            def scan_multi(batches):
-                for pdf in batches:
-                    m = bvf.value
-                    probe = np.array(list(m.keys()), dtype=object)
-                    lens = pdf["tokens"].map(len).to_numpy(np.int64)
-                    if lens.sum() == 0:
-                        yield pd.DataFrame({"doc_id": [], "term_fold": []})
-                        continue
-                    flat = np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
-                    owner = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
-                    mask = np.isin(flat, probe)
-                    hit_d, hit_t = owner[mask], flat[mask]
-                    folds = np.array([m[t] for t in hit_t], dtype=object)
-                    out = pd.DataFrame({"doc_id": hit_d, "term_fold": folds}).drop_duplicates()
-                    yield out
-
-            multi_df = (
-                docs.select("doc_id", "tokens")
-                .mapInPandas(scan_multi, schema="doc_id long, term_fold string")
-                .groupBy("term_fold")
-                .agg(F.countDistinct("doc_id").alias("fold_df_exact"))
+        if n_docs <= 20_000_000:
+            # SMALL-DICT PATH (the common case; vocab grows ~ sqrt(tokens)):
+            # finish the whole dictionary in ONE single-task job — exactly the
+            # reference's per-segment single-threaded terms sort
+            # (TermsIntegrated.java:23-27) — instead of two distributed rank
+            # passes (repartition + persist + count-collect each). Measured:
+            # cuts ~7s of flat driver/job overhead per build.
+            terms_fin = (
+                stats.groupby(F.lit(1).alias("_g"))
+                .cogroup(corr.groupby(F.lit(1).alias("_g")))
+                .applyInPandas(_dict_kernel, TERMS_SCHEMA)
             )
-            folds = w_fold.join(multi_df, "term_fold", "left").select(
-                "term_fold", "fold_cf",
-                F.coalesce("fold_df_exact", "df_sum").alias("fold_df"),
-            )
+            terms_fin.write.mode("overwrite").parquet(f"{seg_dir}/terms")
+            terms = spark_.read.parquet(f"{seg_dir}/terms")
+            n_terms = terms.count()
+            tick("terms")
         else:
-            folds = w_fold.select(
-                "term_fold", "fold_cf", F.col("df_sum").alias("fold_df")
+            # LARGE-DICT PATH: distributed ranks (any dict size)
+            def refold(batches):
+                for pdf in batches:
+                    tf = pdf["term"].copy()
+                    w = pdf["annot"] == "word"
+                    tf[w] = fold_series(pdf.loc[w, "term"])
+                    yield pdf.assign(term_fold=tf)
+
+            surf = stats.mapInPandas(
+                refold, schema="annot string, term string, df long, cf long, term_fold string"
+            ).withColumn("_tk", F.concat_ws(chr(0), "annot", "term"))
+            terms0, n_terms, cache1 = assign_dense_ids(
+                surf, "_tk", "term_id", max(4, min(n_shards, 32))
             )
-        terms0 = terms0.join(folds, "term_fold", "left")
-        # sensitive sort position == term_id (ids are rank over sorted surface term)
-        terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
-        # insensitive sort position: rank over (term_fold, term) — the collator
-        # sort order for the folded layer (reference: integrated.md:148-153).
-        fold_rank, _, cache2 = assign_dense_ids(
-            terms0.select("term_id", F.concat_ws(chr(0), "term_fold", "term").alias("_k")),
-            "_k", "sort_pos_i", max(4, min(n_shards, 32)),
-        )
-        fold_rank = fold_rank.select("term_id", "sort_pos_i")
-        tick("fold_rank")
-        (
-            terms0.join(fold_rank, "term_id")
-            .coalesce(max(1, n_shards // 4))
-            .write.mode("overwrite").parquet(f"{seg_dir}/terms")
-        )
-        cache1.unpersist()
-        cache2.unpersist()
-        terms = spark_.read.parquet(f"{seg_dir}/terms")
-        tick("terms")
+            terms0 = terms0.drop("_tk")
+            tick("term_ids")
+            w_fold = terms0.groupBy("annot", "term_fold").agg(
+                F.sum("cf").alias("fold_cf"), F.sum("df").alias("df_sum")
+            )
+            folds = w_fold.join(corr, ["annot", "term_fold"], "left").select(
+                "annot", "term_fold", "fold_cf",
+                (F.col("df_sum") - F.coalesce("overcount", F.lit(0))).alias("fold_df"),
+            )
+            terms0 = terms0.join(folds, ["annot", "term_fold"], "left")
+            terms0 = terms0.withColumn("sort_pos_s", F.col("term_id"))
+            # insensitive sort position: rank over (annot, fold, term) — the
+            # collator sort order (reference: integrated.md:148-153)
+            fold_rank, _, cache2 = assign_dense_ids(
+                terms0.select(
+                    "term_id",
+                    F.concat_ws(chr(0), "annot", "term_fold", "term").alias("_k"),
+                ),
+                "_k", "sort_pos_i", max(4, min(n_shards, 32)),
+            )
+            fold_rank = fold_rank.select("term_id", "sort_pos_i")
+            tick("fold_rank")
+            (
+                terms0.join(fold_rank, "term_id")
+                .coalesce(max(1, n_shards // 4))
+                .write.mode("overwrite").parquet(f"{seg_dir}/terms")
+            )
+            cache1.unpersist()
+            cache2.unpersist()
+            terms = spark_.read.parquet(f"{seg_dir}/terms")
+            tick("terms")
 
     # ---- postings: remap term string -> term_id on the COMPACT blocks table
     if not _done("postings"):
-        dict_df = terms.select("term", "term_id")
+        dict_df = terms.select("annot", "term", "term_id")
         if n_terms <= 2_000_000:
             dict_df = F.broadcast(dict_df)
-        postings = blocksr.join(dict_df, "term").select(
-            "shard", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
+        postings = blocksr.filter(F.col("block_id") >= 0).join(
+            dict_df, ["annot", "term"]
+        ).select(
+            "shard", "annot", "term_id", "block_id", "doc_count", "first_doc", "last_doc",
             "max_tf", "min_dl", "tf_sum", "doc_ids", "tfs", "dls", "positions",
         )
         # term-clustered layout (the analog of Lucene's term-sorted postings
@@ -633,6 +803,7 @@ def build_index(
         "stage_s": stage_s,
         "format_version": FORMAT_VERSION,
         "segment": segment,
+        "annotations": list(annotations),
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
         "n_terms": int(n_terms),
@@ -702,6 +873,8 @@ def compact(
     reg_path = os.path.join(out_dir, "segments.json")
     with open(reg_path) as f:
         segs = json.load(f)["segments"]
+    with open(f"{out_dir}/segments/{segs[0]}/build_params.json") as f:
+        seg_annots = tuple(json.load(f).get("annotations", ["word"]))
     if pages is None:
         for seg in segs:
             pp = f"{out_dir}/segments/{seg}/build_params.json"
@@ -728,7 +901,7 @@ def compact(
         )
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,
-        segment="compacted",
+        segment="compacted", annotations=seg_annots,
     )
     with open(reg_path, "w") as f:
         json.dump({"segments": ["compacted"]}, f, indent=2)

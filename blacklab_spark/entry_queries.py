@@ -62,6 +62,20 @@ sh AS (
 )"""
 
 
+
+SQL_LEMMA = """CASE
+  WHEN length(tok)>3 AND tok LIKE '%s' AND tok NOT LIKE '%ss' THEN substr(tok,1,length(tok)-1)
+  WHEN length(tok)>5 AND tok LIKE '%ing' THEN substr(tok,1,length(tok)-3)
+  WHEN length(tok)>4 AND tok LIKE '%er' THEN substr(tok,1,length(tok)-2)
+  ELSE tok END"""
+
+SQL_POS = """CASE
+  WHEN tok IN ('a','the','of','and','to','in','is') THEN 'stop'
+  WHEN regexp_matches(tok, '^[0-9]+$') THEN 'num'
+  WHEN length(tok)>5 AND tok LIKE '%ing' THEN 'vb'
+  ELSE 'nn' END"""
+
+
 def _sql_topk(terms: list[str], k: int, where: str | None = None) -> str:
     vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     flt = f"AND doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
@@ -146,7 +160,11 @@ def get_index(spark: SparkSession, sf_dir: str):
             m = json.load(f)
         from .build import FORMAT_VERSION
 
-        ok = m.get("n_docs") == n and m.get("format_version") == FORMAT_VERSION
+        ok = (
+            m.get("n_docs") == n
+            and m.get("format_version") == FORMAT_VERSION
+            and m.get("annotations") == ["word", "lemma", "pos"]
+        )
     if not ok:
         pages = docs.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
@@ -156,7 +174,7 @@ def get_index(spark: SparkSession, sf_dir: str):
             # engine metadata-filter field carries the documents `source`
             F.col("source").alias("lang"),
         )
-        build_index(spark, pages, out, n_shards=8)
+        build_index(spark, pages, out, n_shards=8, annotations=("word", "lemma", "pos"))
     ix = Index(spark, out)
     _IX_CACHE[key] = ix
     return ix
@@ -241,6 +259,11 @@ def build_queries() -> dict:
 
     q["ix_capture"] = ix_capture
     q["ix_fuzzy"] = lambda s, d: _ix_hits(get_index(s, d).fuzzy_hits("tble", 1))
+    # annotation layers (reference: [lemma=...] / [pos=... & word=...] fixture
+    # queries, TestSearches.java:80, test/test/hits.js:53,65-66)
+    q["ix_lemma_hits"] = lambda s, d: _bcql(s, d, '[lemma="filt"]')
+    q["ix_pos_seq"] = lambda s, d: _bcql(s, d, '[pos="stop"] [word="table"]')
+    q["ix_annot_and"] = lambda s, d: _bcql(s, d, '[pos="stop" & word!="the"]')
     q["ix_constraint"] = lambda s, d: _bcql(s, d, '"table" A:[] :: A.word = "scan"')
 
     def ix_termfreq(s, d):
@@ -716,6 +739,22 @@ WHERE a.tok = 'table' AND b.tok = 'scan'
 WITH {SQL_TOKS}
 SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
 WHERE levenshtein(tok, 'tble') <= 1
+"""
+    o["ix_lemma_hits"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks WHERE ({SQL_LEMMA}) = 'filt'
+"""
+    o["ix_pos_seq"] = f"""
+WITH {SQL_TOKS},
+pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
+SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
+FROM pt a JOIN pt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.p = 'stop' AND b.tok = 'table'
+"""
+    o["ix_annot_and"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
+WHERE ({SQL_POS}) = 'stop' AND tok <> 'the'
 """
     o["ix_termfreq"] = f"""
 WITH {SQL_TOKS}

@@ -77,18 +77,30 @@ class Index:
             )
         # global corpus stats: doc sets of segments are disjoint, so stats add
         self.n_docs = sum(s.meta["n_docs"] for s in self.segments)
+        self.annotations = tuple(self.segments[0].meta.get("annotations", ["word"]))
         self.sum_dl = sum(s.meta["sum_dl"] for s in self.segments)
         self.avgdl = self.sum_dl / max(1, self.n_docs)
 
     # ------------------------------------------------------------- helpers --
+    def _check_annot(self, annot: str) -> None:
+        if annot not in self.annotations:
+            raise ValueError(
+                f"annotation {annot!r} is not indexed (index has "
+                f"{list(self.annotations)}; build with annotations=(...))"
+            )
+
     @property
     def docs(self) -> DataFrame:
         d = self.segments[0].docs
         for s in self.segments[1:]:
             d = d.unionByName(s.docs)
         # the build stores tokens_fold = NULL when identical to tokens
-        # (most docs in lowercase web text) — reconstitute transparently
-        return d.withColumn("tokens_fold", F.coalesce("tokens_fold", "tokens"))
+        # (most docs in lowercase web text), and tokens_lemma = NULL when
+        # identical to the effective fold — reconstitute transparently
+        d = d.withColumn("tokens_fold", F.coalesce("tokens_fold", "tokens"))
+        if "lemma" in self.annotations:
+            d = d.withColumn("tokens_lemma", F.coalesce("tokens_lemma", "tokens_fold"))
+        return d
 
     @property
     def terms_df(self) -> DataFrame:
@@ -97,11 +109,16 @@ class Index:
             t = t.unionByName(s.terms)
         return t
 
-    def resolve(self, terms: list[str], fold: bool = True) -> list[pd.DataFrame]:
+    def resolve(
+        self, terms: list[str], fold: bool = True, annot: str = "word"
+    ) -> list[pd.DataFrame]:
         """Per segment: (term_id, qidx, df) for each query term, qidx in
         sorted folded order (fixes the float association order vs the oracle).
         Returns list aligned with self.segments; also attaches .attrs['df']
-        mapping qidx -> global df."""
+        mapping qidx -> global df. annot selects the annotation layer
+        (reference: annotation select, cql.jj:625-637); derived layers store
+        term_fold == term, so the fold flag is a no-op there."""
+        self._check_annot(annot)
         if fold:
             qs = sorted({fold_token(t) for t in terms})
             col = "term_fold"
@@ -112,7 +129,7 @@ class Index:
         out, gdf = [], {}
         for seg in self.segments:
             rows = (
-                seg.terms.filter(F.col(col).isin(qs))
+                seg.terms.filter((F.col("annot") == annot) & F.col(col).isin(qs))
                 .select("term_id", col, "df", "fold_df")
                 .toPandas()
             )
@@ -128,15 +145,18 @@ class Index:
             r.attrs["n_q"] = len(qs)
         return out
 
-    def _resolve_regex(self, pattern: str, fold: bool = True) -> list[pd.DataFrame]:
+    def _resolve_regex(
+        self, pattern: str, fold: bool = True, annot: str = "word"
+    ) -> list[pd.DataFrame]:
         """Anchored regex -> matching term_ids per segment (reference anchors
         bare regexes: query-parser/.../CorpusQueryLanguageParser.java:88-98)."""
+        self._check_annot(annot)
         col = "term_fold" if fold else "term"
         anchored = f"^(?:{pattern})$"
         out = []
         for seg in self.segments:
             rows = (
-                seg.terms.filter(F.col(col).rlike(anchored))
+                seg.terms.filter((F.col("annot") == annot) & F.col(col).rlike(anchored))
                 .select("term_id", col, "df", "fold_df")
                 .toPandas()
             )
@@ -156,10 +176,10 @@ class Index:
         return p.join(F.broadcast(qmap), "term_id")
 
     # ----------------------------------------------------------- span ops ---
-    def term_hits(self, term: str, fold: bool = True) -> DataFrame:
-        return self.or_hits([term], fold=fold)
+    def term_hits(self, term: str, fold: bool = True, annot: str = "word") -> DataFrame:
+        return self.or_hits([term], fold=fold, annot=annot)
 
-    def or_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
+    def or_hits(self, terms: list[str], fold: bool = True, annot: str = "word") -> DataFrame:
         """Union of single-term position hits (reference: BLSpanOrQuery).
 
         No dedupe: distinct surface terms cannot share a (doc, pos) — one
@@ -167,21 +187,21 @@ class Index:
         SpanGuarantees move (SpanGuarantees.java:22-67): provable uniqueness
         skips a real shuffle."""
         parts = []
-        for seg, tids in zip(self.segments, self.resolve(terms, fold)):
+        for seg, tids in zip(self.segments, self.resolve(terms, fold, annot)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
         return self._union(parts, HITS_SCHEMA)
 
-    def regex_hits(self, pattern: str, fold: bool = True) -> DataFrame:
+    def regex_hits(self, pattern: str, fold: bool = True, annot: str = "word") -> DataFrame:
         """Regex over the dict -> postings union (unique by the same argument
         as or_hits: matching term_ids are distinct)."""
         parts = []
-        for seg, tids in zip(self.segments, self._resolve_regex(pattern, fold)):
+        for seg, tids in zip(self.segments, self._resolve_regex(pattern, fold, annot)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
         return self._union(parts, HITS_SCHEMA)
 
-    def term_df(self, term: str, fold: bool = True) -> int:
+    def term_df(self, term: str, fold: bool = True, annot: str = "word") -> int:
         """Global document frequency from the terms dict (cost model input —
         the analog of the reference's reverseMatchingCost term stats,
         BLSpanQuery.java:289-303)."""
@@ -190,7 +210,10 @@ class Index:
         dfc = "fold_df" if fold else "df"
         total = 0
         for seg in self.segments:
-            r = seg.terms.filter(F.col(col) == q).agg(F.max(dfc)).collect()[0][0]
+            r = (
+                seg.terms.filter((F.col("annot") == annot) & (F.col(col) == q))
+                .agg(F.max(dfc)).collect()[0][0]
+            )
             total += int(r or 0)
         return total
 
@@ -202,7 +225,7 @@ class Index:
         nv, tdf = 0, 0
         for seg in self.segments:
             r = (
-                seg.terms.filter(F.col(col).rlike(anchored))
+                seg.terms.filter((F.col("annot") == "word") & F.col(col).rlike(anchored))
                 .agg(F.count("*"), F.sum("df")).collect()[0]
             )
             nv += int(r[0] or 0)
@@ -218,7 +241,10 @@ class Index:
         parts = []
         for seg in self.segments:
             rows = (
-                seg.terms.filter(F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
+                seg.terms.filter(
+                    (F.col("annot") == "word")
+                    & (F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
+                )
                 .select("term_id", col).toPandas()
             )
             if len(rows):
@@ -236,7 +262,7 @@ class Index:
         for seg in self.segments:
             col = "term_fold" if fold else "term"
             rows = (
-                seg.terms.filter(F.col(col).isin(list(set(qs))))
+                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin(list(set(qs))))
                 .select("term_id", col).toPandas()
             )
             # qidx = position in the phrase (terms may repeat)
@@ -263,7 +289,10 @@ class Index:
             col = "term_fold" if fold else "term"
             qa = fold_token(a) if fold else a
             qb = fold_token(b) if fold else b
-            rows = seg.terms.filter(F.col(col).isin([qa, qb])).select("term_id", col).toPandas()
+            rows = (
+                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin([qa, qb]))
+                .select("term_id", col).toPandas()
+            )
             ta = rows[rows[col] == qa][["term_id"]].assign(qidx=0)
             tb = rows[rows[col] == qb][["term_id"]].assign(qidx=1)
             if len(ta) == 0 or len(tb) == 0:
@@ -299,7 +328,10 @@ class Index:
         qn = fold_token(no) if fold else no
         parts = []
         for seg in self.segments:
-            rows = seg.terms.filter(F.col(col).isin([qy, qn])).select("term_id", col).toPandas()
+            rows = (
+                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin([qy, qn]))
+                .select("term_id", col).toPandas()
+            )
             ty = rows[rows[col] == qy][["term_id"]].assign(qidx=0)
             tn = rows[rows[col] == qn][["term_id"]].assign(qidx=1)
             if len(ty) == 0:
@@ -319,7 +351,7 @@ class Index:
         total = 0
         for seg in self.segments:
             r = (
-                seg.terms.filter(F.col(col) == q)
+                seg.terms.filter((F.col("annot") == "word") & (F.col(col) == q))
                 .agg(F.sum("cf").alias("cf")).collect()[0]["cf"]
             )
             total += int(r or 0)
@@ -452,7 +484,7 @@ class Index:
             .agg(F.count("*").alias("n"))
         )
 
-    def term_freqs(self, fold: bool = True) -> DataFrame:
+    def term_freqs(self, fold: bool = True, annot: str = "word") -> DataFrame:
         if fold:
             # fold_cf is replicated across a fold's variant rows WITHIN a
             # segment (max collapses the copies), but segment doc sets are
@@ -460,7 +492,8 @@ class Index:
             # a single max over the unioned rows would return the largest
             # segment's count instead of the total.
             parts = [
-                seg.terms.groupBy(F.col("term_fold").alias("term"))
+                seg.terms.filter(F.col("annot") == annot)
+                .groupBy(F.col("term_fold").alias("term"))
                 .agg(F.max("fold_cf").alias("cf_seg"))
                 for seg in self.segments
             ]
@@ -468,7 +501,10 @@ class Index:
             for p in parts[1:]:
                 u = u.unionByName(p)
             return u.groupBy("term").agg(F.sum("cf_seg").alias("cf"))
-        return self.terms_df.groupBy("term").agg(F.sum("cf").alias("cf"))
+        return (
+            self.terms_df.filter(F.col("annot") == annot)
+            .groupBy("term").agg(F.sum("cf").alias("cf"))
+        )
 
     def _union(self, parts: list[DataFrame], schema: str) -> DataFrame:
         if not parts:

@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # size scan splits to the session's cores, not the 128MB default: a
+        # few-GB local corpus otherwise yields ~12 input splits and the
+        # tokenize stage can't occupy 32 cores (measured 2.8x instead of
+        # ~3.9x thread-scaling). On a real cluster the input is TBs and the
+        # default split count dwarfs the slot count, so this knob is
+        # local-small-corpus sizing, not a cluster assumption.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

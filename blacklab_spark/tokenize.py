@@ -118,6 +118,56 @@ def fold_series(texts: pd.Series) -> pd.Series:
     )
 
 
+# --------------------------------------------------------------- annotations --
+# Derived annotation layers (reference: per-token parallel annotations, one
+# Lucene field per layer — AnnotatedFieldWriter.java:20-44; its test corpus
+# carries lemma/pos per token, TestIndex.java:111-141). The reference INGESTS
+# annotations from annotated input; web pages carry none, so this pins a
+# deterministic rule-based tagger as the stand-in (a real deployment would
+# swap in an upstream tagger producing tokens_lemma/tokens_pos input columns).
+# Rules are intentionally SQL-expressible so the DuckDB oracle can mirror
+# them exactly; both operate on the FOLDED token. Bump ANNOT_VERSION on any
+# rule change.
+
+ANNOT_VERSION = "1.0.0"
+ANNOT_STOPLIST = frozenset(["a", "the", "of", "and", "to", "in", "is"])
+
+
+def lemma_fold(t: str) -> str:
+    """Pinned mini-stemmer over a folded token (first matching rule only)."""
+    if len(t) > 3 and t.endswith("s") and not t.endswith("ss"):
+        return t[:-1]
+    if len(t) > 5 and t.endswith("ing"):
+        return t[:-3]
+    if len(t) > 4 and t.endswith("er"):
+        return t[:-2]
+    return t
+
+
+def pos_fold(t: str) -> str:
+    """Pinned POS classes over a folded token: stop | num | vb | nn."""
+    if t in ANNOT_STOPLIST:
+        return "stop"
+    if t.isdigit():
+        return "num"
+    if len(t) > 5 and t.endswith("ing"):
+        return "vb"
+    return "nn"
+
+
+def lemma_array(folded):
+    """Vectorized lemma over a numpy object array of folded tokens."""
+    import numpy as np
+
+    return np.array([lemma_fold(t) for t in folded], dtype=object)
+
+
+def pos_array(folded):
+    import numpy as np
+
+    return np.array([pos_fold(t) for t in folded], dtype=object)
+
+
 def fold_token(tok: str) -> str:
     """Scalar fold — same transform as fold_series (oracle-side convenience)."""
     import unicodedata

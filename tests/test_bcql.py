@@ -110,7 +110,7 @@ def test_parse_errors(tiny_index):
     with pytest.raises(ValueError):
         bcql.parse('"unclosed')
     with pytest.raises(ValueError):
-        bcql.parse('[lemma="x"]')  # unknown annotation
+        bcql.parse('[foo="x"]')  # unknown annotation (lemma/pos now parse)
     with pytest.raises(ValueError):
         bcql.parse('"a" )')
 

@@ -38,7 +38,7 @@ def test_constraint_boolean(tiny_index):
 
 def test_constraint_parse_error():
     with pytest.raises(ValueError):
-        bcql.parse('"a" :: A.lemma = "x"')
+        bcql.parse('"a" :: A.foo = "x"')  # unknown annot (lemma/pos now parse)
 
 
 def test_group_by_capture(tiny_index):
