@@ -317,6 +317,18 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
         pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
         sh_small, sh_inv = np.unique(sh_arr, return_inverse=True)
         n_sh = len(sh_small)
+        # doc RANK, not batch-arrival index, as the sort key component: rows
+        # arrive in shuffle order (doc ids rank by URL, so arrival order is
+        # scrambled); sorting by rank makes every block's doc list ascending —
+        # positive deltas (1-2 byte varints), valid first/last_doc block
+        # stats (the WAND skip test relies on them), and block contents that
+        # are deterministic regardless of shuffle arrival order.
+        dorder = np.argsort(doc_arr, kind="stable")
+        drank = np.empty(n_docs_local, dtype=np.int64)
+        drank[dorder] = np.arange(n_docs_local)
+        owner_rank = drank[owner]
+        doc_sorted = doc_arr[dorder]
+        dl_sorted = dl_arr[dorder]
 
         # derived layers share the word explosion: map the word dictionary
         # through the pinned derivation, re-factorize the derived uniques,
@@ -346,7 +358,7 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
             change = np.empty(total, dtype=bool)
             change[0] = True
             if n_sh * n_codes * n_docs_local < (1 << 62):
-                key = (sh_inv[owner] * n_codes + codes) * n_docs_local + owner
+                key = (sh_inv[owner] * n_codes + codes) * n_docs_local + owner_rank
                 # int32 keys when the range allows: numpy's stable argsort on
                 # ints is a radix sort, so halving key width halves the
                 # dominant memory traffic of the kernel — 32 concurrent
@@ -355,24 +367,24 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
                     key = key.astype(np.int32)
                 order = np.argsort(key, kind="stable")
                 key_s = key[order].astype(np.int64)
-                owner_s = key_s % n_docs_local
+                rank_s = key_s % n_docs_local
                 grp_s = key_s // n_docs_local           # shard*n_codes + code
-                # (grp, owner) pairs change exactly when the key changes
+                # (grp, rank) pairs change exactly when the key changes
                 np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
             else:  # overflow fallback (astronomically large shards)
-                order = np.lexsort((pos, owner, codes, sh_inv[owner]))
-                owner_s = owner[order]
-                grp_s = sh_inv[owner_s] * n_codes + codes[order]
+                order = np.lexsort((pos, owner_rank, codes, sh_inv[owner]))
+                rank_s = owner_rank[order]
+                grp_s = sh_inv[owner[order]] * n_codes + codes[order]
                 np.logical_or(
-                    grp_s[1:] != grp_s[:-1], owner_s[1:] != owner_s[:-1], out=change[1:]
+                    grp_s[1:] != grp_s[:-1], rank_s[1:] != rank_s[:-1], out=change[1:]
                 )
             pos_s = pos[order]
             starts = np.flatnonzero(change)
             tfs = np.diff(np.append(starts, total))
             g_grp = grp_s[starts]
-            g_owner = owner_s[starts]
-            g_doc = doc_arr[g_owner]
-            g_dl = dl_arr[g_owner]
+            g_rank = rank_s[starts]
+            g_doc = doc_sorted[g_rank]
+            g_dl = dl_sorted[g_rank]
             pos_ends = np.cumsum(tfs)
             # (shard, term) group boundaries over doc-level runs
             m = len(starts)

@@ -76,6 +76,40 @@ SQL_POS = """CASE
   ELSE 'nn' END"""
 
 
+
+SQL_HP = """
+e AS (
+  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i AS i FROM (
+    SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) u(vec_id, v, i)
+),
+planes AS (
+  SELECT p.p, d.i,
+         CASE WHEN instr('0123456789abcdef', substr(md5(p.p || '_' || d.i), 1, 1)) - 1 >= 8
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM (SELECT unnest(range(6)) AS p) p CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+),
+proj AS (SELECT e.vec_id, planes.p, sum(e.v * planes.wt) AS sm FROM e JOIN planes USING (i) GROUP BY 1, 2),
+buck AS (SELECT vec_id, sum(CASE WHEN sm > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS bucket FROM proj GROUP BY 1)
+"""
+
+SQL_LSH_CAND = """
+mh AS (
+  SELECT doc_id, h.i AS hi, min(md5(s || '#' || h.i)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) h
+  GROUP BY 1, 2
+),
+okb AS (SELECT hi, mh FROM mh GROUP BY hi, mh HAVING count(*) <= 50),
+capped AS (SELECT mh.doc_id, mh.hi, mh.mh FROM mh JOIN okb USING (hi, mh)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.hi) AS shared_bands
+  FROM capped a JOIN capped b ON a.hi = b.hi AND a.mh = b.mh AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
 def _sql_topk(terms: list[str], k: int, where: str | None = None) -> str:
     vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     flt = f"AND doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
@@ -133,6 +167,61 @@ def _sh3(spark, sf_dir) -> DataFrame:
         .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
         .distinct()
+    )
+
+
+LSH_BUCKET_CAP = 50  # max docs per (band, minhash) bucket before it is
+# dropped as degenerate (boilerplate-heavy shingles): one hot bucket of m
+# members makes m^2/2 candidate pairs, the classic LSH blow-up at scale.
+
+
+def _lsh_cand(spark, sf_dir) -> DataFrame:
+    """Candidate near-dup pairs from banded min-hash (4 bands over
+    3-shingles), with a per-bucket size cap. (doc_a, doc_b, shared_bands)."""
+    sh = _sh3(spark, sf_dir)
+    h = sh.select(
+        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("hi")
+    )
+    mh = h.groupBy("doc_id", "hi").agg(
+        F.min(F.md5(F.concat(F.col("s"), F.lit("#"), F.col("hi").cast("string")))).alias("mh")
+    )
+    ok = (
+        mh.groupBy("hi", "mh").agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= LSH_BUCKET_CAP).select("hi", "mh")
+    )
+    capped = mh.join(ok, ["hi", "mh"], "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.hi") == F.col("b.hi")) & (F.col("a.mh") == F.col("b.mh"))
+               & (F.col("b.doc_id") > F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.hi").alias("shared_bands"))
+    )
+
+
+def _hp_buckets(spark, sf_dir) -> DataFrame:
+    """Random-hyperplane LSH buckets over the embeddings table: 6 pinned
+    md5-derived hyperplanes -> (vec_id, bucket). The shared candidate
+    generator for ANN probing and embedding near-dup (bucket-equi join, no
+    crossJoin anywhere)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+    planes = spark.range(6).select(F.col("id").cast("int").alias("p")).crossJoin(
+        spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
+    ).withColumn(
+        "wt",
+        F.when(
+            F.expr("instr('0123456789abcdef', substring(md5(concat(cast(p as string), '_', cast(i as string))),1,1)) - 1") >= 8,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = (
+        e.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("wt")).alias("sm"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("sm") > 0, F.expr("cast(pow(2, p) as long)")).otherwise(F.lit(0))).alias("bucket")
     )
 
 
@@ -335,18 +424,28 @@ def build_queries() -> dict:
 
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
+        """Nearest same-bucket neighbor per probe vector: candidates come
+        from the shared hyperplane-LSH buckets (bucket-equi join), then exact
+        cosine re-scoring — O(sum bucket^2), never the O(N^2) crossJoin.
+        Probes whose bucket holds no other vector yield no row (the LSH
+        recall trade documented for sim_ann_lsh)."""
+        buck = _hp_buckets(s, d)
+        a = buck.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("a_id"), "bucket"
+        )
+        cand = a.join(buck.withColumnRenamed("vec_id", "b_id"), "bucket").filter(
+            F.col("a_id") != F.col("b_id")
+        ).select("a_id", "b_id")
         e = s.read.parquet(f"{d}/embeddings.parquet").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
-        a = e.filter(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+        j = (
+            cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
+            .join(e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
         )
-        j = a.crossJoin(e.withColumnRenamed("vec_id", "b_id")).filter(
-            F.col("a_id") != F.col("b_id")
-        )
-        dot = F.aggregate(F.zip_with("va", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
         na = F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-        nb = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        nb = F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
         scored = j.select("a_id", "b_id", F.round(dot / F.sqrt(na * nb), 6).alias("cos"))
         w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "b_id")
         return (
@@ -412,22 +511,31 @@ def build_queries() -> dict:
     q["dd_exact"] = dd_exact
 
     def dd_ngram_jaccard(s, d):
+        """Exact 3-shingle Jaccard over the LSH candidate pairs (the
+        verify stage of the minhash/LSH dedup pipeline — candidates from
+        _lsh_cand, never an all-pairs or adjacent-id comparison)."""
+        from .rank import rank_head
+
+        pairs = _lsh_cand(s, d).select("doc_a", "doc_b")
         sh = _sh3(s, d)
         cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        b = sh.select((F.col("doc_id") - 1).alias("doc_a"), "s")
         inter = (
-            sh.alias("a").join(b.alias("b"), (F.col("a.doc_id") == F.col("b.doc_a")) & (F.col("a.s") == F.col("b.s")))
-            .groupBy(F.col("a.doc_id").alias("doc_a")).agg(F.count("*").alias("i"))
+            pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2")), "doc_b")
+            .filter(F.col("s") == F.col("s2"))
+            .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
         )
         ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-        cb = cnt.select((F.col("doc_id") - 1).alias("doc_a"), F.col("n").alias("nb"))
-        return (
-            inter.join(ca, "doc_a").join(cb, "doc_a")
+        cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        scored = (
+            inter.join(ca, "doc_a").join(cb, "doc_b")
             .select(
-                "doc_a",
+                "doc_a", "doc_b",
                 F.round(F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
             )
-            .orderBy(F.col("jaccard").desc(), "doc_a").limit(10)
+        )
+        return rank_head(
+            scored, [("jaccard", False), ("doc_a", True), ("doc_b", True)], 0, 10
         )
 
     q["dd_ngram_jaccard"] = dd_ngram_jaccard
@@ -455,17 +563,7 @@ def build_queries() -> dict:
 
     q["dd_minhash_sig"] = dd_minhash_sig
 
-    def dd_lsh_pairs(s, d):
-        mh = _mh(s, d, 4)
-        a, b = mh.alias("a"), mh.alias("b")
-        return (
-            a.join(b, (F.col("a.hi") == F.col("b.hi")) & (F.col("a.mh") == F.col("b.mh"))
-                   & (F.col("b.doc_id") > F.col("a.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.countDistinct("a.hi").alias("shared_bands"))
-        )
-
-    q["dd_lsh_pairs"] = dd_lsh_pairs
+    q["dd_lsh_pairs"] = lambda s, d: _lsh_cand(s, d)
 
     def dd_simhash(s, d):
         t = _toks(s, d).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
@@ -517,25 +615,7 @@ def build_queries() -> dict:
     q["sim_cosine_topk"] = sim_cosine_topk
 
     def sim_ann_lsh(s, d):
-        e = _emb(s, d).select(
-            "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
-        ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
-        planes = s.range(6).select(F.col("id").cast("int").alias("p")).crossJoin(
-            s.range(1, 65).select(F.col("id").cast("int").alias("i"))
-        ).withColumn(
-            "wt",
-            F.when(
-                F.expr("instr('0123456789abcdef', substring(md5(concat(cast(p as string), '_', cast(i as string))),1,1)) - 1") >= 8,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        proj = (
-            e.join(F.broadcast(planes), "i")
-            .groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("wt")).alias("sm"))
-        )
-        buck = proj.groupBy("vec_id").agg(
-            F.sum(F.when(F.col("sm") > 0, F.expr("cast(pow(2, p) as long)")).otherwise(F.lit(0))).alias("bucket")
-        )
+        buck = _hp_buckets(s, d)
         qb = buck.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
         cand = buck.crossJoin(F.broadcast(qb)).filter(
             (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
@@ -804,18 +884,17 @@ SELECT doc_id, CAST(f.fi AS INT) AS frame_id, md5(text || CAST(f.fi AS VARCHAR))
 FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f
 WHERE doc_id < 100 AND f.fi < 1 + ({_H16}) % 4
 """
-    o["dd_emb_neardup"] = """
-WITH e AS (
-  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i AS i FROM (
-    SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-    FROM embeddings
-  ) u(vec_id, v, i)
+    o["dd_emb_neardup"] = f"""
+WITH {SQL_HP},
+a AS (SELECT vec_id AS a_id, bucket FROM buck WHERE vec_id < 50),
+cand AS (
+  SELECT a.a_id, b.vec_id AS b_id FROM a JOIN buck b USING (bucket)
+  WHERE b.vec_id <> a.a_id
 ),
 norms AS (SELECT vec_id, sum(v * v) AS n FROM e GROUP BY 1),
 dots AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
-  FROM e a JOIN e b USING (i)
-  WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id
+  SELECT c.a_id, c.b_id, sum(ea.v * eb.v) AS dot
+  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
   GROUP BY 1, 2
 )
 SELECT a_id AS vec_id, b_id AS nn_id, cos FROM (
@@ -860,18 +939,18 @@ SELECT h, CAST(n AS BIGINT) AS n FROM (
 ) ORDER BY n DESC, h LIMIT 20
 """
     o["dd_ngram_jaccard"] = f"""
-WITH {SQL_TOKS}, {SQL_SH3},
+WITH {SQL_TOKS}, {SQL_SH3}, {SQL_LSH_CAND},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS doc_a, count(*) AS i
-  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
-  GROUP BY 1
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
 )
-SELECT doc_a, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+SELECT doc_a, doc_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
 FROM inter
 JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_a + 1
-ORDER BY jaccard DESC, doc_a LIMIT 10
+JOIN cnt cb ON cb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10
 """
     o["dd_minhash_sig"] = f"""
 WITH {SQL_TOKS}, {SQL_SH3},
@@ -884,15 +963,8 @@ SELECT doc_id, md5(string_agg(mh, ',' ORDER BY hi)) AS sig
 FROM mh WHERE doc_id < 50 GROUP BY doc_id
 """
     o["dd_lsh_pairs"] = f"""
-WITH {SQL_TOKS}, {SQL_SH3},
-mh AS (
-  SELECT doc_id, h.i AS hi, min(md5(s || '#' || h.i)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) h
-  GROUP BY 1, 2
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(DISTINCT a.hi) AS BIGINT) AS shared_bands
-FROM mh a JOIN mh b ON a.hi = b.hi AND a.mh = b.mh AND b.doc_id > a.doc_id
-GROUP BY 1, 2
+WITH {SQL_TOKS}, {SQL_SH3}, {SQL_LSH_CAND}
+SELECT doc_a, doc_b, CAST(shared_bands AS BIGINT) AS shared_bands FROM cand
 """
     o["dd_simhash"] = f"""
 WITH {SQL_TOKS},
@@ -935,15 +1007,8 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_i
 ) QUALIFY rank <= 10
 """
     o["sim_ann_lsh"] = f"""
-WITH {sql_cos_core},
-planes AS (
-  SELECT p.p, d.i,
-         CASE WHEN instr('0123456789abcdef', substr(md5(p.p || '_' || d.i), 1, 1)) - 1 >= 8
-              THEN 1.0 ELSE -1.0 END AS wt
-  FROM (SELECT unnest(range(6)) AS p) p CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
-),
-proj AS (SELECT e.vec_id, planes.p, sum(e.v * planes.wt) AS sm FROM e JOIN planes USING (i) GROUP BY 1, 2),
-buck AS (SELECT vec_id, sum(CASE WHEN sm > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS bucket FROM proj GROUP BY 1),
+WITH {SQL_HP},
+qv AS (SELECT i, v FROM e WHERE vec_id = 0),
 qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
 cand AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0),
 dots AS (

@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from . import B, K1
 from .codec import varint_decode, delta_decode, delta_decode_segmented
@@ -126,16 +125,21 @@ class Index:
             qs = sorted(set(terms))
             col = "term"
         qidx = {q: i for i, q in enumerate(qs)}
+        frames = [
+            seg.terms.filter((F.col("annot") == annot) & F.col(col).isin(qs))
+            .select(F.lit(i).alias("_seg"), "term_id", col, "df", "fold_df")
+            for i, seg in enumerate(self.segments)
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        allr = u.toPandas()  # ONE Spark job for all segments, not one each
         out, gdf = [], {}
-        for seg in self.segments:
-            rows = (
-                seg.terms.filter((F.col("annot") == annot) & F.col(col).isin(qs))
-                .select("term_id", col, "df", "fold_df")
-                .toPandas()
-            )
+        dfc = "fold_df" if fold else "df"
+        for i in range(len(self.segments)):
+            rows = allr[allr["_seg"] == i].drop(columns=["_seg"]).copy()
             rows["qidx"] = rows[col].map(qidx)
             out.append(rows)
-            dfc = "fold_df" if fold else "df"
             for q, grp in rows.groupby("qidx"):
                 # within a segment, fold_df is already the distinct-doc count
                 # over all variants; across segments doc sets are disjoint
@@ -145,29 +149,10 @@ class Index:
             r.attrs["n_q"] = len(qs)
         return out
 
-    def _resolve_regex(
-        self, pattern: str, fold: bool = True, annot: str = "word"
-    ) -> list[pd.DataFrame]:
-        """Anchored regex -> matching term_ids per segment (reference anchors
-        bare regexes: query-parser/.../CorpusQueryLanguageParser.java:88-98)."""
-        self._check_annot(annot)
-        col = "term_fold" if fold else "term"
-        anchored = f"^(?:{pattern})$"
-        out = []
-        for seg in self.segments:
-            rows = (
-                seg.terms.filter((F.col("annot") == annot) & F.col(col).rlike(anchored))
-                .select("term_id", col, "df", "fold_df")
-                .toPandas()
-            )
-            rows["qidx"] = 0
-            out.append(rows)
-        return out
-
     def _postings_for(self, seg: Segment, tids: pd.DataFrame, need_pos: bool) -> DataFrame:
         cols = [
-            "shard", "term_id", "doc_count", "max_tf", "min_dl",
-            "doc_ids", "tfs", "dls",
+            "shard", "term_id", "doc_count", "first_doc", "last_doc",
+            "max_tf", "min_dl", "doc_ids", "tfs", "dls",
         ] + (["positions"] if need_pos else [])
         p = seg.postings.select(*cols).filter(
             F.col("term_id").isin([int(t) for t in tids["term_id"]])
@@ -194,11 +179,30 @@ class Index:
 
     def regex_hits(self, pattern: str, fold: bool = True, annot: str = "word") -> DataFrame:
         """Regex over the dict -> postings union (unique by the same argument
-        as or_hits: matching term_ids are distinct)."""
+        as or_hits: matching term_ids are distinct).
+
+        Term matching stays JVM-side: the dict rows matching the regex join
+        postings on term_id (broadcast — matched ids are dict-scale-tiny
+        relative to postings even for broad patterns). No toPandas round-trip
+        and no plan-exploding IN-list: a 10^9-term dict never touches the
+        driver. Trade-off vs the exact-term path: the join loses parquet
+        row-group pruning on term_id, the cost the reference pays too when it
+        expands a multi-term query (BLSpanMultiTermQueryWrapper.java:46-52)."""
+        self._check_annot(annot)
+        col = "term_fold" if fold else "term"
+        anchored = f"^(?:{pattern})$"
         parts = []
-        for seg, tids in zip(self.segments, self._resolve_regex(pattern, fold, annot)):
-            if len(tids):
-                parts.append(_hits_explode(self._postings_for(seg, tids, True)))
+        for seg in self.segments:
+            m = (
+                seg.terms.filter(
+                    (F.col("annot") == annot) & F.col(col).rlike(anchored)
+                ).select("term_id")
+            )
+            p = seg.postings.select(
+                "shard", "term_id", "doc_count", "max_tf", "min_dl",
+                "doc_ids", "tfs", "dls", "positions",
+            ).join(F.broadcast(m), "term_id").withColumn("qidx", F.lit(0))
+            parts.append(_hits_explode(p))
         return self._union(parts, HITS_SCHEMA)
 
     def term_df(self, term: str, fold: bool = True, annot: str = "word") -> int:
@@ -208,49 +212,54 @@ class Index:
         col = "term_fold" if fold else "term"
         q = fold_token(term) if fold else term
         dfc = "fold_df" if fold else "df"
-        total = 0
-        for seg in self.segments:
-            r = (
-                seg.terms.filter((F.col("annot") == annot) & (F.col(col) == q))
-                .agg(F.max(dfc)).collect()[0][0]
+        parts = [
+            seg.terms.filter((F.col("annot") == annot) & (F.col(col) == q)).agg(
+                F.max(dfc).alias("v")
             )
-            total += int(r or 0)
-        return total
+            for seg in self.segments
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return sum(int(r["v"] or 0) for r in u.collect())  # one job
 
     def regex_stats(self, pattern: str, fold: bool = True) -> tuple[int, int]:
         """(n matching terms, total df) for a regex over the dict — the cost
         of the postings path for an expanded multi-term query."""
         col = "term_fold" if fold else "term"
         anchored = f"^(?:{pattern})$"
-        nv, tdf = 0, 0
-        for seg in self.segments:
-            r = (
-                seg.terms.filter((F.col("annot") == "word") & F.col(col).rlike(anchored))
-                .agg(F.count("*"), F.sum("df")).collect()[0]
-            )
-            nv += int(r[0] or 0)
-            tdf += int(r[1] or 0)
-        return nv, tdf
+        parts = [
+            seg.terms.filter((F.col("annot") == "word") & F.col(col).rlike(anchored))
+            .agg(F.count("*").alias("n"), F.sum("df").alias("d"))
+            for seg in self.segments
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = u.collect()  # one job
+        return sum(int(r["n"] or 0) for r in rows), sum(int(r["d"] or 0) for r in rows)
 
     def fuzzy_hits(self, term: str, max_edits: int = 1, fold: bool = True) -> DataFrame:
         """Edit-distance term match (reference: SpanFuzzyQuery,
         engine/.../search/lucene/SpanFuzzyQuery.java:29-34): expand via
-        levenshtein over the terms dict, then union the posting lists."""
+        levenshtein over the terms dict, then union the posting lists —
+        JVM-side join like regex_hits, no driver round-trip. No dedupe:
+        matching surface terms are distinct, and distinct terms cannot share
+        a (doc, position)."""
         col = "term_fold" if fold else "term"
         q = fold_token(term) if fold else term
         parts = []
         for seg in self.segments:
-            rows = (
-                seg.terms.filter(
-                    (F.col("annot") == "word")
-                    & (F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
-                )
-                .select("term_id", col).toPandas()
-            )
-            if len(rows):
-                rows["qidx"] = 0
-                parts.append(_hits_explode(self._postings_for(seg, rows, True)))
-        return self._union(parts, HITS_SCHEMA).dropDuplicates(["doc_id", "start", "end"])
+            m = seg.terms.filter(
+                (F.col("annot") == "word")
+                & (F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
+            ).select("term_id").dropDuplicates(["term_id"])
+            p = seg.postings.select(
+                "shard", "term_id", "doc_count", "max_tf", "min_dl",
+                "doc_ids", "tfs", "dls", "positions",
+            ).join(F.broadcast(m), "term_id").withColumn("qidx", F.lit(0))
+            parts.append(_hits_explode(p))
+        return self._union(parts, HITS_SCHEMA)
 
     def phrase_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
         """Exact consecutive sequence (reference: SpanQuerySequence,
@@ -348,14 +357,16 @@ class Index:
         reference reads term stats the same way, LuceneUtil.termFrequencies)."""
         col = "term_fold" if fold else "term"
         q = fold_token(term) if fold else term
-        total = 0
-        for seg in self.segments:
-            r = (
-                seg.terms.filter((F.col("annot") == "word") & (F.col(col) == q))
-                .agg(F.sum("cf").alias("cf")).collect()[0]["cf"]
+        parts = [
+            seg.terms.filter((F.col("annot") == "word") & (F.col(col) == q)).agg(
+                F.sum("cf").alias("cf")
             )
-            total += int(r or 0)
-        return total
+            for seg in self.segments
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return sum(int(r["cf"] or 0) for r in u.collect())  # one job
 
     # ------------------------------------------------------------- ranking --
     def topk(
@@ -676,6 +687,173 @@ def _score_arrays(qidx, doc, tf, dl, idf: dict, avgdl: float, quantize: bool):
     return doc_g[dstarts], scores
 
 
+def _term_contribs(qidx, doc, tf, dl, idf: dict, avgdl: float, quantize: bool):
+    """Exact per-(term, doc) BM25 contributions (variant tfs merged per doc
+    first). Returns {qidx: (docs ascending, contributions)} — the tight
+    'already-decoded term' bound source for the WAND skip test."""
+    out: dict[int, tuple] = {}
+    if len(doc) == 0:
+        return out
+    if quantize:
+        dl = quantize_dl(dl)
+    order = np.lexsort((qidx, doc))
+    doc, qidx, tf, dl = doc[order], qidx[order], tf[order], dl[order]
+    change = np.empty(len(doc), dtype=bool)
+    change[0] = True
+    np.logical_or(doc[1:] != doc[:-1], qidx[1:] != qidx[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    tf_sum = np.add.reduceat(tf, starts).astype(np.float64)
+    doc_g, qidx_g, dl_g = doc[starts], qidx[starts], dl[starts]
+    idf_arr = np.zeros(max(idf.keys()) + 1 if idf else 1, dtype=np.float64)
+    for q, v in idf.items():
+        idf_arr[q] = v
+    contrib = (
+        idf_arr[qidx_g] * (K1 + 1) * tf_sum
+        / (tf_sum + K1 * (1 - B + B * dl_g.astype(np.float64) / avgdl))
+    )
+    for q in np.unique(qidx_g):
+        m = qidx_g == q
+        out[int(q)] = (doc_g[m], contrib[m])  # doc order preserved (asc)
+    return out
+
+
+def _wand_multi(pdf: pd.DataFrame, idf: dict, avgdl: float, k: int, quantize: bool):
+    """Multi-term block-max WAND (BASELINE.json names it; reference analog:
+    the lazy bounded fetch in HitsFromQuery.java:155-236 + per-block max
+    impact stats stored at build). Exact top-k with block skipping:
+
+    1. SEED: decode every block of the highest-idf term (plus any term with
+       >1 surface variant in this shard, whose per-block bounds would not be
+       additive); kth partial score = theta, a LOWER bound on the true kth.
+    2. PRUNE: for each remaining term's block b, upper-bound the total score
+       any doc in b could reach: UB(b) + sum over other terms' max block UB
+       *restricted to terms whose doc ranges overlap b*. Blocks provably
+       under theta are skipped — the doc-range alignment with the rare
+       term's postings is what makes common-term blocks skippable.
+    3. VERIFY: partial scores are lower bounds; per doc, slack = sum of UBs
+       of skipped blocks whose doc range contains it. Docs with
+       score + slack >= theta get their skipped blocks decoded (exact).
+
+    Returns (docs, scores, n_blocks, n_decoded). Correctness does not depend
+    on the bounds being tight — loose bounds only decode more."""
+    qidx = pdf["qidx"].to_numpy(np.int64)
+    tids = pdf["term_id"].to_numpy(np.int64)
+    mt = pdf["max_tf"].to_numpy(np.float64)
+    ml = pdf["min_dl"].to_numpy(np.int64)
+    if quantize:
+        ml = quantize_dl(ml)
+    fd = pdf["first_doc"].to_numpy(np.int64)
+    ld = pdf["last_doc"].to_numpy(np.int64)
+    idf_row = np.array([idf.get(int(q), 0.0) for q in qidx])
+    ub = idf_row * (K1 + 1) * mt / (mt + K1 * (1 - B + B * ml.astype(np.float64) / avgdl))
+    n_blocks = len(pdf)
+
+    # terms with >1 surface variant in this shard: per-block bounds are not
+    # additive across variants (tf sums before normalization) — just decode
+    q_variants = pd.DataFrame({"q": qidx, "t": tids}).groupby("q")["t"].nunique()
+    multi_var = {int(q) for q, n in q_variants.items() if n > 1}
+    present = sorted(set(int(q) for q in qidx))
+    seed_q = max(present, key=lambda q: (idf.get(q, 0.0), -q))
+    decode_mask = np.isin(qidx, [seed_q] + sorted(multi_var))
+
+    def decode_rows(mask):
+        if not mask.any():
+            z = np.empty(0, np.int64)
+            return z, z, z, z
+        return _decode_group(pdf.iloc[np.flatnonzero(mask)], False)
+
+    acc = [decode_rows(decode_mask)]
+
+    def score_acc():
+        qs = np.concatenate([a[0] for a in acc])
+        ds = np.concatenate([a[1] for a in acc])
+        ts = np.concatenate([a[2] for a in acc])
+        ls = np.concatenate([a[3] for a in acc])
+        return _score_arrays(qs, ds, ts, ls, idf, avgdl, quantize)
+
+    d0, s0 = score_acc()
+    theta = np.partition(s0, -k)[-k] if len(s0) >= k else -np.inf
+
+    remaining = [q for q in present if q != seed_q and q not in multi_var]
+    skipped_rows: list[int] = []
+    if np.isfinite(theta):
+        # decoded terms: exact per-(term, doc) contributions — the skip test
+        # then aligns with the seed term's ACTUAL docs (the WAND move), not
+        # its block ranges, which typically span the whole shard
+        dq, dd, dt, dl_ = acc[0]
+        dec_contrib = _term_contribs(dq, dd, dt, dl_, idf, avgdl, quantize)
+        # non-decoded terms: sorted block ranges for a coarse overlap bound
+        ranges = {}
+        for q in remaining:
+            rows_q = np.flatnonzero(qidx == q)
+            o = np.argsort(fd[rows_q], kind="stable")
+            rq = rows_q[o]
+            ranges[q] = (fd[rq], ld[rq], float(ub[rq].max()) if len(rq) else 0.0)
+        for q in remaining:
+            rows_q = np.flatnonzero(qidx == q)
+            other = np.zeros(len(rows_q))
+            for q2, (docs2, con2) in dec_contrib.items():
+                lo = np.searchsorted(docs2, fd[rows_q], side="left")
+                hi = np.searchsorted(docs2, ld[rows_q], side="right")
+                # max exact contribution of q2 among docs inside each block's
+                # doc range (0 when the range holds no q2 doc)
+                mx = np.zeros(len(rows_q))
+                for j in range(len(rows_q)):
+                    if hi[j] > lo[j]:
+                        mx[j] = con2[lo[j] : hi[j]].max()
+                other += mx
+            for q2 in remaining:
+                if q2 == q:
+                    continue
+                f2, l2, mx2 = ranges[q2]
+                if len(f2) == 0:
+                    continue
+                # block [fd,ld] overlaps some q2 block iff a q2 block starts
+                # <= ld and that run reaches >= fd
+                i = np.searchsorted(f2, ld[rows_q], side="right")
+                has = np.zeros(len(rows_q), dtype=bool)
+                nz = i > 0
+                if nz.any():
+                    cummax_l2 = np.maximum.accumulate(l2)
+                    has[nz] = cummax_l2[i[nz] - 1] >= fd[rows_q[nz]]
+                other += np.where(has, mx2, 0.0)
+            keep = ub[rows_q] + other >= theta  # keep ties (doc_id break)
+            decode_mask[rows_q[keep]] = True
+            skipped_rows.extend(rows_q[~keep].tolist())
+            if keep.any():
+                m = np.zeros(n_blocks, dtype=bool)
+                m[rows_q[keep]] = True
+                acc.append(decode_rows(m))
+    else:
+        decode_mask[:] = True
+        acc = [decode_rows(decode_mask)]
+
+    docs_c, scores_c = score_acc()
+    if skipped_rows and len(scores_c):
+        theta2 = (
+            np.partition(scores_c, -k)[-k] if len(scores_c) >= k else -np.inf
+        )
+        slack = np.zeros(len(docs_c))
+        for r in skipped_rows:
+            lo = np.searchsorted(docs_c, fd[r], side="left")
+            hi = np.searchsorted(docs_c, ld[r], side="right")
+            slack[lo:hi] += ub[r]
+        cand = scores_c + slack >= theta2
+        if cand.any():
+            cd = docs_c[cand]
+            need = [
+                r for r in skipped_rows
+                if np.searchsorted(cd, fd[r], "left") < np.searchsorted(cd, ld[r], "right")
+            ]
+            if need:
+                m = np.zeros(n_blocks, dtype=bool)
+                m[need] = True
+                decode_mask |= m
+                acc.append(decode_rows(m))
+                docs_c, scores_c = score_acc()
+    return docs_c, scores_c, n_blocks, int(decode_mask.sum())
+
+
 def _local_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     if len(docs) > k:
         # top-k by (score desc, doc asc)
@@ -723,6 +901,9 @@ def _score_kernel(idf: dict, avgdl: float, k: int, quantize: bool):
             if not best_docs:
                 return pd.DataFrame(columns=["doc_id", "score"])
             return _local_topk(np.concatenate(best_docs), np.concatenate(best_scores), k)
+        if len(idf) > 1:
+            d, s, _, _ = _wand_multi(pdf, idf, avgdl, k, quantize)
+            return _local_topk(d, s, k)
         qx, dc, tf, dl = _decode_group(pdf, False)
         d, s = _score_arrays(qx, dc, tf, dl, idf, avgdl, quantize)
         return _local_topk(d, s, k)

@@ -138,3 +138,25 @@ def test_rank_head_matches_ranked_all(spark):
     assert [(r["rank"], r["id"]) for r in head] == [(r["rank"], r["id"]) for r in full]
     naive = sorted(((r["k"], -r["j"], r["id"]) for r in df.collect()))[5:25]
     assert [r["id"] for r in head] == [t[2] for t in naive]
+
+
+def test_blocks_doc_sorted_and_stats(spark, tmp_path):
+    """Posting blocks must hold ASCENDING doc ids with valid first/last_doc
+    stats — the WAND skip test and delta compression depend on it. (Round-1
+    latent bug: the kernel sorted by batch-arrival index, not doc id.)"""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.codec import delta_decode, varint_decode
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path / "ix_sorted")
+    build_index(spark, pages_df(spark, "small", 300), out, n_shards=3, block_size=32)
+    ix = Index(spark, out)
+    rows = ix.segments[0].postings.collect()
+    assert rows
+    import numpy as np
+
+    for r in rows:
+        docs = delta_decode(varint_decode(r["doc_ids"]))
+        assert (np.diff(docs) > 0).all(), "docs not strictly ascending"
+        assert docs[0] == r["first_doc"] and docs[-1] == r["last_doc"]

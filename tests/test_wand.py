@@ -1,0 +1,104 @@
+"""Multi-term block-max WAND kernel: exactness vs exhaustive scoring, plus
+evidence that blocks actually get skipped (the reference analog is the
+bounded lazy fetch, HitsFromQuery.java:155-236; our per-block max-impact
+stats are stored at build time)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from blacklab_spark.codec import varint_encode, delta_encode
+from blacklab_spark.query import _score_arrays, _wand_multi, _decode_group
+
+BLOCK = 64
+
+
+def make_blocks(term_id, qidx, docs, tfs, dls):
+    rows = []
+    for i in range(0, len(docs), BLOCK):
+        d = docs[i : i + BLOCK]
+        t = tfs[i : i + BLOCK]
+        ln = dls[i : i + BLOCK]
+        rows.append(
+            {
+                "shard": 0,
+                "term_id": term_id,
+                "qidx": qidx,
+                "block_id": i // BLOCK,
+                "doc_count": len(d),
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "max_tf": int(t.max()),
+                "min_dl": int(ln.min()),
+                "doc_ids": varint_encode(delta_encode(d)),
+                "tfs": varint_encode(t),
+                "dls": varint_encode(ln),
+            }
+        )
+    return rows
+
+
+def _corpus(seed=0):
+    """Rare term (20 docs) + common term (2000 docs): the WAND-friendly
+    shape — common-term blocks far from rare docs are skippable."""
+    rng = np.random.default_rng(seed)
+    n = 2000
+    dls = rng.integers(50, 500, size=n).astype(np.int64)
+    common_docs = np.arange(n, dtype=np.int64)
+    common_tfs = rng.integers(1, 4, size=n).astype(np.int64)
+    rare_docs = np.sort(rng.choice(n, size=20, replace=False)).astype(np.int64)
+    rare_tfs = rng.integers(1, 6, size=20).astype(np.int64)
+    rows = make_blocks(0, 0, rare_docs, rare_tfs, dls[rare_docs])
+    rows += make_blocks(1, 1, common_docs, common_tfs, dls)
+    pdf = pd.DataFrame(rows)
+    N = float(n)
+    idf = {
+        0: float(np.log(1 + (N - 20 + 0.5) / (20 + 0.5))),
+        1: float(np.log(1 + (N - n + 0.5) / (n + 0.5))),
+    }
+    avgdl = float(dls.mean())
+    return pdf, idf, avgdl
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("k", [5, 10, 50])
+def test_wand_matches_exhaustive(quantize, k):
+    pdf, idf, avgdl = _corpus()
+    qx, dc, tf, dl = _decode_group(pdf, False)
+    d_full, s_full = _score_arrays(qx, dc, tf, dl, idf, avgdl, quantize)
+    order = np.lexsort((d_full, -s_full))[:k]
+    exp = list(zip(d_full[order], np.round(s_full[order], 12)))
+
+    d_w, s_w, n_blocks, n_dec = _wand_multi(pdf, idf, avgdl, k, quantize)
+    ow = np.lexsort((d_w, -s_w))[:k]
+    got = list(zip(d_w[ow], np.round(s_w[ow], 12)))
+    assert got == exp
+
+
+def test_wand_skips_blocks():
+    pdf, idf, avgdl = _corpus()
+    _, _, n_blocks, n_dec = _wand_multi(pdf, idf, avgdl, 5, False)
+    assert n_dec < n_blocks, f"no blocks skipped ({n_dec}/{n_blocks})"
+    # rare term: 1 block; common term: 32 blocks; expect real skipping
+    assert n_dec <= n_blocks - 5
+
+
+def test_wand_three_terms_exact():
+    rng = np.random.default_rng(3)
+    n = 1500
+    dls = rng.integers(50, 400, size=n).astype(np.int64)
+    pdf_rows, idf = [], {}
+    for q, df_q in enumerate((15, 200, n)):
+        docs = np.sort(rng.choice(n, size=df_q, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 5, size=df_q).astype(np.int64)
+        pdf_rows += make_blocks(q, q, docs, tfs, dls[docs])
+        idf[q] = float(np.log(1 + (n - df_q + 0.5) / (df_q + 0.5)))
+    pdf = pd.DataFrame(pdf_rows)
+    avgdl = float(dls.mean())
+    qx, dc, tf, dl = _decode_group(pdf, False)
+    d_full, s_full = _score_arrays(qx, dc, tf, dl, idf, avgdl, True)
+    order = np.lexsort((d_full, -s_full))[:10]
+    d_w, s_w, _, _ = _wand_multi(pdf, idf, avgdl, 10, True)
+    ow = np.lexsort((d_w, -s_w))[:10]
+    assert list(d_w[ow]) == list(d_full[order])
+    np.testing.assert_allclose(s_w[ow], s_full[order], rtol=0, atol=1e-12)
