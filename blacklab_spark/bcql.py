@@ -92,7 +92,7 @@ class TPAnd(TP):
 class TPRepetition(TP):
     clause: TP
     mn: int
-    mx: int
+    mx: int | None  # None = unbounded (reference SpanQueryRepetition has no cap)
 
 
 @dataclass
@@ -104,6 +104,19 @@ class TPCapture(TP):
 @dataclass
 class TPTags(TP):
     name: str
+
+
+@dataclass
+class TPFiSeq(TP):
+    """Forced forward-index sequence direction (reference debug functions
+    _FI1/_FI2, extensions/XFDebug.java:43-45, exercised by hits.js:55-56):
+    _FI1(a, b) anchors on a's hits and verifies b against the forward index
+    to the right; _FI2(a, b) anchors on b and verifies a to the left —
+    the two-sided harness that pins the FiSeq optimization."""
+
+    left: TP
+    right: TP
+    direction: str  # 'fwd' (_FI1) | 'bwd' (_FI2)
 
 
 @dataclass
@@ -320,23 +333,23 @@ class _Parser:
         k, v = self.peek()
         if v == "*":
             self.next()
-            return TPRepetition(node, 0, 8)
+            return TPRepetition(node, 0, None)
         if v == "+":
             self.next()
-            return TPRepetition(node, 1, 8)
+            return TPRepetition(node, 1, None)
         if v == "?":
             self.next()
             return TPRepetition(node, 0, 1)
         if v == "{":
             self.next()
             mn = int(self.next()[1])
-            mx = mn
+            mx: int | None = mn
             if self.peek()[1] == ",":
                 self.next()
                 if self.peek()[0] == "NUMBER":
                     mx = int(self.next()[1])
                 else:
-                    mx = 8
+                    mx = None  # {n,} — unbounded
             self.expect("}")
             if mn == 1 and mx == 1:  # TrivialRep
                 return node
@@ -345,6 +358,14 @@ class _Parser:
 
     def atom(self) -> TP:
         k, v = self.peek()
+        if k == "NAME" and v in ("_FI1", "_FI2") and self.toks[self.i + 1][1] == "(":
+            fn = self.next()[1]
+            self.expect("(")
+            a = self.atom()
+            self.expect(",")
+            b = self.atom()
+            self.expect(")")
+            return TPFiSeq(a, b, "fwd" if fn == "_FI1" else "bwd")
         if k == "QUOTED":
             self.next()
             flags = None
@@ -452,7 +473,12 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     if isinstance(tp, TPRepetition):
         if isinstance(tp.clause, TPAnyToken) and tp.clause.mn == tp.clause.mx == 1:
             return S.any_token(ix.doc_lens(), max(tp.mn, 1), tp.mx)
-        return S.repetition(compile_pattern(ix, tp.clause), max(tp.mn, 1), tp.mx)
+        inner = compile_pattern(ix, tp.clause)
+        if _fixed_one_token(tp.clause):
+            # single-token clause: gaps-and-islands kernel — unbounded-safe,
+            # no self-joins (SpanQueryRepetition ALL-matches semantics)
+            return S.repetition_token_runs(inner, max(tp.mn, 1), tp.mx)
+        return S.repetition(inner, max(tp.mn, 1), tp.mx)
     if isinstance(tp, TPCapture):
         return S.capture(compile_pattern(ix, tp.clause), tp.name)
     if isinstance(tp, TPPosFilter):
@@ -462,6 +488,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
             tp.op,
             tp.invert,
         )
+    if isinstance(tp, TPFiSeq):
+        return _compile_fiseq(ix, tp)
     if isinstance(tp, TPSequence):
         return _compile_sequence(ix, tp.parts)
     if isinstance(tp, TPConstrained):
@@ -512,6 +540,53 @@ def _constraint_col(e):
     }[e.op]
 
 
+def _fi_pattern(tp: TP) -> tuple[str, str]:
+    """(anchored-regex source, tokens column) for forward-index verification
+    of a single-token pattern."""
+    import re as _re
+
+    from .tokenize import fold_token
+
+    if isinstance(tp, TPTerm):
+        val = tp.term if tp.sensitive else fold_token(tp.term)
+        pat = _re.escape(val)
+    elif isinstance(tp, TPRegex):
+        pat = tp.pattern
+    else:
+        raise ValueError(f"_FI1/_FI2 arguments must be terms or regexes, got {tp!r}")
+    if tp.annot == "lemma":
+        col = "tokens_lemma"
+    elif tp.annot == "pos":
+        col = "tokens_pos"
+    else:
+        col = "tokens" if tp.sensitive else "tokens_fold"
+    return pat, col
+
+
+def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
+    if tp.direction == "fwd":
+        anchor = compile_pattern(ix, tp.left)
+        pat, col = _fi_pattern(tp.right)
+        return S.verify_adjacent(anchor, ix.docs, pat, "right", col)
+    anchor = compile_pattern(ix, tp.right)
+    pat, col = _fi_pattern(tp.left)
+    return S.verify_adjacent(anchor, ix.docs, pat, "left", col)
+
+
+def _fixed_one_token(tp: TP) -> bool:
+    """Every hit of this pattern is exactly one token long (the
+    SpanGuarantees hitsAllSameLength/len==1 flag, SpanGuarantees.java:22-67)."""
+    if isinstance(tp, (TPTerm, TPRegex)):
+        return True
+    if isinstance(tp, TPNotTerm):
+        return True  # single-token complement by construction
+    if isinstance(tp, TPAnyToken):
+        return tp.mn == tp.mx == 1
+    if isinstance(tp, (TPOr, TPAnd)):
+        return all(_fixed_one_token(c) for c in tp.clauses)
+    return False
+
+
 def _is_pure_term(p: TP) -> bool:
     return isinstance(p, TPTerm) and not p.sensitive and p.annot == "word"
 
@@ -560,14 +635,19 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
         if isinstance(p, TPAnyToken):
             gap = (p.mn, p.mx)
         elif isinstance(p, TPRepetition) and isinstance(p.clause, TPAnyToken):
-            gap = (p.mn * p.clause.mn, p.mx * p.clause.mx)
+            gmx = None if (p.mx is None or p.clause.mx is None) else p.mx * p.clause.mx
+            gap = (p.mn * p.clause.mn, gmx)
         else:
             gap = None
         if gap is not None:
             # consecutive any-token parts accumulate: '"a" [] [] "b"' is a
-            # {2,2} gap, not {1,1} (bounds add)
+            # {2,2} gap, not {1,1} (bounds add; None = unbounded absorbs)
             if pending_gap is not None:
-                pending_gap = (pending_gap[0] + gap[0], pending_gap[1] + gap[1])
+                gmx = (
+                    None if (pending_gap[1] is None or gap[1] is None)
+                    else pending_gap[1] + gap[1]
+                )
+                pending_gap = (pending_gap[0] + gap[0], gmx)
             else:
                 pending_gap = gap
             continue
@@ -601,7 +681,10 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
     if out is None:
         # sequence of only any-tokens: total n-gram range
         mn = sum(p.mn if isinstance(p, TPAnyToken) else p.mn * p.clause.mn for p in parts)
-        mx = sum(p.mx if isinstance(p, TPAnyToken) else p.mx * p.clause.mx for p in parts)
+        mxs = [p.mx if isinstance(p, TPAnyToken) else
+               (None if (p.mx is None or p.clause.mx is None) else p.mx * p.clause.mx)
+               for p in parts]
+        mx = None if any(m is None for m in mxs) else sum(mxs)
         return S.any_token(doc_lens, mn, mx)
     if pending_gap is not None:  # trailing []: expand right
         out = S.expand(out, doc_lens, "right", pending_gap[0], pending_gap[1])
@@ -650,6 +733,11 @@ def to_dict(tp: TP) -> dict:
             "type": "posfilter", "op": tp.op, "invert": tp.invert,
             "producer": to_dict(tp.producer), "filter": to_dict(tp.filt),
         }
+    if isinstance(tp, TPFiSeq):
+        return {
+            "type": "fiseq", "direction": tp.direction,
+            "left": to_dict(tp.left), "right": to_dict(tp.right),
+        }
     raise TypeError(repr(tp))
 
 
@@ -679,6 +767,8 @@ def from_dict(d: dict) -> TP:
         return TPPosFilter(
             from_dict(d["producer"]), from_dict(d["filter"]), d["op"], d.get("invert", False)
         )
+    if t == "fiseq":
+        return TPFiSeq(from_dict(d["left"]), from_dict(d["right"]), d["direction"])
     raise ValueError(t)
 
 
@@ -714,6 +804,12 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPAnd):
         return " & ".join(_wrap(p) for p in tp.clauses)
     if isinstance(tp, TPRepetition):
+        if tp.mx is None:
+            if tp.mn == 0:
+                return f"{_wrap(tp.clause)}*"
+            if tp.mn == 1:
+                return f"{_wrap(tp.clause)}+"
+            return f"{_wrap(tp.clause)}{{{tp.mn},}}"
         return f"{_wrap(tp.clause)}{{{tp.mn},{tp.mx}}}"
     if isinstance(tp, TPCapture):
         return f"{tp.name}:{_wrap(tp.clause)}"
@@ -721,6 +817,9 @@ def to_cql(tp: TP) -> str:
         return f"<{tp.name}/>"
     if isinstance(tp, TPPosFilter):
         return f"{_wrap(tp.producer)} {tp.op} {_wrap(tp.filt)}"
+    if isinstance(tp, TPFiSeq):
+        fn = "_FI1" if tp.direction == "fwd" else "_FI2"
+        return f"{fn}({to_cql(tp.left)}, {to_cql(tp.right)})"
     raise TypeError(repr(tp))
 
 

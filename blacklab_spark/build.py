@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 5  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 6  # bumped on any docs/terms/postings schema change
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -64,10 +64,12 @@ FORMAT_VERSION = 5  # bumped on any docs/terms/postings schema change
 DEFAULT_ANNOTATIONS = ("word",)
 
 DOCS_SCHEMA = (
-    "doc_id long, shard int, url string, lang string, text string, "
+    "doc_id long, shard int, url string, warc_ts timestamp, lang string, text string, "
     "doc_len int, tokens array<string>, tokens_fold array<string>, "
     "tokens_lemma array<string>, tokens_pos array<string>, "
-    "sents array<array<int>>"
+    "sents array<array<int>>, "
+    "tags array<struct<name:string,start:int,end:int>>, "
+    "tok_offs array<int>"
 )
 POSTINGS_SCHEMA = (
     "shard int, annot string, term_id long, block_id int, doc_count int, first_doc long, "
@@ -88,6 +90,8 @@ def tokenized_docs(
     pages: DataFrame,
     store_text: bool = True,
     annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
+    index_tags: tuple[str, ...] = (),
+    store_offsets: bool = False,
 ) -> DataFrame:
     """pages (+doc_id,shard) -> tokenized docs, vectorized. Runs AFTER id
     assignment so the range-partitioner's sampling pass never tokenizes.
@@ -100,8 +104,13 @@ def tokenized_docs(
     forward index per annotation, integrated.md:139-146): tokens_lemma
     (NULL-compressed when identical to the effective fold layer) and
     tokens_pos. Values derive from tokenize.lemma_fold/pos_fold on the
-    DISTINCT folded tokens of the batch — per-unique, not per-token cost."""
-    from .tokenize import lemma_array, pos_array
+    DISTINCT folded tokens of the batch — per-unique, not per-token cost.
+
+    index_tags: record real inline-tag spans (token positions) for these tag
+    names from docs whose text came from their html (reference: per-format
+    tag config, *.blf.yaml / integrated.md:34-123). store_offsets: keep each
+    token's char start offset for char-exact concordances."""
+    from .tokenize import lemma_array, pos_array, tag_spans_one, token_offsets_series
 
     want_lemma = "lemma" in annotations
     want_pos = "pos" in annotations
@@ -165,11 +174,34 @@ def tokenized_docs(
                         lemmas = folded
                     if want_pos:
                         poss = folded
+                if index_tags:
+                    # tag spans only where extraction USED the html (text
+                    # null): positions must agree with the indexed tokens
+                    from_html = pdf["text"].isna()
+                    tags_col = pd.Series(
+                        [
+                            tag_spans_one(
+                                h.decode("utf-8", "replace")
+                                if isinstance(h, (bytes, bytearray)) else (h or ""),
+                                index_tags,
+                            ) if use else []
+                            for h, use in zip(pdf["html"], from_html)
+                        ],
+                        index=pdf.index, dtype=object,
+                    )
+                else:
+                    tags_col = pd.Series([[]] * len(pdf), index=pdf.index, dtype=object)
+                offs_col = (
+                    token_offsets_series(text)
+                    if store_offsets
+                    else pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+                )
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
                         "shard": pdf["shard"],
                         "url": pdf["url"],
+                        "warc_ts": pdf["warc_ts"],
                         "lang": pdf["lang"],
                         "text": text if store_text else None,
                         "doc_len": toks.map(len).astype("int32"),
@@ -178,6 +210,8 @@ def tokenized_docs(
                         "tokens_lemma": lemmas,
                         "tokens_pos": poss,
                         "sents": sentence_spans_series(text),
+                        "tags": tags_col,
+                        "tok_offs": offs_col,
                     }
                 )
 
@@ -568,6 +602,8 @@ def build_index(
     resume: bool = False,
     store_text: bool = True,
     annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
+    index_tags: tuple[str, ...] = (),
+    store_offsets: bool = False,
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
 
@@ -600,6 +636,8 @@ def build_index(
         "store_text": store_text,
         "base_doc_id": base_doc_id,
         "annotations": list(annotations),
+        "index_tags": list(index_tags),
+        "store_offsets": store_offsets,
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
     }
@@ -646,8 +684,11 @@ def build_index(
         )
         if n_docs <= 50_000_000:
             ids = F.broadcast(ids)
-        pages0 = pages.select("url", "html", "text", "lang").join(ids, "url")
-        docs0 = tokenized_docs(pages0, store_text=store_text, annotations=annotations)
+        pages0 = pages.select("url", "warc_ts", "html", "text", "lang").join(ids, "url")
+        docs0 = tokenized_docs(
+            pages0, store_text=store_text, annotations=annotations,
+            index_tags=index_tags, store_offsets=store_offsets,
+        )
         docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
         cache0.unpersist()
         # read-back = lineage cut: later stages see one stable snapshot
@@ -816,6 +857,8 @@ def build_index(
         "format_version": FORMAT_VERSION,
         "segment": segment,
         "annotations": list(annotations),
+        "index_tags": list(index_tags),
+        "store_offsets": store_offsets,
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
         "n_terms": int(n_terms),
@@ -906,7 +949,7 @@ def compact(
         # re-derive a pages-shaped frame (text already extracted; html unused)
         pages = docs.select(
             "url",
-            F.lit(None).cast("timestamp").alias("warc_ts"),
+            "warc_ts",
             F.lit(None).cast("binary").alias("html"),
             "text",
             "lang",

@@ -257,7 +257,11 @@ def get_index(spark: SparkSession, sf_dir: str):
     if not ok:
         pages = docs.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
-            F.lit(None).cast("timestamp").alias("warc_ts"),
+            # deterministic per-doc timestamp: year 1970 + doc_id % 60
+            # (drives the decade grouping key; oracle mirrors the arithmetic)
+            F.make_date(
+                (F.lit(1970) + F.col("doc_id") % 60).cast("int"), F.lit(1), F.lit(1)
+            ).cast("timestamp").alias("warc_ts"),
             F.lit(None).cast("binary").alias("html"),
             "text",
             # engine metadata-filter field carries the documents `source`
@@ -353,6 +357,20 @@ def build_queries() -> dict:
     q["ix_lemma_hits"] = lambda s, d: _bcql(s, d, '[lemma="filt"]')
     q["ix_pos_seq"] = lambda s, d: _bcql(s, d, '[pos="stop"] [word="table"]')
     q["ix_annot_and"] = lambda s, d: _bcql(s, d, '[pos="stop" & word!="the"]')
+    # unbounded repetition (reference SpanQueryRepetition has no cap) and
+    # prefix-rewritten regex (SimplestMatcher, TextPatternRegex.java:73-98)
+    q["ix_rep_unbounded"] = lambda s, d: _bcql(s, d, '"table"{2,}')
+    q["ix_prefix_hits"] = lambda s, d: _ix_hits(get_index(s, d).regex_hits("sc.*"))
+
+    def rs_decade(s, d):
+        from . import results as R
+
+        ix = get_index(s, d)
+        return R.group_hits_by_decade(ix, ix.term_hits("table")).select(
+            "decade", F.col("size").cast("long")
+        )
+
+    q["rs_decade"] = rs_decade
     q["ix_constraint"] = lambda s, d: _bcql(s, d, '"table" A:[] :: A.word = "scan"')
 
     def ix_termfreq(s, d):
@@ -835,6 +853,31 @@ WHERE a.p = 'stop' AND b.tok = 'table'
 WITH {SQL_TOKS}
 SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
 WHERE ({SQL_POS}) = 'stop' AND tok <> 'the'
+"""
+    o["ix_rep_unbounded"] = f"""
+WITH {SQL_TOKS},
+h AS (SELECT doc_id, pos FROM toks WHERE tok = 'table'),
+runs AS (
+  SELECT doc_id, min(pos) AS rs, max(pos) + 1 AS re FROM (
+    SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM h
+  ) GROUP BY doc_id, isl
+  HAVING max(pos) + 1 - min(pos) >= 2
+)
+SELECT doc_id, CAST(s AS INT) AS start, CAST(s + l AS INT) AS "end"
+FROM runs,
+     LATERAL (SELECT unnest(range(2, re - rs + 1)) AS l) ll,
+     LATERAL (SELECT unnest(range(rs, re - l + 1)) AS s) ss
+"""
+    o["ix_prefix_hits"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks WHERE tok LIKE 'sc%'
+"""
+    o["rs_decade"] = f"""
+WITH {SQL_TOKS}
+SELECT CAST(((1970 + doc_id % 60) // 10) * 10 AS BIGINT) AS decade,
+       CAST(count(*) AS BIGINT) AS size
+FROM toks WHERE tok = 'table' GROUP BY 1
 """
     o["ix_termfreq"] = f"""
 WITH {SQL_TOKS}

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -190,12 +191,11 @@ class Index:
         expands a multi-term query (BLSpanMultiTermQueryWrapper.java:46-52)."""
         self._check_annot(annot)
         col = "term_fold" if fold else "term"
-        anchored = f"^(?:{pattern})$"
         parts = []
         for seg in self.segments:
             m = (
                 seg.terms.filter(
-                    (F.col("annot") == annot) & F.col(col).rlike(anchored)
+                    (F.col("annot") == annot) & _regex_match_col(col, pattern)
                 ).select("term_id")
             )
             p = seg.postings.select(
@@ -227,9 +227,8 @@ class Index:
         """(n matching terms, total df) for a regex over the dict — the cost
         of the postings path for an expanded multi-term query."""
         col = "term_fold" if fold else "term"
-        anchored = f"^(?:{pattern})$"
         parts = [
-            seg.terms.filter((F.col("annot") == "word") & F.col(col).rlike(anchored))
+            seg.terms.filter((F.col("annot") == "word") & _regex_match_col(col, pattern))
             .agg(F.count("*").alias("n"), F.sum("df").alias("d"))
             for seg in self.segments
         ]
@@ -416,14 +415,30 @@ class Index:
 
     def tag_hits(self, name: str = "s") -> DataFrame:
         """Inline-tag spans (reference: <s/> tag queries, cql.jj:348-368).
-        Web text has no markup; the build derives sentence spans from
-        punctuation at tokenize time (docs.sents)."""
-        if name != "s":
-            raise ValueError(f"unknown tag: {name!r} (only 's' spans are indexed)")
-        return self.docs.select("doc_id", F.explode("sents").alias("se")).select(
+        's' is derived from punctuation at tokenize time (docs.sents); other
+        tags come from real markup recorded at build time when the build ran
+        with index_tags=(...) (reference: per-format tag config,
+        integrated.md:34-123)."""
+        if name == "s":
+            return self.docs.select("doc_id", F.explode("sents").alias("se")).select(
+                "doc_id",
+                F.col("se")[0].cast("int").alias("start"),
+                F.col("se")[1].cast("int").alias("end"),
+            )
+        indexed = set()
+        for s in self.segments:
+            indexed |= set(s.meta.get("index_tags", []))
+        if name not in indexed:
+            raise ValueError(
+                f"unknown tag: {name!r} (indexed tags: ['s'] + {sorted(indexed)}; "
+                "build with index_tags=(...) to record markup spans)"
+            )
+        return self.docs.select("doc_id", F.explode("tags").alias("t")).filter(
+            F.col("t.name") == name
+        ).select(
             "doc_id",
-            F.col("se")[0].cast("int").alias("start"),
-            F.col("se")[1].cast("int").alias("end"),
+            F.col("t.start").cast("int").alias("start"),
+            F.col("t.end").cast("int").alias("end"),
         )
 
     def seq_hits(self, hit_dfs: list[DataFrame], gap_min: int = 0, gap_max: int = 0) -> DataFrame:
@@ -527,6 +542,25 @@ class Index:
 
 
 # ------------------------------------------------------------ numpy kernels --
+_RX_LITERAL = re.compile(r"^[0-9A-Za-z\u00c0-\u024f]+$")
+_RX_PREFIX = re.compile(r"^([0-9A-Za-z\u00c0-\u024f]+)\.[*+]$")
+
+
+def _regex_match_col(col: str, pattern: str):
+    """SimplestMatcher rewrite (reference TextPatternRegex.rewriteForQuery,
+    TextPatternRegex.java:73-98): REGEX -> TERM equality / PREFIX startswith
+    fast paths over the sorted dict before falling back to rlike — equality
+    and prefix predicates are sargable string ops, no per-row regex engine."""
+    if _RX_LITERAL.match(pattern):
+        return F.col(col) == pattern
+    m = _RX_PREFIX.match(pattern)
+    if m:
+        pre = m.group(1)
+        c = F.col(col).startswith(pre)
+        return c if pattern.endswith("*") else c & (F.length(F.col(col)) > len(pre))
+    return F.col(col).rlike(f"^(?:{pattern})$")
+
+
 def _decode_group(pdf: pd.DataFrame, need_pos: bool):
     """Decode all block rows of one shard into flat arrays.
 

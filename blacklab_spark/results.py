@@ -43,6 +43,44 @@ def _hit_text_col(ix: Index, hits: DataFrame, part: str, context: int, fold: boo
     return j.withColumn("_key", F.array_join(c, " ")).drop("_toks")
 
 
+def _ctx_collation_key(ix: Index, hits: DataFrame, part: str, context: int):
+    """Insensitive collation sort key for a hit's context (reference:
+    HitPropertyContextBase.java:336-338 sorts via the terms dict's collator
+    positions). Our sort_pos_i is the dense rank over (term_fold, term)
+    (build.py terms stage), so comparing token sequences elementwise by the
+    (fold, surface) pair IS comparing sort_pos_i sequences — no dict join
+    per hit needed. Encoding: token -> fold + \\x01 + surface, joined with
+    \\x00; byte order over the encoded string equals elementwise pair order
+    because tokens contain no control characters (TOKEN_RE word chars) and
+    \\x00 < \\x01 < every token byte."""
+    j = hits.join(
+        ix.docs.select(
+            "doc_id", F.col("tokens").alias("_t"), F.col("tokens_fold").alias("_f")
+        ),
+        "doc_id",
+    )
+
+    def part_slice(col):
+        if part == "match":
+            return F.slice(col, F.col("start") + 1, F.col("end") - F.col("start"))
+        if part == "before":
+            first = F.greatest(F.lit(1), F.col("start") + 1 - context)
+            # reference compares before-context right-to-left
+            return F.reverse(F.slice(col, first, F.col("start") + 1 - first))
+        if part == "after":
+            return F.slice(
+                col, F.col("end") + 1,
+                F.least(F.lit(context), F.size(col) - F.col("end")),
+            )
+        raise ValueError(part)
+
+    pair = F.zip_with(
+        part_slice(F.col("_f")), part_slice(F.col("_t")),
+        lambda f, s: F.concat(f, F.lit("\x01"), s),
+    )
+    return j.withColumn("_key", F.array_join(pair, "\x00")).drop("_t", "_f")
+
+
 def sort_hits(
     ix: Index,
     hits: DataFrame,
@@ -52,11 +90,20 @@ def sort_hits(
     descending: bool = False,
 ) -> DataFrame:
     """Hits.sort(HitProperty) (reference results/HitsAbstract.java:279-293).
-    by: 'match' | 'before' | 'after' | 'doc' | 'position'."""
+    by: 'match' | 'before' | 'after' | 'doc' | 'position'.
+
+    Context sorts are collation-correct: fold=True orders by the terms
+    dict's INSENSITIVE collator positions (sort_pos_i ~ (fold, surface)
+    pairs — see _ctx_collation_key), fold=False by the sensitive order
+    (sort_pos_s = rank over surface term, which plain string order realizes
+    directly)."""
     if by in ("doc", "position"):
         keys = [F.col("doc_id"), F.col("start"), F.col("end")]
+    elif fold:
+        hits = _ctx_collation_key(ix, hits, by, context)
+        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
     else:
-        hits = _hit_text_col(ix, hits, by, context, fold)
+        hits = _hit_text_col(ix, hits, by, context, fold=False)
         keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
     if descending:
         keys = [k.desc() for k in keys]
@@ -175,9 +222,43 @@ def filter_hits_by_metadata(ix: Index, hits: DataFrame, predicate: str) -> DataF
 
 
 def concordances(ix: Index, hits: DataFrame, context_chars: int = 40) -> DataFrame:
-    """Character-based concordances from the stored text (reference
-    results/Concordances.java reads the content store; our content store is
-    the docs.text column). Positions are token indexes, so the original char
-    span is recovered by re-walking tokens — v1 approximates with the KWIC
-    token window joined as strings; exact char offsets are a later round."""
-    return ix.kwic(hits, context=max(1, context_chars // 6))
+    """Character-exact concordances from the stored text (reference
+    results/Concordances.java reads the content store; ours is the docs.text
+    column + the token->char offset map stored by store_offsets=True).
+    Falls back to the KWIC token-window approximation when the index was
+    built without offsets."""
+    has_offsets = all(s.meta.get("store_offsets") for s in ix.segments)
+    if not has_offsets:
+        return ix.kwic(hits, context=max(1, context_chars // 6))
+    d = ix.docs.select("doc_id", "text", "tokens", "tok_offs")
+    j = hits.join(d, "doc_id")
+    # char span of the hit: [offs[start], offs[end-1] + len(token[end-1]))
+    cs = F.element_at("tok_offs", F.col("start") + 1)
+    ce = F.element_at("tok_offs", F.col("end")) + F.length(
+        F.element_at("tokens", F.col("end"))
+    )
+    left_from = F.greatest(F.lit(0), cs - context_chars)
+    return j.select(
+        "doc_id", "start", "end",
+        F.substring(F.col("text"), left_from + 1, cs - left_from).alias("left"),
+        F.substring(F.col("text"), cs + 1, ce - cs).alias("match"),
+        F.substring(F.col("text"), ce + 1, F.lit(context_chars)).alias("right"),
+    )
+
+
+def group_docs_by_decade(ix: Index, doc_ids: DataFrame, ts_field: str = "warc_ts") -> DataFrame:
+    """Doc counts per decade of a timestamp metadata field (reference:
+    DocPropertyDecade.java:11-15)."""
+    d = doc_ids.select("doc_id").dropDuplicates().join(
+        ix.docs.select("doc_id", ts_field), "doc_id"
+    )
+    decade = (F.floor(F.year(ts_field) / 10) * 10).cast("long").alias("decade")
+    return d.groupBy(decade).agg(F.countDistinct("doc_id").alias("n_docs"))
+
+
+def group_hits_by_decade(ix: Index, hits: DataFrame, ts_field: str = "warc_ts") -> DataFrame:
+    """Hit counts per decade of the containing document's timestamp field
+    (reference: HitPropertyDocumentDecade.java:10-14)."""
+    d = ix.docs.select("doc_id", ts_field)
+    decade = (F.floor(F.year(ts_field) / 10) * 10).cast("long").alias("decade")
+    return hits.join(d, "doc_id").groupBy(decade).agg(F.count("*").alias("size"))

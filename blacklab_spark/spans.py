@@ -41,14 +41,19 @@ def _caps(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in HITS_COLS]
 
 
-def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int = 0) -> DataFrame:
+def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int | None = 0) -> DataFrame:
     """Concatenation a ++ b (optionally with [gap_min, gap_max] any-tokens
-    between). Emits ALL matches (the reference diverges from Lucene SpanNear
-    here on purpose — SpanQuerySequence.java:33-49 javadoc)."""
+    between; gap_max=None = unbounded gap, e.g. `"a" []* "b"`). Emits ALL
+    matches (the reference diverges from Lucene SpanNear here on purpose —
+    SpanQuerySequence.java:33-49 javadoc)."""
     aa, bb = a.alias("a"), b.alias("b")
     if gap_min == 0 and gap_max == 0:
         cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
             F.col("b.start") == F.col("a.end")
+        )
+    elif gap_max is None:
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
+            F.col("b.start") >= F.col("a.end") + gap_min
         )
     else:
         cond = (
@@ -65,28 +70,96 @@ def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int = 0) -> 
     )
 
 
-def repetition(h: DataFrame, mn: int, mx: int) -> DataFrame:
-    """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths).
+def repetition(h: DataFrame, mn: int, mx: int | None) -> DataFrame:
+    """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths;
+    mx=None means unbounded, reference SpanQueryRepetition.java:17-25 has no
+    cap). Bounded: iterated positional self-joins. Unbounded: fixpoint loop —
+    extend chains until a round adds none (one count() per extra length, the
+    driver-side analog of the reference's per-doc chain walk).
 
     Capture columns on the clause are intentionally dropped: a capture inside
     a repetition is ambiguous (which iteration?) — the reference records
     per-iteration match-info lists; we keep only the span. Wrap the capture
-    OUTSIDE the repetition (`A:("x"{2,3})`) to record the full span."""
-    assert 1 <= mn <= mx
-    reps = [h.select(*HITS_COLS)]
-    for _ in range(mx - 1):
-        reps.append(sequence(reps[-1], h.select(*HITS_COLS)))
-    out = reps[mn - 1]
-    for r in reps[mn : mx]:
-        out = out.unionByName(r)
+    OUTSIDE the repetition (`A:("x"{2,3})`) to record the full span.
+
+    For single-token clauses prefer repetition_token_runs (no joins, no
+    driver loop)."""
+    assert 1 <= mn and (mx is None or mn <= mx)
+    base = h.select(*HITS_COLS)
+    if mx is not None:
+        reps = [base]
+        for _ in range(mx - 1):
+            reps.append(sequence(reps[-1], base))
+        out = reps[mn - 1]
+        for r in reps[mn:mx]:
+            out = out.unionByName(r)
+        return out.dropDuplicates(list(HITS_COLS))
+    base = base.persist()
+    cur = base
+    k = 1
+    parts = []
+    while True:
+        if k >= mn:
+            parts.append(cur)
+        nxt = sequence(cur, base).persist()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        cur = nxt
+        k += 1
+        if k > 100_000:  # runaway guard (longest possible run << doc length)
+            raise RuntimeError("repetition fixpoint did not converge")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.dropDuplicates(list(HITS_COLS))
 
 
-def any_token(doc_lens: DataFrame, mn: int, mx: int) -> DataFrame:
+def repetition_token_runs(h: DataFrame, mn: int, mx: int | None) -> DataFrame:
+    """h{mn,mx} for SINGLE-TOKEN clauses, unbounded-safe and join-free:
+    gaps-and-islands — group consecutive hit positions per doc into maximal
+    runs, then emit every sub-span with length in [mn, mx] (ALL-matches
+    semantics, SpanQueryRepetition.java:17-25) by exploding (length, offset).
+    One window over (doc_id)-partitioned data + generate — no self-joins, no
+    driver loop, no length cap."""
+    from pyspark.sql import Window
+
+    assert 1 <= mn and (mx is None or mn <= mx)
+    w = Window.partitionBy("doc_id").orderBy("start")
+    runs = (
+        h.select("doc_id", "start")
+        .withColumn("_isl", F.col("start") - F.row_number().over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("start").alias("rs"), (F.max("start") + 1).alias("re"))
+        .withColumn("_len", F.col("re") - F.col("rs"))
+        .filter(F.col("_len") >= mn)
+    )
+    max_l = F.col("_len") if mx is None else F.least(F.col("_len"), F.lit(mx))
+    lens = runs.select(
+        "doc_id", "rs", "_len", F.explode(F.sequence(F.lit(mn), max_l)).alias("l")
+    )
+    offs = lens.select(
+        "doc_id", "l", "rs",
+        F.explode(F.sequence(F.lit(0), F.col("_len") - F.col("l"))).alias("o"),
+    )
+    return offs.select(
+        "doc_id",
+        (F.col("rs") + F.col("o")).cast("int").alias("start"),
+        (F.col("rs") + F.col("o") + F.col("l")).cast("int").alias("end"),
+    )
+
+
+def any_token(doc_lens: DataFrame, mn: int, mx: int | None) -> DataFrame:
     """[]{mn,mx}: all n-grams of lengths mn..mx, generated from doc lengths
-    (doc_lens: doc_id, doc_len) — never materialized against postings."""
-    assert 0 <= mn <= mx
-    n = F.explode(F.sequence(F.lit(max(mn, 1)), F.lit(mx))).alias("n")
+    (doc_lens: doc_id, doc_len) — never materialized against postings.
+    mx=None ([]* / []+): lengths up to each doc's length."""
+    assert 0 <= mn and (mx is None or mn <= mx)
+    lo = max(mn, 1)
+    # guard doc_len < lo BEFORE sequence(): a descending sequence would emit
+    # spurious lengths (sequence steps -1 when stop < start)
+    doc_lens = doc_lens.filter(F.col("doc_len") >= lo)
+    hi = F.col("doc_len") if mx is None else F.least(F.lit(mx), F.col("doc_len"))
+    n = F.explode(F.sequence(F.lit(lo), hi)).alias("n")
     with_n = doc_lens.select("doc_id", "doc_len", n).filter(F.col("n") <= F.col("doc_len"))
     start = F.explode(F.sequence(F.lit(0), F.col("doc_len") - F.col("n"))).alias("start")
     return with_n.select("doc_id", start, "n").select(
@@ -94,13 +167,18 @@ def any_token(doc_lens: DataFrame, mn: int, mx: int) -> DataFrame:
     )
 
 
-def expand(h: DataFrame, doc_lens: DataFrame, direction: str, mn: int, mx: int) -> DataFrame:
+def expand(h: DataFrame, doc_lens: DataFrame, direction: str, mn: int, mx: int | None) -> DataFrame:
     """Pad hits left/right by mn..mx any-tokens; one output hit per padding
-    amount that stays inside [0, doc_len]."""
+    amount that stays inside [0, doc_len]. mx=None pads to the doc bounds."""
     assert direction in ("left", "right")
     caps = _caps(h)
     j = h.join(doc_lens, "doc_id")
-    n = F.explode(F.sequence(F.lit(mn), F.lit(mx))).alias("n")
+    if mx is None:
+        hi = F.col("start") if direction == "left" else F.col("doc_len") - F.col("end")
+        j = j.filter(hi >= mn)
+    else:
+        hi = F.lit(mx)
+    n = F.explode(F.sequence(F.lit(mn), hi)).alias("n")
     j = j.select("doc_id", "start", "end", "doc_len", *caps, n)
     if direction == "left":
         out = j.select(

@@ -118,6 +118,83 @@ def fold_series(texts: pd.Series) -> pd.Series:
     )
 
 
+# ---------------------------------------------------------------- tag spans --
+# Real inline-tag spans from markup (reference: arbitrary tags indexed into
+# the _relation annotation with source/target payloads, integrated.md:34-123;
+# which tags get indexed is per-format configuration, *.blf.yaml). Spans are
+# recorded in TOKEN positions consistent with tokenize(extract_text(html)):
+# one combined scan consumes comments/tags/tokens in document order, so the
+# token counter advances exactly like TOKEN_RE over the stripped text.
+
+DEFAULT_TAGS = ("title", "p", "h1", "h2", "li")
+_COMB_TAGTOK = None
+
+
+def _comb_tagtok():
+    global _COMB_TAGTOK
+    if _COMB_TAGTOK is None:
+        import re
+
+        _COMB_TAGTOK = re.compile(
+            r"(?s)(?P<comment><!--.*?-->)|(?P<tag></?[A-Za-z][^>]*>)|(?P<tok>" + TOKEN_RE + r")"
+        )
+    return _COMB_TAGTOK
+
+
+def tag_spans_one(html_str: str, tags=DEFAULT_TAGS) -> list[tuple[str, int, int]]:
+    """(name, token_start, token_end) spans for tracked tags in one doc.
+    Scripts/styles are stripped first (their content is not tokenized by
+    extract_text either); unknown tags are consumed without emitting spans;
+    nesting per tag name via a stack; unclosed tags are dropped."""
+    import re
+
+    h = re.sub(_TAG_SCRIPT, " ", html_str or "")
+    tracked = set(tags)
+    stacks: dict[str, list[int]] = {}
+    out: list[tuple[str, int, int]] = []
+    tokc = 0
+    for m in _comb_tagtok().finditer(h):
+        if m.group("tok") is not None:
+            tokc += 1
+        elif m.group("tag") is not None:
+            t = m.group("tag")
+            closing = t.startswith("</")
+            name = re.match(r"</?\s*([A-Za-z][A-Za-z0-9]*)", t)
+            if not name:
+                continue
+            nm = name.group(1).lower()
+            if nm not in tracked:
+                continue
+            if closing:
+                st = stacks.get(nm)
+                if st:
+                    s = st.pop()
+                    if tokc > s:
+                        out.append((nm, s, tokc))
+            elif not t.endswith("/>"):
+                stacks.setdefault(nm, []).append(tokc)
+    return out
+
+
+def tag_spans_series(html: pd.Series, tags=DEFAULT_TAGS) -> pd.Series:
+    return html.map(
+        lambda b: tag_spans_one(
+            b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""),
+            tags,
+        )
+    )
+
+
+def token_offsets_series(texts: pd.Series) -> pd.Series:
+    """Per-doc char start offset of every token (the token->char map the
+    reference keeps implicitly in its content store; enables char-exact
+    concordances, results/Concordances.java)."""
+    import re
+
+    rx = re.compile(TOKEN_RE)
+    return texts.fillna("").map(lambda t: [m.start() for m in rx.finditer(t)])
+
+
 # --------------------------------------------------------------- annotations --
 # Derived annotation layers (reference: per-token parallel annotations, one
 # Lucene field per layer — AnnotatedFieldWriter.java:20-44; its test corpus

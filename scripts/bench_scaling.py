@@ -182,7 +182,7 @@ ceiling, not to serial fractions in the job. Raw probes:
 
 Per-query latency (s):
 
-| query | local[8] | local[32] |
+| query | local[{lo}] | local[{hi}] |
 |---|---|---|
 """ + "\n".join(
         f"| {q} | {r8['query_lat'][q]} | {r32['query_lat'][q]} |" for q in r8["query_lat"]

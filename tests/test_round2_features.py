@@ -1,0 +1,191 @@
+"""Round-2 features: unbounded repetition, _FI1/_FI2, real tag spans,
+collation-correct sorting, char-exact concordances, prefix fast path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark import bcql
+from blacklab_spark import results as R
+
+
+def hs(df):
+    return {(r["doc_id"], r["start"], r["end"]) for r in df.select("doc_id", "start", "end").collect()}
+
+
+# ------------------------------------------------------ unbounded repetition
+# tiny doc1: noot mier aap mier mier mier noot noot aap aap aap aap
+#   aap runs: [2,3) len1, [8,12) len4 ; mier runs: [1,2) len1, [3,6) len3
+# tiny doc5: aap x16
+
+def test_unbounded_repetition_counts(tiny_index):
+    got = bcql.find(tiny_index, '"aap"{2,}')
+    # doc5: sum_{l=2..16}(16-l+1) = 120 ; doc1 run len4: 3+2+1 = 6
+    assert got.count() == 126
+    got_plus = bcql.find(tiny_index, '"aap"+')
+    # + adds all length-1 spans: doc5 16 more (total 136), doc1 1+4 hits
+    assert got_plus.count() == 136 + 10 + 1
+
+
+def test_unbounded_repetition_exact_spans(tiny_index):
+    got = hs(bcql.find(tiny_index, '"mier"{2,}'))
+    assert got == {(1, 3, 5), (1, 4, 6), (1, 3, 6)}
+
+
+def test_unbounded_run_longer_than_old_cap(tiny_index):
+    # doc5 has a 16-run; the old mx=8 cap silently dropped lengths > 8
+    got = hs(bcql.find(tiny_index, '"aap"{12,}'))
+    assert (5, 0, 16) in got and (5, 0, 12) in got
+    assert len(got) == 5 + 4 + 3 + 2 + 1  # lengths 12..16
+
+
+def test_unbounded_general_clause_fixpoint(tiny_index):
+    # multi-token clause goes through the fixpoint loop
+    got = hs(bcql.find(tiny_index, '("quick" "brown")+'))
+    assert got == {(0, 1, 3), (2, 1, 3)}
+    got2 = hs(bcql.find(tiny_index, '("aap" "aap")+'))
+    # chains of even length: doc5 16-run -> lengths 2,4,..,16 at each offset
+    assert (5, 0, 16) in got2 and (5, 0, 2) in got2 and (1, 8, 12) in got2
+
+
+def test_star_gap_sequence(tiny_index):
+    # "the" []* "dog": any distance (doc0: the@0/the@6, dog@8)
+    got = hs(bcql.find(tiny_index, '"the" []* "dog"'))
+    assert got == {(0, 0, 9), (0, 6, 9)}
+
+
+# ------------------------------------------------------------- _FI1 / _FI2
+def test_fi_forced_directions_agree(tiny_index):
+    plain = hs(bcql.find(tiny_index, '"quick" "brown"'))
+    f1 = hs(bcql.find(tiny_index, '_FI1("quick", "brown")'))
+    f2 = hs(bcql.find(tiny_index, '_FI2("quick", "brown")'))
+    assert f1 == plain and f2 == plain and plain == {(0, 1, 3), (2, 1, 3)}
+
+
+def test_fi_with_regex_side(tiny_index):
+    plain = hs(bcql.find(tiny_index, '"the" "qu.*"'))
+    assert hs(bcql.find(tiny_index, '_FI1("the", "qu.*")')) == plain
+    assert hs(bcql.find(tiny_index, '_FI2("th.*", "quick")')) == plain
+
+
+def test_fi_roundtrip_serialization():
+    tp = bcql.parse('_FI1("a", "b.*")')
+    assert isinstance(tp, bcql.TPFiSeq)
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+
+
+# ---------------------------------------------------------- real tag spans
+@pytest.fixture(scope="module")
+def tagged_index(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path_factory.mktemp("ix_tags"))
+    # text=None forces extraction from html, so tag positions line up with
+    # the indexed tokens (<title>t{i}</title> ... <p>text</p>)
+    pages = pages_df(spark, "tiny").withColumn("text", F.lit(None).cast("string"))
+    build_index(
+        spark, pages, out, n_shards=2, block_size=4,
+        index_tags=("title", "p"), store_offsets=True,
+    )
+    return Index(spark, out)
+
+
+def test_tag_spans_from_markup(tagged_index):
+    titles = hs(tagged_index.tag_hits("title"))
+    # every doc: <title>t{i}</title> = token 0
+    assert titles == {(i, 0, 1) for i in range(6) if i != 4} | {(4, 0, 1)}
+    ps = {r["doc_id"]: (r["start"], r["end"]) for r in tagged_index.tag_hits("p").collect()}
+    assert ps[0] == (1, 10)  # 9 text tokens after the title token
+    assert 4 not in ps  # empty <p></p> emits no span
+
+
+def test_within_real_tag(tagged_index):
+    got = hs(bcql.find(tagged_index, '"quick" within <p/>'))
+    assert got == {(0, 2, 3), (2, 2, 3), (2, 7, 8)}
+    assert hs(bcql.find(tagged_index, '"t3" within <title/>')) == {(3, 0, 1)}
+
+
+def test_unknown_tag_still_raises(tagged_index):
+    with pytest.raises(ValueError, match="unknown tag"):
+        tagged_index.tag_hits("div")
+
+
+# ------------------------------------------------- collation-correct sorting
+def test_sort_hits_matches_sort_pos_i(small_index):
+    """sort_hits(fold=True) must order single-token matches exactly like the
+    terms dict's insensitive collator positions (sort_pos_i) — the reference
+    semantics (HitPropertyContextBase.java:336-338)."""
+    hits = small_index.or_hits(["café", "click", "terms"])  # includes Café/CAFÉ variants
+    rows = R.sort_hits(small_index, hits, by="match", context=1).collect()
+    # map each hit's surface token -> sort_pos_i via the dict
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in small_index.docs.select("doc_id", "tokens").collect()
+    }
+    spi = {
+        r["term"]: r["sort_pos_i"]
+        for r in small_index.terms_df.filter("annot = 'word'").collect()
+    }
+    keys = [
+        (spi[toks[r["doc_id"]][r["start"]]], r["doc_id"], r["start"])
+        for r in rows
+    ]
+    assert keys == sorted(keys)
+    assert len(rows) > 60  # accent variants present
+
+
+def test_sort_hits_sensitive_is_surface_order(small_index):
+    hits = small_index.or_hits(["café"], fold=True)
+    rows = R.sort_hits(small_index, hits, by="match", context=1, fold=False).collect()
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in small_index.docs.select("doc_id", "tokens").collect()
+    }
+    surf = [toks[r["doc_id"]][r["start"]] for r in rows]
+    assert surf == sorted(surf)
+
+
+# --------------------------------------------------- char-exact concordances
+def test_concordances_exact_chars(tagged_index):
+    hits = tagged_index.term_hits("quick")
+    rows = R.concordances(tagged_index, hits, context_chars=10).collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"] for r in tagged_index.docs.select("doc_id", "text").collect()}
+    offs = {
+        r["doc_id"]: r["tok_offs"]
+        for r in tagged_index.docs.select("doc_id", "tok_offs").collect()
+    }
+    for r in rows:
+        assert r["match"].lower() == "quick"
+        t = texts[r["doc_id"]]
+        cs = offs[r["doc_id"]][r["start"]]
+        assert t[cs : cs + 5] == r["match"]  # char-EXACT, not token approx
+        assert r["left"] == t[max(0, cs - 10) : cs]
+        assert r["right"] == t[cs + 5 : cs + 15]
+
+
+def test_concordance_fallback_without_offsets(tiny_index):
+    # index built without store_offsets falls back to the token-window KWIC
+    out = R.concordances(tiny_index, tiny_index.term_hits("quick"))
+    assert {"left", "match", "right"} <= set(out.columns)
+    assert out.count() == 3
+
+
+# ------------------------------------------------------- prefix fast path
+def test_prefix_regex_equals_rlike(tiny_index):
+    fast = hs(tiny_index.regex_hits("qu.*"))
+    assert fast == hs(bcql.find(tiny_index, '"qu.*k"')) | hs(tiny_index.term_hits("quick"))
+    assert fast == {(0, 1, 2), (2, 1, 2), (2, 6, 7)}
+
+
+def test_regex_match_col_shapes():
+    from blacklab_spark.query import _regex_match_col
+
+    # literal -> equality; prefix -> startswith; else rlike (smoke the shapes)
+    assert "= abc" in str(_regex_match_col("term", "abc")._jc.toString()) or True
+    c1 = str(_regex_match_col("term", "abc"))
+    c2 = str(_regex_match_col("term", "abc.*"))
+    c3 = str(_regex_match_col("term", "a|b"))
+    assert "startswith" in c2 and "RLIKE" in c3.upper() and "=" in c1
