@@ -107,6 +107,26 @@ class TPTags(TP):
 
 
 @dataclass
+class TPDefaultValue(TP):
+    """The `_` placeholder (reference SpanQueryDefaultValue / <DEFAULT_VALUE>
+    cql.jj:98): an unconstrained relation side; an error anywhere else."""
+
+
+@dataclass
+class TPRelation(TP):
+    """Relation query `SRC -type-> TGT` (reference relationQuery,
+    cql.jj:277-341 -> SpanQueryRelations): match relations whose rtype
+    matches `rtype` (regex allowed), whose source span equals a SRC hit and
+    target span equals a TGT hit (`_` = unconstrained). Returned span per
+    `mode` ('full' default; rspan() adjusts — SpanQueryRelationSpanAdjust)."""
+
+    source: TP
+    rtype: str
+    target: TP
+    mode: str = "full"
+
+
+@dataclass
 class TPFiSeq(TP):
     """Forced forward-index sequence direction (reference debug functions
     _FI1/_FI2, extensions/XFDebug.java:43-45, exercised by hits.js:55-56):
@@ -161,6 +181,7 @@ _TOKEN_SPEC = [
     ("NUMBER", r"\d+"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
     ("TAG", r"<\s*[A-Za-z_][A-Za-z0-9_]*\s*/\s*>"),
+    ("RELOP", r"-[A-Za-z0-9_.|*?]*->"),
     ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>"),
     ("WS", r"\s+"),
 ]
@@ -318,7 +339,7 @@ class _Parser:
                 flat.append(p)
         return flat[0] if len(flat) == 1 else TPSequence(flat)
 
-    # seqpart := [NAME ':'] atom repetition?
+    # seqpart := [NAME ':'] atom repetition? (RELOP seqpart)?
     def seqpart(self) -> TP:
         k, v = self.peek()
         if k == "NAME" and self.toks[self.i + 1][1] == ":":
@@ -326,8 +347,13 @@ class _Parser:
             self.next()  # ':'
             inner = self.seqpart()
             return TPCapture(name, inner)
-        node = self.atom()
-        return self.maybe_repeat(node)
+        node = self.maybe_repeat(self.atom())
+        if self.peek()[0] == "RELOP":
+            op = self.next()[1]
+            rtype = op[1:-2]  # strip '-' and '->'
+            target = self.seqpart()
+            return TPRelation(node, rtype, target)
+        return node
 
     def maybe_repeat(self, node: TP) -> TP:
         k, v = self.peek()
@@ -358,6 +384,9 @@ class _Parser:
 
     def atom(self) -> TP:
         k, v = self.peek()
+        if k == "NAME" and v == "_":
+            self.next()
+            return TPDefaultValue()
         if k == "NAME" and v in ("_FI1", "_FI2") and self.toks[self.i + 1][1] == "(":
             fn = self.next()[1]
             self.expect("(")
@@ -366,6 +395,28 @@ class _Parser:
             b = self.atom()
             self.expect(")")
             return TPFiSeq(a, b, "fwd" if fn == "_FI1" else "bwd")
+        if k == "NAME" and v == "rel" and self.toks[self.i + 1][1] == "(":
+            # rel(type[, mode]) (reference XFRelations.rel, XFRelations.java:26-30)
+            self.next()
+            self.expect("(")
+            t = self.atom()
+            mode = "full"
+            if self.peek()[1] == ",":
+                self.next()
+                mode = _quoted_val(self.atom())
+            self.expect(")")
+            return TPRelation(TPDefaultValue(), _quoted_val(t), TPDefaultValue(), mode)
+        if k == "NAME" and v == "rspan" and self.toks[self.i + 1][1] == "(":
+            # rspan(relquery, mode) (reference XFRelations.rspan)
+            self.next()
+            self.expect("(")
+            q = self.query()
+            self.expect(",")
+            mode = _quoted_val(self.atom())
+            self.expect(")")
+            if not isinstance(q, TPRelation):
+                raise ValueError("rspan(): first argument must be a relation query")
+            return TPRelation(q.source, q.rtype, q.target, mode)
         if k == "QUOTED":
             self.next()
             flags = None
@@ -438,6 +489,14 @@ class _Parser:
         return node
 
 
+def _quoted_val(tp: TP) -> str:
+    if isinstance(tp, TPTerm):
+        return tp.term
+    if isinstance(tp, TPRegex):
+        return tp.pattern
+    raise ValueError(f"expected a quoted string argument, got {tp!r}")
+
+
 def parse(q: str) -> TP:
     p = _Parser(_lex(q))
     node = p.query()
@@ -488,6 +547,10 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
             tp.op,
             tp.invert,
         )
+    if isinstance(tp, TPDefaultValue):
+        raise ValueError("`_` (default value) is only valid as a relation side")
+    if isinstance(tp, TPRelation):
+        return _compile_relation(ix, tp)
     if isinstance(tp, TPFiSeq):
         return _compile_fiseq(ix, tp)
     if isinstance(tp, TPSequence):
@@ -563,6 +626,27 @@ def _fi_pattern(tp: TP) -> tuple[str, str]:
     return pat, col
 
 
+def _compile_relation(ix: Index, tp: TPRelation) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hits = ix.rel_hits(rtype=tp.rtype or None, mode=tp.mode)
+    if not isinstance(tp.source, TPDefaultValue):
+        sh = compile_pattern(ix, tp.source).select(
+            "doc_id",
+            F.col("start").alias("source_start"),
+            F.col("end").alias("source_end"),
+        )
+        hits = hits.join(sh, ["doc_id", "source_start", "source_end"], "left_semi")
+    if not isinstance(tp.target, TPDefaultValue):
+        th = compile_pattern(ix, tp.target).select(
+            "doc_id",
+            F.col("start").alias("target_start"),
+            F.col("end").alias("target_end"),
+        )
+        hits = hits.join(th, ["doc_id", "target_start", "target_end"], "left_semi")
+    return hits
+
+
 def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
     if tp.direction == "fwd":
         anchor = compile_pattern(ix, tp.left)
@@ -591,18 +675,50 @@ def _is_pure_term(p: TP) -> bool:
     return isinstance(p, TPTerm) and not p.sensitive and p.annot == "word"
 
 
+def _matches_empty(tp: TP) -> bool:
+    """Can this pattern match the empty sequence? (reference:
+    BLSpanQuery.matchesEmptySequence, BLSpanQuery.java:180-193)."""
+    if isinstance(tp, TPRepetition):
+        return tp.mn == 0 or _matches_empty(tp.clause)
+    if isinstance(tp, TPCapture):
+        return _matches_empty(tp.clause)
+    if isinstance(tp, TPSequence):
+        return all(_matches_empty(p) for p in tp.parts)
+    if isinstance(tp, TPOr):
+        return any(_matches_empty(c) for c in tp.clauses)
+    if isinstance(tp, TPAnyToken):
+        return tp.mn == 0
+    return False
+
+
+def _no_empty(tp: TP) -> TP:
+    """The noEmpty() alternative: same pattern constrained to >= 1 token
+    (reference: BLSpanQuery.noEmpty used by makeAlternatives,
+    SpanQuerySequence.java:534)."""
+    if isinstance(tp, TPRepetition):
+        if tp.mn == 0:
+            return TPRepetition(_no_empty(tp.clause) if _matches_empty(tp.clause) else tp.clause, 1, tp.mx)
+        return TPRepetition(_no_empty(tp.clause), tp.mn, tp.mx) if _matches_empty(tp.clause) else tp
+    if isinstance(tp, TPCapture):
+        return TPCapture(tp.name, _no_empty(tp.clause))
+    if isinstance(tp, TPAnyToken) and tp.mn == 0:
+        return TPAnyToken(1, tp.mx)
+    return tp
+
+
 def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
     # EmptyClauseAlts (reference SpanQuerySequence.rewrite:415-452): a
-    # clause that can match empty (A?, A{0,n}) splits the sequence into
-    # with/without alternatives — positional joins can't express empties.
+    # clause that can match empty (A?, A{0,n}, N:(A?), nested) splits the
+    # sequence into with/without alternatives — positional joins can't
+    # express empties. Any-token clauses are excluded: they become gap
+    # arithmetic below (CCAnyExpansion), which handles mn=0 natively.
     for i, p in enumerate(parts):
-        if (
-            isinstance(p, TPRepetition)
-            and p.mn == 0
-            and not isinstance(p.clause, TPAnyToken)
-        ):
+        is_gap = isinstance(p, TPAnyToken) or (
+            isinstance(p, TPRepetition) and isinstance(p.clause, TPAnyToken)
+        )
+        if not is_gap and _matches_empty(p):
             without = parts[:i] + parts[i + 1 :]
-            with_ = parts[:i] + [TPRepetition(p.clause, 1, p.mx)] + parts[i + 1 :]
+            with_ = parts[:i] + [_no_empty(p)] + parts[i + 1 :]
             if not without:
                 return _compile_sequence(ix, with_)
             return S.or_spans(
@@ -738,6 +854,13 @@ def to_dict(tp: TP) -> dict:
             "type": "fiseq", "direction": tp.direction,
             "left": to_dict(tp.left), "right": to_dict(tp.right),
         }
+    if isinstance(tp, TPDefaultValue):
+        return {"type": "default"}
+    if isinstance(tp, TPRelation):
+        return {
+            "type": "relation", "rtype": tp.rtype, "mode": tp.mode,
+            "source": to_dict(tp.source), "target": to_dict(tp.target),
+        }
     raise TypeError(repr(tp))
 
 
@@ -769,6 +892,12 @@ def from_dict(d: dict) -> TP:
         )
     if t == "fiseq":
         return TPFiSeq(from_dict(d["left"]), from_dict(d["right"]), d["direction"])
+    if t == "default":
+        return TPDefaultValue()
+    if t == "relation":
+        return TPRelation(
+            from_dict(d["source"]), d["rtype"], from_dict(d["target"]), d.get("mode", "full")
+        )
     raise ValueError(t)
 
 
@@ -820,6 +949,13 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPFiSeq):
         fn = "_FI1" if tp.direction == "fwd" else "_FI2"
         return f"{fn}({to_cql(tp.left)}, {to_cql(tp.right)})"
+    if isinstance(tp, TPDefaultValue):
+        return "_"
+    if isinstance(tp, TPRelation):
+        base = f"{_wrap(tp.source)} -{tp.rtype}-> {_wrap(tp.target)}"
+        if tp.mode != "full":
+            return f'rspan({base}, "{tp.mode}")'
+        return base
     raise TypeError(repr(tp))
 
 

@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 6  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 7  # bumped on any docs/terms/postings schema change
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -69,7 +69,9 @@ DOCS_SCHEMA = (
     "tokens_lemma array<string>, tokens_pos array<string>, "
     "sents array<array<int>>, "
     "tags array<struct<name:string,start:int,end:int>>, "
-    "tok_offs array<int>"
+    "tok_offs array<int>, "
+    "relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
+    "tgt_start:int,tgt_end:int>>"
 )
 POSTINGS_SCHEMA = (
     "shard int, annot string, term_id long, block_id int, doc_count int, first_doc long, "
@@ -92,6 +94,7 @@ def tokenized_docs(
     annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
     index_tags: tuple[str, ...] = (),
     store_offsets: bool = False,
+    index_relations: bool = False,
 ) -> DataFrame:
     """pages (+doc_id,shard) -> tokenized docs, vectorized. Runs AFTER id
     assignment so the range-partitioner's sampling pass never tokenizes.
@@ -109,8 +112,23 @@ def tokenized_docs(
     index_tags: record real inline-tag spans (token positions) for these tag
     names from docs whose text came from their html (reference: per-format
     tag config, *.blf.yaml / integrated.md:34-123). store_offsets: keep each
-    token's char start offset for char-exact concordances."""
-    from .tokenize import lemma_array, pos_array, tag_spans_one, token_offsets_series
+    token's char start offset for char-exact concordances.
+
+    index_relations: record dependency-style relations per doc (reference:
+    relations indexed into the _relation annotation with source/target
+    payloads, integrated.md:34-123 / RelationInfo.java). If the input pages
+    carry a `relations` column (annotated input, the reference's CoNLL-U
+    path) it passes through verbatim; otherwise a pinned deterministic
+    stand-in derives one 'dep' relation per adjacent token pair with
+    rtype = pos_fold(target token) — SQL-expressible for the oracle, a
+    placeholder for an upstream parser exactly like the lemma/pos tagger."""
+    from .tokenize import (
+        lemma_array,
+        pos_array,
+        pos_fold,
+        tag_spans_one,
+        token_offsets_series,
+    )
 
     want_lemma = "lemma" in annotations
     want_pos = "pos" in annotations
@@ -196,6 +214,21 @@ def tokenized_docs(
                     if store_offsets
                     else pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
                 )
+                if "relations" in pdf.columns:
+                    rels_col = pdf["relations"]
+                elif index_relations:
+                    def derive_rels(ts):
+                        return [
+                            ("dep", pos_fold(fold_token(t)), i - 1, i, i, i + 1)
+                            for i, t in enumerate(ts)
+                            if i > 0
+                        ]
+
+                    from .tokenize import fold_token
+
+                    rels_col = toks.map(derive_rels)
+                else:
+                    rels_col = pd.Series([[]] * len(pdf), index=pdf.index, dtype=object)
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
@@ -212,6 +245,7 @@ def tokenized_docs(
                         "sents": sentence_spans_series(text),
                         "tags": tags_col,
                         "tok_offs": offs_col,
+                        "relations": rels_col,
                     }
                 )
 
@@ -604,6 +638,7 @@ def build_index(
     annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
     index_tags: tuple[str, ...] = (),
     store_offsets: bool = False,
+    index_relations: bool = False,
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
 
@@ -630,6 +665,8 @@ def build_index(
     # the _SUCCESS marker atomic-enough for a restarted driver.
     annotations = tuple(annotations)
     assert annotations[0] == "word" and set(annotations) <= {"word", "lemma", "pos"}
+    # annotated input carrying its own relations column counts as indexed
+    has_relations = bool(index_relations) or ("relations" in pages.columns)
     params = {
         "n_shards": n_shards,
         "block_size": block_size,
@@ -638,6 +675,7 @@ def build_index(
         "annotations": list(annotations),
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
+        "index_relations": has_relations,
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
     }
@@ -684,10 +722,14 @@ def build_index(
         )
         if n_docs <= 50_000_000:
             ids = F.broadcast(ids)
-        pages0 = pages.select("url", "warc_ts", "html", "text", "lang").join(ids, "url")
+        page_cols = ["url", "warc_ts", "html", "text", "lang"] + (
+            ["relations"] if "relations" in pages.columns else []
+        )
+        pages0 = pages.select(*page_cols).join(ids, "url")
         docs0 = tokenized_docs(
             pages0, store_text=store_text, annotations=annotations,
             index_tags=index_tags, store_offsets=store_offsets,
+            index_relations=index_relations,
         )
         docs0.write.mode("overwrite").parquet(f"{seg_dir}/docs")
         cache0.unpersist()
@@ -859,6 +901,7 @@ def build_index(
         "annotations": list(annotations),
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
+        "index_relations": has_relations,
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
         "n_terms": int(n_terms),

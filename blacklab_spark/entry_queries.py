@@ -185,11 +185,14 @@ def _lsh_cand(spark, sf_dir) -> DataFrame:
     mh = h.groupBy("doc_id", "hi").agg(
         F.min(F.md5(F.concat(F.col("s"), F.lit("#"), F.col("hi").cast("string")))).alias("mh")
     )
-    ok = (
-        mh.groupBy("hi", "mh").agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= LSH_BUCKET_CAP).select("hi", "mh")
+    # per-bucket size via a PARTITIONED window (one pass over mh; an
+    # agg + semi-join would recompute the whole minhash subtree twice)
+    wb = Window.partitionBy("hi", "mh")
+    capped = (
+        mh.withColumn("_n", F.count("*").over(wb))
+        .filter(F.col("_n") <= LSH_BUCKET_CAP)
+        .drop("_n")
     )
-    capped = mh.join(ok, ["hi", "mh"], "left_semi")
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, (F.col("a.hi") == F.col("b.hi")) & (F.col("a.mh") == F.col("b.mh"))
@@ -253,6 +256,7 @@ def get_index(spark: SparkSession, sf_dir: str):
             m.get("n_docs") == n
             and m.get("format_version") == FORMAT_VERSION
             and m.get("annotations") == ["word", "lemma", "pos"]
+            and m.get("index_relations") is True
         )
     if not ok:
         pages = docs.select(
@@ -267,7 +271,10 @@ def get_index(spark: SparkSession, sf_dir: str):
             # engine metadata-filter field carries the documents `source`
             F.col("source").alias("lang"),
         )
-        build_index(spark, pages, out, n_shards=8, annotations=("word", "lemma", "pos"))
+        build_index(
+            spark, pages, out, n_shards=8,
+            annotations=("word", "lemma", "pos"), index_relations=True,
+        )
     ix = Index(spark, out)
     _IX_CACHE[key] = ix
     return ix
@@ -360,6 +367,11 @@ def build_queries() -> dict:
     # unbounded repetition (reference SpanQueryRepetition has no cap) and
     # prefix-rewritten regex (SimplestMatcher, TextPatternRegex.java:73-98)
     q["ix_rep_unbounded"] = lambda s, d: _bcql(s, d, '"table"{2,}')
+    # relations layer (reference: SpanQueryRelations + span-mode adjust;
+    # derived 'dep' relations pin rtype = pos of the target token)
+    q["ix_rel_full"] = lambda s, d: _bcql(s, d, '_ -stop-> _')
+    q["ix_rel_src"] = lambda s, d: _bcql(s, d, '"table" -nn-> _')
+    q["ix_rel_mode"] = lambda s, d: _bcql(s, d, 'rspan(_ -stop-> _, "source")')
     q["ix_prefix_hits"] = lambda s, d: _ix_hits(get_index(s, d).regex_hits("sc.*"))
 
     def rs_decade(s, d):
@@ -878,6 +890,25 @@ WITH {SQL_TOKS}
 SELECT CAST(((1970 + doc_id % 60) // 10) * 10 AS BIGINT) AS decade,
        CAST(count(*) AS BIGINT) AS size
 FROM toks WHERE tok = 'table' GROUP BY 1
+"""
+    o["ix_rel_full"] = f"""
+WITH {SQL_TOKS},
+pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
+SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos + 1 AS INT) AS "end"
+FROM pt b WHERE b.pos >= 1 AND b.p = 'stop'
+"""
+    o["ix_rel_src"] = f"""
+WITH {SQL_TOKS},
+pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
+SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos + 1 AS INT) AS "end"
+FROM pt b JOIN pt a ON a.doc_id = b.doc_id AND a.pos = b.pos - 1
+WHERE b.p = 'nn' AND a.tok = 'table'
+"""
+    o["ix_rel_mode"] = f"""
+WITH {SQL_TOKS},
+pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
+SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos AS INT) AS "end"
+FROM pt b WHERE b.pos >= 1 AND b.p = 'stop'
 """
     o["ix_termfreq"] = f"""
 WITH {SQL_TOKS}

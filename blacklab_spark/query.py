@@ -441,6 +441,56 @@ class Index:
             F.col("t.end").cast("int").alias("end"),
         )
 
+    def rel_spans(self) -> DataFrame:
+        """All indexed relations, exploded (reference: SpanQueryRelations
+        matches relation terms + decodes payloads, SpanQueryRelations.java:
+        28-34; ours live as a typed per-doc column — SURVEY.md §1.1 mapping).
+        Columns: doc_id, rclass, rtype, src_start, src_end, tgt_start, tgt_end."""
+        if not any(s.meta.get("index_relations") for s in self.segments):
+            raise ValueError(
+                "no relations indexed (build with index_relations=True or "
+                "provide a `relations` input column)"
+            )
+        return self.docs.select("doc_id", F.explode("relations").alias("r")).select(
+            "doc_id",
+            F.col("r.rclass").alias("rclass"),
+            F.col("r.rtype").alias("rtype"),
+            F.col("r.src_start").alias("src_start"),
+            F.col("r.src_end").alias("src_end"),
+            F.col("r.tgt_start").alias("tgt_start"),
+            F.col("r.tgt_end").alias("tgt_end"),
+        )
+
+    def rel_hits(
+        self,
+        rtype: str | None = None,
+        rclass: str | None = None,
+        mode: str = "full",
+    ) -> DataFrame:
+        """Relation matches as span hits. mode selects the returned span
+        (reference span modes, SpanQueryRelations.java:28-34 /
+        SpanQueryRelationSpanAdjust): 'source' | 'target' | 'full'. Source
+        and target spans always ride along as capture columns."""
+        r = self.rel_spans()
+        if rtype is not None:
+            r = r.filter(_regex_match_col("rtype", rtype))
+        if rclass is not None:
+            r = r.filter(F.col("rclass") == rclass)
+        if mode == "source":
+            s, e = F.col("src_start"), F.col("src_end")
+        elif mode == "target":
+            s, e = F.col("tgt_start"), F.col("tgt_end")
+        elif mode == "full":
+            s = F.least("src_start", "tgt_start")
+            e = F.greatest("src_end", "tgt_end")
+        else:
+            raise ValueError(f"unknown relation span mode {mode!r}")
+        return r.select(
+            "doc_id", s.cast("int").alias("start"), e.cast("int").alias("end"),
+            F.col("src_start").alias("source_start"), F.col("src_end").alias("source_end"),
+            F.col("tgt_start").alias("target_start"), F.col("tgt_end").alias("target_end"),
+        )
+
     def seq_hits(self, hit_dfs: list[DataFrame], gap_min: int = 0, gap_max: int = 0) -> DataFrame:
         """General sequence over arbitrary hit frames (SpanQuerySequence);
         the term-only fast path is phrase_hits (posting intersection)."""

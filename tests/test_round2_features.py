@@ -189,3 +189,97 @@ def test_regex_match_col_shapes():
     c2 = str(_regex_match_col("term", "abc.*"))
     c3 = str(_regex_match_col("term", "a|b"))
     assert "startswith" in c2 and "RLIKE" in c3.upper() and "=" in c1
+
+
+# ------------------------------------------- EmptyClauseAlts generalization
+def test_optional_capture_keeps_empty_branch(tiny_index):
+    """'"the" A:("quick"?)' must include the hits where the optional is
+    absent (reference EmptyClauseAlts handles nested/captured empties,
+    SpanQuerySequence.rewrite:415-452)."""
+    got = bcql.find(tiny_index, '"the" A:("quick"?)')
+    rows = {(r["doc_id"], r["start"], r["end"], r["A_start"]) for r in got.collect()}
+    spans = {(d, s, e) for d, s, e, _ in rows}
+    # without-branch: every "the"; with-branch: the+quick extended spans
+    assert spans == {(0, 0, 1), (0, 6, 7), (2, 0, 1), (2, 5, 6), (3, 1, 2),
+                     (0, 0, 2), (2, 0, 2), (2, 5, 7)}
+    with_cap = {(d, s, e) for d, s, e, a in rows if a is not None}
+    assert with_cap == {(0, 0, 2), (2, 0, 2), (2, 5, 7)}
+
+
+def test_nested_optional_sequence(tiny_index):
+    # ("quick" "brown")? nested inside a sequence
+    got = hs(bcql.find(tiny_index, '"the" ("quick" "brown")?'))
+    assert got == {(0, 0, 1), (0, 6, 7), (2, 0, 1), (2, 5, 6), (3, 1, 2),
+                   (0, 0, 3), (2, 0, 3)}
+
+
+# ------------------------------------------------------------ relations layer
+@pytest.fixture(scope="module")
+def rel_index(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path_factory.mktemp("ix_rel"))
+    build_index(
+        spark, pages_df(spark, "tiny"), out, n_shards=2, block_size=4,
+        annotations=("word", "lemma", "pos"), index_relations=True,
+    )
+    return Index(spark, out)
+
+
+def test_rel_operator_full_span(rel_index):
+    # derived dep relations: rtype = pos of target; 'stop' targets = 'the'
+    # doc0: the@0 (no rel, pos 0 has no incoming), the@6 <- over@5
+    got = hs(bcql.find(rel_index, '_ -stop-> _'))
+    # targets at pos>=1 with pos=stop: doc0 the@6, doc2 the@5, doc3 the@1, doc2 and@4
+    assert got == {(0, 5, 7), (2, 4, 6), (3, 0, 2), (2, 3, 5)}
+
+
+def test_rel_source_constrained(rel_index):
+    got = hs(bcql.find(rel_index, '"over" -stop-> _'))
+    assert got == {(0, 5, 7)}
+    got2 = hs(bcql.find(rel_index, '"over" -nn-> _'))
+    assert got2 == set()
+
+
+def test_rel_span_modes(rel_index):
+    tgt = hs(bcql.find(rel_index, 'rspan("over" -stop-> _, "target")'))
+    src = hs(bcql.find(rel_index, 'rspan("over" -stop-> _, "source")'))
+    assert tgt == {(0, 6, 7)} and src == {(0, 5, 6)}
+
+
+def test_rel_function(rel_index):
+    assert hs(bcql.find(rel_index, 'rel("stop")')) == hs(bcql.find(rel_index, '_ -stop-> _'))
+
+
+def test_rel_input_column_passthrough(spark, tmp_path):
+    """Annotated input (the reference's CoNLL-U path): a `relations` column
+    on pages passes through verbatim and overrides the derived stand-in."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    pages = pages_df(spark, "tiny").withColumn(
+        "relations",
+        F.expr(
+            "case when url like '%/0' then "
+            "array(named_struct('rclass','dep','rtype','nsubj',"
+            "'src_start',4,'src_end',5,'tgt_start',3,'tgt_end',4)) "
+            "else array() end"
+        ),
+    )
+    out = str(tmp_path / "ix_relin")
+    build_index(spark, pages, out, n_shards=2, block_size=4)
+    ix = Index(spark, out)
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in ix.rel_hits("nsubj", mode="full").collect()
+    }
+    assert got == {(0, 3, 5)}
+    assert ix.rel_hits("nsubj", mode="target").collect()[0]["start"] == 3
+
+
+def test_rel_not_indexed_raises(tiny_index):
+    with pytest.raises(ValueError, match="no relations"):
+        tiny_index.rel_hits("nsubj")
