@@ -520,6 +520,21 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     if isinstance(tp, TPTags):
         return ix.tag_hits(tp.name)
     if isinstance(tp, TPOr):
+        # term-disjunction fast path: '"a" | "b"' fetches ONE postings union
+        # (BLSpanOrQuery's term list) instead of per-clause frames + dedupe
+        # shuffles — provably duplicate-free (distinct terms, distinct
+        # positions; SpanGuarantees uniqueness argument)
+        if all(
+            isinstance(c, TPTerm)
+            and c.sensitive == tp.clauses[0].sensitive
+            and c.annot == tp.clauses[0].annot
+            for c in tp.clauses
+        ):
+            return ix.or_hits(
+                [c.term for c in tp.clauses],
+                fold=not tp.clauses[0].sensitive,
+                annot=tp.clauses[0].annot,
+            )
         out = compile_pattern(ix, tp.clauses[0])
         for c in tp.clauses[1:]:
             out = S.or_spans(out, compile_pattern(ix, c))

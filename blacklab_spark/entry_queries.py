@@ -210,8 +210,10 @@ def _hp_buckets(spark, sf_dir) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
     ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
-    planes = spark.range(6).select(F.col("id").cast("int").alias("p")).crossJoin(
-        spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
+    # one range, no crossJoin (even a constant-size BNLJ trips plan audits)
+    planes = spark.range(6 * 64).select(
+        (F.col("id") / 64).cast("int").alias("p"),
+        (F.col("id") % 64 + 1).cast("int").alias("i"),
     ).withColumn(
         "wt",
         F.when(
@@ -665,6 +667,32 @@ def build_queries() -> dict:
 
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    def sim_ann_multiprobe(s, d):
+        """Multi-probe LSH (recall upgrade over single-bucket probing, the
+        classic multi-probe move): candidates = vectors whose 6-bit
+        hyperplane bucket is within Hamming distance 1 of the query's, then
+        exact cosine re-scoring."""
+        buck = _hp_buckets(s, d)
+        qb = buck.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+        cand = buck.crossJoin(F.broadcast(qb)).filter(
+            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
+            & (F.col("vec_id") != 0)
+        ).select("vec_id")
+        emb = _emb(s, d).select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        j = cand.join(emb, "vec_id").crossJoin(F.broadcast(qv))
+        dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        nv = F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        nq = F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+        scored = j.select("vec_id", F.round(dot / F.sqrt(nv * nq), 6).alias("cos"))
+        from .rank import rank_head
+
+        return rank_head(
+            scored, [("cos", False), ("vec_id", True)], 0, 10, "rank"
+        ).select(F.col("rank").cast("int"), "vec_id", "cos")
+
+    q["sim_ann_multiprobe"] = sim_ann_multiprobe
+
     # ---------------- text analysis ----------------
     def txt_tokcount(s, d):
         return (
@@ -1095,6 +1123,23 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_i
 ) QUALIFY rank <= 5
 """
 
+    o["sim_ann_multiprobe"] = f"""
+WITH {SQL_HP},
+qv AS (SELECT i, v FROM e WHERE vec_id = 0),
+qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buck b, qb
+  WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1 AND b.vec_id <> 0
+),
+dots AS (
+  SELECT e.vec_id, sum(e.v * qv.v) AS dot, sum(e.v * e.v) AS nv
+  FROM e JOIN qv USING (i) WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1
+),
+qn AS (SELECT sum(v * v) AS nq FROM qv)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos FROM (
+  SELECT vec_id, round(dot / sqrt(nv * nq), 6) AS cos FROM dots, qn
+) QUALIFY rank <= 10
+"""
     o["txt_tokcount"] = f"""
 WITH {SQL_TOKS}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
