@@ -132,6 +132,14 @@ def tokenized_docs(
 
     want_lemma = "lemma" in annotations
     want_pos = "pos" in annotations
+    # ANNOTATED INPUT (the reference's primary ingestion model — annotations
+    # come WITH the document, e.g. CoNLL-U): a `tokens` input column
+    # overrides tokenization; tokens_lemma/tokens_pos/sents/relations pass
+    # through when present. Derived layers fill only what input lacks.
+    annotated_input = "tokens" in pages.columns
+    in_lemma = annotated_input and "tokens_lemma" in pages.columns
+    in_pos = annotated_input and "tokens_pos" in pages.columns
+    in_sents = annotated_input and "sents" in pages.columns
 
     def kernel(batches):
         for pdf0 in batches:
@@ -139,8 +147,20 @@ def tokenized_docs(
             # batches even when the session Arrow batch size is large
             for lo in range(0, len(pdf0), 8192):
                 pdf = pdf0.iloc[lo : lo + 8192]
-                text = extract_text_series(pdf["html"], pdf["text"])
-                toks = tokenize_series(text)
+                if annotated_input:
+                    toks = pdf["tokens"].map(
+                        lambda x: list(x) if x is not None else []
+                    )
+                    text = pd.Series(
+                        [
+                            t if t is not None else " ".join(tk)
+                            for t, tk in zip(pdf["text"], toks)
+                        ],
+                        index=pdf.index, dtype=object,
+                    )
+                else:
+                    text = extract_text_series(pdf["html"], pdf["text"])
+                    toks = tokenize_series(text)
                 # dictionary fold: fold each DISTINCT token once per batch
                 # (pandas str ops are per-element Python; Zipf vocab makes
                 # uniques tiny)
@@ -156,11 +176,10 @@ def tokenized_docs(
                     starts = np.concatenate(([0], bounds))
                     nz = lens > 0
 
-                    def null_compressed(flat_vals, same_u):
+                    def null_compressed(flat_vals, same_flat):
                         """Per-doc lists, NULL when the layer equals its base
                         layer for the whole doc (cuts stored bytes; readers
-                        coalesce back)."""
-                        same_flat = same_u[codes]
+                        coalesce back). same_flat: per-token equality mask."""
                         doc_same = np.ones(len(lens), dtype=bool)
                         if nz.any():
                             # consecutive non-empty starts bound each doc's
@@ -175,13 +194,33 @@ def tokenized_docs(
                             index=toks.index, dtype=object,
                         )
 
-                    folded = null_compressed(folded_flat, folded_uniq == uniq)
+                    folded = null_compressed(folded_flat, (folded_uniq == uniq)[codes])
                     if want_lemma:
-                        lem_u = lemma_array(folded_uniq)
-                        lemmas = null_compressed(lem_u[codes], lem_u == folded_uniq)
+                        if in_lemma:
+                            lem_flat = np.concatenate(
+                                [np.asarray(x if x is not None else [], dtype=object)
+                                 for x in pdf["tokens_lemma"]]
+                            )
+                            if len(lem_flat) != len(folded_flat):
+                                raise ValueError(
+                                    "tokens_lemma length mismatch vs tokens"
+                                )
+                            lemmas = null_compressed(lem_flat, lem_flat == folded_flat)
+                        else:
+                            lem_u = lemma_array(folded_uniq)
+                            lemmas = null_compressed(
+                                lem_u[codes], (lem_u == folded_uniq)[codes]
+                            )
                     if want_pos:
-                        pos_u = pos_array(folded_uniq)
-                        pos_flat = pos_u[codes]
+                        if in_pos:
+                            pos_flat = np.concatenate(
+                                [np.asarray(x if x is not None else [], dtype=object)
+                                 for x in pdf["tokens_pos"]]
+                            )
+                            if len(pos_flat) != len(folded_flat):
+                                raise ValueError("tokens_pos length mismatch vs tokens")
+                        else:
+                            pos_flat = pos_array(folded_uniq)[codes]
                         poss = pd.Series(
                             [a.tolist() for a in np.split(pos_flat, bounds)],
                             index=toks.index, dtype=object,
@@ -192,6 +231,15 @@ def tokenized_docs(
                         lemmas = folded
                     if want_pos:
                         poss = folded
+                if annotated_input:
+                    if in_sents:
+                        sents_col = pdf["sents"].map(
+                            lambda x: [list(s) for s in x] if x is not None else []
+                        )
+                    else:
+                        sents_col = toks.map(lambda t: [[0, len(t)]] if t else [])
+                else:
+                    sents_col = sentence_spans_series(text)
                 if index_tags:
                     # tag spans only where extraction USED the html (text
                     # null): positions must agree with the indexed tokens
@@ -209,11 +257,22 @@ def tokenized_docs(
                     )
                 else:
                     tags_col = pd.Series([[]] * len(pdf), index=pdf.index, dtype=object)
-                offs_col = (
-                    token_offsets_series(text)
-                    if store_offsets
-                    else pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
-                )
+                if not store_offsets:
+                    offs_col = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+                elif annotated_input:
+                    # input text when absent is the space-join of tokens:
+                    # offsets = running sum of len+1; with provided text the
+                    # alignment is unknowable, so offsets stay NULL there
+                    offs_col = pd.Series(
+                        [
+                            (np.concatenate(([0], np.cumsum([len(t) + 1 for t in tk])[:-1])).tolist()
+                             if (txt is None and tk) else None)
+                            for txt, tk in zip(pdf["text"], toks)
+                        ],
+                        index=pdf.index, dtype=object,
+                    )
+                else:
+                    offs_col = token_offsets_series(text)
                 if "relations" in pdf.columns:
                     rels_col = pdf["relations"]
                 elif index_relations:
@@ -242,7 +301,7 @@ def tokenized_docs(
                         "tokens_fold": folded,
                         "tokens_lemma": lemmas,
                         "tokens_pos": poss,
-                        "sents": sentence_spans_series(text),
+                        "sents": sents_col,
                         "tags": tags_col,
                         "tok_offs": offs_col,
                         "relations": rels_col,
@@ -298,7 +357,11 @@ def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, n_parts: int) -
 
 
 # ---------------------------------------------------------- posting encoder --
-def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS):
+def _encode_shard_kernel(
+    block_size: int,
+    annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
+    input_layers: frozenset[str] = frozenset(),
+):
     """Whole-shard Arrow kernel: doc rows (shard, doc_id, doc_len, tokens) ->
     posting block rows keyed by (annot, term string). Explode, term grouping
     (pyarrow dictionary_encode) and the (term, doc, pos) sort (np.lexsort)
@@ -354,6 +417,7 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
 
     def kernel(batches):
         vals, docs_l, dls_l, shs_l, counts_l = [], [], [], [], []
+        in_vals = {a: [] for a in input_layers}
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -364,6 +428,8 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
             if counts.sum() == 0:
                 continue
             vals.append(toks.flatten())
+            for a in input_layers:
+                in_vals[a].append(b.column(f"_{a}_eff").flatten())
             docs_l.append(b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
             dls_l.append(b.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64))
             shs_l.append(b.column("shard").to_numpy(zero_copy_only=False).astype(np.int64))
@@ -413,6 +479,14 @@ def _encode_shard_kernel(block_size: int, annotations: tuple[str, ...] = DEFAULT
         def layer_codes(annot):
             if annot == "word":
                 return word_codes, word_vocab
+            if annot in input_layers:
+                # input-supplied layer (annotated ingestion): factorize the
+                # shipped values directly — NOT a function of the word dict
+                flat = np.asarray(
+                    pa.concat_arrays(in_vals[annot]).to_pylist(), dtype=object
+                )
+                uniq, inv = np.unique(flat, return_inverse=True)
+                return inv.astype(np.int64), uniq.astype(object)
             fv = get_folded_vocab()
             derived = lemma_array(fv) if annot == "lemma" else pos_array(fv)
             uniq, inv = np.unique(derived, return_inverse=True)
@@ -590,10 +664,10 @@ def _dict_kernel(stats: pd.DataFrame, corr: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(columns=cols)
     annot = stats["annot"].to_numpy(dtype=object)
     term = stats["term"].to_numpy(dtype=object)
-    tf = term.copy()
-    w = annot == "word"
-    if w.any():
-        tf[w] = fold_series(pd.Series(tf[w], dtype=object)).to_numpy(dtype=object)
+    # EVERY layer folds: the reference indexes non-word annotations
+    # insensitive-only (AnnotatedFieldNameUtil.java:92-97), so [pos="aux"]
+    # matches input "AUX"; derived layers are already folded (identity)
+    tf = fold_series(pd.Series(term, dtype=object)).to_numpy(dtype=object)
     df = stats["df"].to_numpy(np.int64)
     cf = stats["cf"].to_numpy(np.int64)
     order = np.lexsort((term, annot))
@@ -667,12 +741,19 @@ def build_index(
     assert annotations[0] == "word" and set(annotations) <= {"word", "lemma", "pos"}
     # annotated input carrying its own relations column counts as indexed
     has_relations = bool(index_relations) or ("relations" in pages.columns)
+    # layers whose values come from the INPUT (reference ingestion model)
+    # rather than the pinned derived tagger
+    input_layers = frozenset(
+        a for a in annotations
+        if a != "word" and f"tokens_{a}" in pages.columns
+    )
     params = {
         "n_shards": n_shards,
         "block_size": block_size,
         "store_text": store_text,
         "base_doc_id": base_doc_id,
         "annotations": list(annotations),
+        "input_layers": sorted(input_layers),
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
         "index_relations": has_relations,
@@ -722,9 +803,10 @@ def build_index(
         )
         if n_docs <= 50_000_000:
             ids = F.broadcast(ids)
-        page_cols = ["url", "warc_ts", "html", "text", "lang"] + (
-            ["relations"] if "relations" in pages.columns else []
-        )
+        page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
+            c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents", "relations")
+            if c in pages.columns
+        ]
         pages0 = pages.select(*page_cols).join(ids, "url")
         docs0 = tokenized_docs(
             pages0, store_text=store_text, annotations=annotations,
@@ -756,11 +838,19 @@ def build_index(
     if _done("blocks") or postings_done:
         blocksr = None if postings_done else spark_.read.parquet(f"{seg_dir}/blocks")
     else:
-        rows = docs.select("shard", "doc_id", "doc_len", "tokens").repartitionByRange(
-            n_shards, "shard"
-        )
+        row_cols = [F.col("shard"), F.col("doc_id"), F.col("doc_len"), F.col("tokens")]
+        if "lemma" in input_layers:
+            # effective (de-null-compressed) input lemma rides the shuffle —
+            # only for input-annotated builds; derived layers ship nothing
+            row_cols.append(
+                F.coalesce("tokens_lemma", F.coalesce("tokens_fold", "tokens")).alias("_lemma_eff")
+            )
+        if "pos" in input_layers:
+            row_cols.append(F.col("tokens_pos").alias("_pos_eff"))
+        rows = docs.select(*row_cols).repartitionByRange(n_shards, "shard")
         blocks = rows.mapInArrow(
-            _encode_shard_kernel(block_size, annotations), schema=BLOCKS_SCHEMA
+            _encode_shard_kernel(block_size, annotations, input_layers),
+            schema=BLOCKS_SCHEMA,
         )
         # lineage cut + resume checkpoint: blocks feed 3 consumers (dict,
         # remap, manifest) — recomputing the shuffle per consumer would
@@ -810,10 +900,7 @@ def build_index(
             # LARGE-DICT PATH: distributed ranks (any dict size)
             def refold(batches):
                 for pdf in batches:
-                    tf = pdf["term"].copy()
-                    w = pdf["annot"] == "word"
-                    tf[w] = fold_series(pdf.loc[w, "term"])
-                    yield pdf.assign(term_fold=tf)
+                    yield pdf.assign(term_fold=fold_series(pdf["term"]))
 
             surf = stats.mapInPandas(
                 refold, schema="annot string, term string, df long, cf long, term_fold string"
@@ -899,6 +986,7 @@ def build_index(
         "format_version": FORMAT_VERSION,
         "segment": segment,
         "annotations": list(annotations),
+        "input_layers": sorted(input_layers),
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
         "index_relations": has_relations,

@@ -116,8 +116,9 @@ class Index:
         sorted folded order (fixes the float association order vs the oracle).
         Returns list aligned with self.segments; also attaches .attrs['df']
         mapping qidx -> global df. annot selects the annotation layer
-        (reference: annotation select, cql.jj:625-637); derived layers store
-        term_fold == term, so the fold flag is a no-op there."""
+        (reference: annotation select, cql.jj:625-637); every layer folds
+        its term_fold, so non-word layers match insensitively by default
+        (the reference's i-only sensitivity for them)."""
         self._check_annot(annot)
         if fold:
             qs = sorted({fold_token(t) for t in terms})

@@ -73,6 +73,113 @@ def pages_from_text_dir(spark: SparkSession, path: str, lang: str = "und") -> Da
     )
 
 
+ANNOTATED_PAGES_SCHEMA = (
+    PAGES_SCHEMA
+    + ", tokens array<string>, tokens_lemma array<string>, tokens_pos array<string>"
+    + ", sents array<array<int>>"
+    + ", relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
+    + "tgt_start:int,tgt_end:int>>"
+)
+
+
+def pages_from_conllu(spark: SparkSession, path: str, lang: str = "und") -> DataFrame:
+    """CoNLL-U corpora (reference: DocIndexerCoNLLU) -> ANNOTATED pages:
+    token/lemma/POS layers, real sentence spans and dependency relations all
+    come from the input, exactly the reference's annotated-ingestion model.
+    One file may hold many docs (`# newdoc` comment starts a new one);
+    multiword-token ranges (1-2) and empty nodes (1.1) are skipped, matching
+    the basic-representation token stream."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                docs: list[dict] = []
+
+                def new_doc():
+                    docs.append(
+                        {"toks": [], "lem": [], "pos": [], "sents": [], "rels": []}
+                    )
+
+                new_doc()
+                sent_start = 0
+                sent_rows: list[tuple] = []  # (idx, head, deprel) per sentence
+
+                def close_sentence():
+                    nonlocal sent_start, sent_rows
+                    d = docs[-1]
+                    if len(d["toks"]) > sent_start:
+                        d["sents"].append([sent_start, len(d["toks"])])
+                        for idx, head, deprel in sent_rows:
+                            if head > 0:  # 0 = root (no source token)
+                                h = sent_start + head - 1
+                                d["rels"].append(
+                                    ("dep", deprel, h, h + 1, idx, idx + 1)
+                                )
+                    sent_start = len(d["toks"])
+                    sent_rows = []
+
+                for line in content.splitlines():
+                    line = line.strip("\r")
+                    if line.startswith("# newdoc"):
+                        close_sentence()
+                        if docs[-1]["toks"]:
+                            new_doc()
+                            sent_start = 0
+                        continue
+                    if not line:
+                        close_sentence()
+                        continue
+                    if line.startswith("#"):
+                        continue
+                    f = line.split("\t")
+                    if len(f) < 8 or "-" in f[0] or "." in f[0]:
+                        continue
+                    d = docs[-1]
+                    idx = len(d["toks"])
+                    d["toks"].append(f[1])
+                    d["lem"].append(f[2] if f[2] != "_" else f[1])
+                    d["pos"].append(f[3] if f[3] != "_" else "X")
+                    try:
+                        head = int(f[6])
+                    except ValueError:
+                        head = 0
+                    sent_rows.append((idx, head, f[7]))
+                close_sentence()
+                for i, d in enumerate(docs):
+                    if not d["toks"]:
+                        continue
+                    rows.append(
+                        {
+                            "url": f"{fname}#doc{i}",
+                            "warc_ts": None,
+                            "html": None,
+                            "text": " ".join(d["toks"]),
+                            "lang": lang,
+                            "tokens": d["toks"],
+                            "tokens_lemma": d["lem"],
+                            "tokens_pos": d["pos"],
+                            "sents": d["sents"],
+                            "relations": d["rels"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations",
+                ],
+            )
+
+    raw = (
+        spark.read.format("text").option("wholetext", "true").load(path)
+        .withColumn("url", F.input_file_name())
+    )
+    return raw.mapInPandas(parse, schema=ANNOTATED_PAGES_SCHEMA)
+
+
 def pages_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's synthetic `documents` table -> pages (doc:// urls keep
     doc_id recoverable as the dense rank)."""

@@ -1,0 +1,101 @@
+"""Annotated ingestion end-to-end (reference: DocIndexerCoNLLU + the
+TestIndex corpus where lemma/pos come WITH the input): CoNLL-U files ->
+annotated pages -> index -> the reference's own fixture queries
+([lemma="be" & word="are"] hits.js:65, '"a" [lemma="successful"]' hits.js:53,
+dependency relations)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark import bcql
+
+CONLLU = """\
+# newdoc id = d0
+# sent_id = 1
+1\tThe\tthe\tDET\t_\t_\t2\tdet\t_\t_
+2\tresults\tresult\tNOUN\t_\t_\t3\tnsubj\t_\t_
+3\tare\tbe\tAUX\t_\t_\t0\troot\t_\t_
+4\ta\ta\tDET\t_\t_\t6\tdet\t_\t_
+5\tsuccessful\tsuccessful\tADJ\t_\t_\t6\tamod\t_\t_
+6\ttest\ttest\tNOUN\t_\t_\t3\tattr\t_\t_
+7\t.\t.\tPUNCT\t_\t_\t3\tpunct\t_\t_
+
+# sent_id = 2
+1\tIt\tit\tPRON\t_\t_\t2\tnsubj\t_\t_
+2\tis\tbe\tAUX\t_\t_\t0\troot\t_\t_
+3\tdone\tdo\tVERB\t_\t_\t2\txcomp\t_\t_
+
+# newdoc id = d1
+# sent_id = 1
+1\tThey\tthey\tPRON\t_\t_\t2\tnsubj\t_\t_
+2\twere\tbe\tAUX\t_\t_\t0\troot\t_\t_
+3\tsuccessful\tsuccessful\tADJ\t_\t_\t2\tacomp\t_\t_
+"""
+
+
+@pytest.fixture(scope="module")
+def conllu_index(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+    from blacklab_spark.sources import pages_from_conllu
+
+    d = tmp_path_factory.mktemp("conllu")
+    (d / "corpus.conllu").write_text(CONLLU)
+    pages = pages_from_conllu(spark, str(d))
+    out = str(tmp_path_factory.mktemp("ix_conllu"))
+    build_index(
+        spark, pages, out, n_shards=2, block_size=4,
+        annotations=("word", "lemma", "pos"),
+    )
+    return Index(spark, out)
+
+
+def hs(df):
+    return {(r["doc_id"], r["start"], r["end"]) for r in df.select("doc_id", "start", "end").collect()}
+
+
+def test_input_layers_recorded(conllu_index):
+    assert conllu_index.segments[0].meta["input_layers"] == ["lemma", "pos"]
+    assert conllu_index.n_docs == 2
+
+
+def test_lemma_and_word_conjunction(conllu_index):
+    # the reference fixture: [lemma="be" & word="are"] (hits.js:65)
+    got = hs(bcql.find(conllu_index, '[lemma="be" & word="are"]'))
+    assert got == {(0, 2, 3)}
+    # and the negated variant (hits.js:66)
+    got2 = hs(bcql.find(conllu_index, '[lemma="be" & word!="are"]'))
+    assert got2 == {(0, 8, 9), (1, 1, 2)}  # is@8 doc0, were@1 doc1
+
+
+def test_sequence_with_input_lemma(conllu_index):
+    # the reference fixture: '"a" [lemma="successful"]' (hits.js:53)
+    got = hs(bcql.find(conllu_index, '"a" [lemma="successful"]'))
+    assert got == {(0, 3, 5)}
+
+
+def test_input_pos_layer(conllu_index):
+    got = hs(bcql.find(conllu_index, '[pos="AUX"]'))
+    assert got == {(0, 2, 3), (0, 8, 9), (1, 1, 2)}
+
+
+def test_input_sentence_spans(conllu_index):
+    sents = hs(conllu_index.tag_hits("s"))
+    assert sents == {(0, 0, 7), (0, 7, 10), (1, 0, 3)}
+    # phrase may not cross sentence boundary
+    got = hs(bcql.find(conllu_index, '[pos="PUNCT"] "It" within <s/>'))
+    assert got == set()
+
+
+def test_input_dependency_relations(conllu_index):
+    # 2-nsubj->: 'results' is nsubj of 'are' (head 3 -> src=[2,3), tgt=[1,2))
+    got = hs(bcql.find(conllu_index, '_ -nsubj-> _'))
+    assert got == {(0, 1, 3), (0, 7, 9), (1, 0, 2)}
+    src_mode = hs(bcql.find(conllu_index, 'rspan(_ -nsubj-> "results", "source")'))
+    assert src_mode == {(0, 2, 3)}  # 'are'
+
+
+def test_punct_tokens_preserved(conllu_index):
+    # input token streams keep punctuation tokens (position parity with the
+    # reference's annotated corpora)
+    assert hs(conllu_index.term_hits(".", fold=False)) == {(0, 6, 7)}
