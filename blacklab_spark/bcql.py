@@ -177,6 +177,7 @@ class CRef:
 # -------------------------------------------------------------------- lexer --
 _TOKEN_SPEC = [
     ("QUOTED", r'"(?:[^"\\]|\\.)*"'),
+    ("SETTINGS", r"@[A-Za-z0-9_]+=[A-Za-z0-9_]+(?:,[A-Za-z0-9_]+=[A-Za-z0-9_]+)*"),
     ("FLAGS", r"%[cdis]+"),
     ("NUMBER", r"\d+"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
@@ -222,6 +223,7 @@ class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        self.settings: dict[str, str] = {}
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -236,8 +238,18 @@ class _Parser:
         if v != val:
             raise ValueError(f"BCQL parse error: expected {val!r}, got {v!r}")
 
-    # query := seqOr (('within'|'containing') seqOr)* ('::' constraint)?
+    # query := SETTINGS? seqOr (('within'|'containing') seqOr)* ('::' constraint)?
     def query(self) -> TP:
+        # settings prefix "@a=b,c=d" (reference settingsQuery, cql.jj:129-152
+        # -> TextPatternSettings); understood key: defann = default
+        # annotation for BARE terms/regexes (explicit [word=...] unaffected)
+        while self.peek()[0] == "SETTINGS":
+            for kv in self.next()[1][1:].split(","):
+                k, v = kv.split("=")
+                self.settings[k] = v
+            da = self.settings.get("defann")
+            if da is not None and da not in ANNOTS:
+                raise ValueError(f"@defann={da!r}: unknown annotation (supported: {ANNOTS})")
         left = self.seq_or()
         while self.peek()[1] in ("within", "containing"):
             op = self.next()[1]
@@ -422,7 +434,11 @@ class _Parser:
             flags = None
             if self.peek()[0] == "FLAGS":
                 flags = self.next()[1]
-            return _quoted_to_tp(v, flags)
+            node = _quoted_to_tp(v, flags)
+            da = self.settings.get("defann", "word")
+            if da != "word" and isinstance(node, (TPTerm, TPRegex)):
+                node.annot = da
+            return node
         if k == "TAG":
             self.next()
             name = re.sub(r"[<>/\s]", "", v)

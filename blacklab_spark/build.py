@@ -801,7 +801,11 @@ def build_index(
                 F.lit(n_shards - 1),
             ),
         )
-        if n_docs <= 50_000_000:
+        # broadcast the (url, doc_id, shard) map only while it credibly fits
+        # executor memory (urls are ~60-100B; 5M rows ~ 500MB broadcast is
+        # already generous) — beyond that let Catalyst pick the sort-merge
+        # join (the heavy page payload shuffles once either way)
+        if n_docs <= 5_000_000:
             ids = F.broadcast(ids)
         page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
             c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents", "relations")

@@ -51,3 +51,17 @@ def small_oracle():
     from blacklab_spark.oracle import OracleIndex
 
     return OracleIndex.build(pages_pdf("small"))
+
+
+@pytest.fixture(scope="session")
+def tiny_index_annot(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path_factory.mktemp("ix_tiny_annot"))
+    build_index(
+        spark, pages_df(spark, "tiny"), out, n_shards=2, block_size=4,
+        annotations=("word", "lemma", "pos"),
+    )
+    return Index(spark, out)

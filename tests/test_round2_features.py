@@ -283,3 +283,18 @@ def test_rel_input_column_passthrough(spark, tmp_path):
 def test_rel_not_indexed_raises(tiny_index):
     with pytest.raises(ValueError, match="no relations"):
         tiny_index.rel_hits("nsubj")
+
+
+# ------------------------------------------------------------ settings prefix
+def test_settings_defann(tiny_index_annot):
+    # @defann switches the layer BARE terms query (reference settingsQuery)
+    got = hs(bcql.find(tiny_index_annot, '@defann=lemma "jump"'))
+    assert got == {(0, 4, 5)}  # surface 'jumps' via lemma layer
+    # explicit [word=...] is unaffected by defann
+    assert hs(bcql.find(tiny_index_annot, '@defann=lemma [word="jumps"]')) == {(0, 4, 5)}
+    assert hs(bcql.find(tiny_index_annot, '@defann=lemma "jumps"')) == set()
+
+
+def test_settings_unknown_annot_raises():
+    with pytest.raises(ValueError, match="defann"):
+        bcql.parse('@defann=foo "x"')
