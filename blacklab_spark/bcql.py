@@ -564,11 +564,15 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         if isinstance(tp.clause, TPAnyToken) and tp.clause.mn == tp.clause.mx == 1:
             return S.any_token(ix.doc_lens(), max(tp.mn, 1), tp.mx)
         inner = compile_pattern(ix, tp.clause)
-        if _fixed_one_token(tp.clause):
+        g = guarantees(tp.clause)
+        if g.fixed_len == 1 and g.unique:
             # single-token clause: gaps-and-islands kernel — unbounded-safe,
             # no self-joins (SpanQueryRepetition ALL-matches semantics)
             return S.repetition_token_runs(inner, max(tp.mn, 1), tp.mx)
-        return S.repetition(inner, max(tp.mn, 1), tp.mx)
+        # fixed-length unique clauses chain uniquely (start determines the
+        # chain), so the bounded path can skip its dedupe shuffle
+        dedupe = not (g.fixed_len is not None and g.unique)
+        return S.repetition(inner, max(tp.mn, 1), tp.mx, dedupe=dedupe)
     if isinstance(tp, TPCapture):
         return S.capture(compile_pattern(ix, tp.clause), tp.name)
     if isinstance(tp, TPPosFilter):
@@ -688,18 +692,53 @@ def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
     return S.verify_adjacent(anchor, ix.docs, pat, "left", col)
 
 
-def _fixed_one_token(tp: TP) -> bool:
-    """Every hit of this pattern is exactly one token long (the
-    SpanGuarantees hitsAllSameLength/len==1 flag, SpanGuarantees.java:22-67)."""
-    if isinstance(tp, (TPTerm, TPRegex)):
-        return True
-    if isinstance(tp, TPNotTerm):
-        return True  # single-token complement by construction
+@dataclass(frozen=True)
+class Guarantees:
+    """Static span properties of a pattern (the reference's SpanGuarantees
+    framework, SpanGuarantees.java:22-67 — hitsAllSameLength,
+    hitsHaveUniqueStart/End...). Used by the compiler to SKIP provably
+    unnecessary dedupe shuffles and to route single-token repetitions to the
+    join-free runs kernel. Conservative: unknown -> (None, False)."""
+
+    fixed_len: int | None  # every hit exactly this long, or None
+    unique: bool           # no two hits share (doc, start, end)
+
+
+def guarantees(tp: TP) -> Guarantees:
+    if isinstance(tp, (TPTerm, TPRegex, TPNotTerm)):
+        # one token per position; term/regex/complement hits can't repeat
+        return Guarantees(1, True)
     if isinstance(tp, TPAnyToken):
-        return tp.mn == tp.mx == 1
-    if isinstance(tp, (TPOr, TPAnd)):
-        return all(_fixed_one_token(c) for c in tp.clauses)
-    return False
+        return Guarantees(tp.mn if tp.mn == tp.mx else None, True)
+    if isinstance(tp, TPAnd):
+        gs = [guarantees(c) for c in tp.clauses]
+        fl = gs[0].fixed_len if all(g.fixed_len == gs[0].fixed_len for g in gs) else None
+        return Guarantees(fl, any(g.unique for g in gs))
+    if isinstance(tp, TPOr):
+        gs = [guarantees(c) for c in tp.clauses]
+        fl = gs[0].fixed_len if all(g.fixed_len == gs[0].fixed_len for g in gs) else None
+        # distinct same-layer terms can't share a position -> unique union
+        uniq = all(
+            isinstance(c, TPTerm) and c.annot == tp.clauses[0].annot
+            and c.sensitive == tp.clauses[0].sensitive
+            for c in tp.clauses
+        ) and len({c.term for c in tp.clauses if isinstance(c, TPTerm)}) == len(tp.clauses)
+        return Guarantees(fl, uniq)
+    if isinstance(tp, TPSequence):
+        gs = [guarantees(p) for p in tp.parts]
+        if all(g.fixed_len is not None for g in gs):
+            # fixed-length parts: the start determines the whole chain, so
+            # uniqueness of every part implies uniqueness of the sequence
+            return Guarantees(sum(g.fixed_len for g in gs), all(g.unique for g in gs))
+        return Guarantees(None, False)
+    if isinstance(tp, TPCapture):
+        return guarantees(tp.clause)
+    if isinstance(tp, TPRepetition):
+        g = guarantees(tp.clause)
+        if tp.mn == tp.mx and g.fixed_len is not None:
+            return Guarantees(tp.mn * g.fixed_len, g.unique)
+        return Guarantees(None, False)
+    return Guarantees(None, False)
 
 
 def _is_pure_term(p: TP) -> bool:

@@ -70,7 +70,7 @@ def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int | None =
     )
 
 
-def repetition(h: DataFrame, mn: int, mx: int | None) -> DataFrame:
+def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> DataFrame:
     """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths;
     mx=None means unbounded, reference SpanQueryRepetition.java:17-25 has no
     cap). Bounded: iterated positional self-joins. Unbounded: fixpoint loop —
@@ -93,7 +93,10 @@ def repetition(h: DataFrame, mn: int, mx: int | None) -> DataFrame:
         out = reps[mn - 1]
         for r in reps[mn:mx]:
             out = out.unionByName(r)
-        return out.dropDuplicates(list(HITS_COLS))
+        # dedupe=False when the caller PROVES hits unique (fixed-length
+        # unique clause: the start determines the chain) — the
+        # SpanGuarantees move, skipping a real shuffle
+        return out.dropDuplicates(list(HITS_COLS)) if dedupe else out
     base = base.persist()
     cur = base
     k = 1

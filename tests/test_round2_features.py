@@ -298,3 +298,23 @@ def test_settings_defann(tiny_index_annot):
 def test_settings_unknown_annot_raises():
     with pytest.raises(ValueError, match="defann"):
         bcql.parse('@defann=foo "x"')
+
+
+# ------------------------------------------------------------ SpanGuarantees
+def test_guarantees_flags():
+    g = bcql.guarantees
+    assert g(bcql.parse('"a"')) == bcql.Guarantees(1, True)
+    assert g(bcql.parse('"a" "b"')) == bcql.Guarantees(2, True)
+    assert g(bcql.parse('"a" | "b"')) == bcql.Guarantees(1, True)
+    assert g(bcql.parse('"a" | "a" "b"')).fixed_len is None
+    assert g(bcql.parse('("a" "b"){2,2}')) == bcql.Guarantees(4, True)
+    assert g(bcql.parse('"a"?')).fixed_len is None
+
+
+def test_fixed_len_repetition_no_dedupe_still_correct(tiny_index):
+    # ("aap" "aap"){1,2}: fixed-length unique clause -> dedupe shuffle
+    # skipped; results must still be duplicate-free and correct
+    got = bcql.find(tiny_index, '("aap" "aap"){1,2}')
+    rows = [(r["doc_id"], r["start"], r["end"]) for r in got.collect()]
+    assert len(rows) == len(set(rows))  # no duplicates without the dedupe
+    assert (5, 0, 4) in rows and (5, 0, 2) in rows and (1, 8, 10) in rows
