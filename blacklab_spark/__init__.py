@@ -5,18 +5,24 @@ A from-scratch rebuild of the capabilities of the reference corpus search engine
 
 - input: a table of Common-Crawl-style web pages
   (url string, warc_ts timestamp, html binary, text string, lang string)
-- build: vectorized Arrow UDF extraction/tokenization -> docs / terms /
-  postings (delta+varint block-compressed, block-max scores) / manifest tables
-- query: term / regex / OR / AND / phrase / proximity span queries and
-  BM25 top-k with block-max WAND pruning, all as DataFrame plans over
-  document-sharded posting blocks (shard == salt: head-term posting lists are
-  split across shards by construction, the explicit skew rule).
+  — or ANNOTATED input (tokens/lemma/pos/sentences/relations columns, e.g.
+  from the CoNLL-U reader), the reference's primary ingestion model
+- build: vectorized Arrow UDF extraction/tokenization + per-annotation
+  parallel layers -> docs / terms / postings (delta+varint doc-sorted
+  blocks, block-max scores) / manifest tables; opt-in markup tag spans,
+  char offsets and dependency relations
+- query: term / regex / fuzzy / OR / AND / phrase / proximity / repetition
+  (unbounded) / relation span queries, BCQL with capture groups, global
+  constraints and annotation layers, and BM25 top-k with block-max WAND
+  pruning — all as DataFrame plans over document-sharded posting blocks
+  (shard == salt: head-term posting lists are split across shards by
+  construction, the explicit skew rule).
 
 No code is copied from the reference; file:line citations in docstrings point
 at the behavior being mirrored, not at code being translated.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 K1 = 1.2  # Lucene 8 BM25 default (reference scores via default IndexSearcher:
 B = 0.75  # engine/.../search/BlackLabIndexAbstract.java:521 -> BM25Similarity)
@@ -31,6 +37,7 @@ __all__ = [
     # .spans                  — span algebra combinators
     # .bcql.parse/find        — Corpus Query Language
     # .results                — sort/group/sample/window/facets/collocations
+    # .rank                   — distributed ranking (no single-partition windows)
     # .sources                — input format readers -> pages schema
     # .streaming.stream_build — Structured Streaming delta ingest
     # .multimodal             — binary payload plumbing

@@ -743,6 +743,7 @@ def build_index(
     has_relations = bool(index_relations) or ("relations" in pages.columns)
     # layers whose values come from the INPUT (reference ingestion model)
     # rather than the pinned derived tagger
+    annotated_in = "tokens" in pages.columns
     input_layers = frozenset(
         a for a in annotations
         if a != "word" and f"tokens_{a}" in pages.columns
@@ -753,6 +754,7 @@ def build_index(
         "store_text": store_text,
         "base_doc_id": base_doc_id,
         "annotations": list(annotations),
+        "annotated_input": annotated_in,
         "input_layers": sorted(input_layers),
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
@@ -1064,7 +1066,12 @@ def compact(
     with open(reg_path) as f:
         segs = json.load(f)["segments"]
     with open(f"{out_dir}/segments/{segs[0]}/build_params.json") as f:
-        seg_annots = tuple(json.load(f).get("annotations", ["word"]))
+        p0 = json.load(f)
+    seg_annots = tuple(p0.get("annotations", ["word"]))
+    seg_annotated = any(
+        json.load(open(f"{out_dir}/segments/{s}/build_params.json")).get("annotated_input")
+        for s in segs
+    )
     if pages is None:
         for seg in segs:
             pp = f"{out_dir}/segments/{seg}/build_params.json"
@@ -1081,14 +1088,28 @@ def compact(
         for seg in segs:
             d = spark.read.parquet(f"{out_dir}/segments/{seg}/docs")
             docs = d if docs is None else docs.unionByName(d)
-        # re-derive a pages-shaped frame (text already extracted; html unused)
-        pages = docs.select(
-            "url",
-            "warc_ts",
+        # re-derive a pages-shaped frame (text already extracted; html
+        # unused). Annotated-input segments pass their stored token streams
+        # and layers through — re-tokenizing the joined text would drop
+        # punctuation tokens and input annotations.
+        cols = [
+            F.col("url"), F.col("warc_ts"),
             F.lit(None).cast("binary").alias("html"),
-            "text",
-            "lang",
-        )
+            F.col("text"), F.col("lang"),
+        ]
+        if seg_annotated:
+            cols += [F.col("tokens"), F.col("sents"), F.col("relations")]
+            # only layers the ORIGINAL input supplied pass through; derived
+            # layers re-derive (identical by the pinned rules)
+            if "lemma" in p0.get("input_layers", []):
+                cols.append(
+                    F.coalesce(
+                        "tokens_lemma", F.coalesce("tokens_fold", "tokens")
+                    ).alias("tokens_lemma")
+                )
+            if "pos" in p0.get("input_layers", []):
+                cols.append(F.col("tokens_pos"))
+        pages = docs.select(*cols)
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,
         segment="compacted", annotations=seg_annots,

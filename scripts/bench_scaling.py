@@ -28,6 +28,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 LEVELS = ("2", "8")          # official N vs 4N pair (see module docstring)
@@ -63,23 +64,33 @@ def _mem_stream(_):
 
 def machine_probes() -> dict:
     """Quantify the sandbox VM's scaling ceilings: pure-CPU work vs
-    memory-streaming work at 8 and 32 processes. A real N->4N executor
+    memory-streaming work at 2..32 processes. A real N->4N executor
     scale-out adds a memory bus per executor; this single-bus VM does not,
     so thread-level efficiency for bandwidth-bound stages is a LOWER BOUND
-    on multi-executor efficiency."""
+    on multi-executor efficiency.
+
+    Each point is best-of-3 with a quiet-host gate: the sandbox has
+    intermittent phases where memory ops run 10-80x slow; an ungated probe
+    lands inside one and reports noise."""
     import multiprocessing as mp
     import time
+
+    from bench_one_level import wait_for_quiet
 
     out = {}
     for name, fn in (("cpu", _cpu_burn), ("membw", _mem_stream)):
         for nproc in (2, 4, 8, 16, 32):
-            t0 = time.time()
-            with mp.Pool(nproc) as p:
-                res = p.map(fn, range(nproc))
-            wall = time.time() - t0
-            # work units completed per second across the pool
-            total = nproc * 2.0 / wall if name == "cpu" else sum(res) / wall
-            out[f"{name}_{nproc}"] = round(total, 2)
+            best = 0.0
+            for _ in range(3):
+                wait_for_quiet(limit_s=0.06)
+                t0 = time.time()
+                with mp.Pool(nproc) as p:
+                    res = p.map(fn, range(nproc))
+                wall = time.time() - t0
+                # work units completed per second across the pool
+                total = nproc * 2.0 / wall if name == "cpu" else sum(res) / wall
+                best = max(best, total)
+            out[f"{name}_{nproc}"] = round(best, 2)
     out["cpu_scaling_8_over_2"] = round(out["cpu_8"] / out["cpu_2"], 2)
     out["membw_scaling_8_over_2"] = round(out["membw_8"] / out["membw_2"], 2)
     out["cpu_scaling_32_over_8"] = round(out["cpu_32"] / out["cpu_8"], 2)

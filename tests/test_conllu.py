@@ -99,3 +99,23 @@ def test_punct_tokens_preserved(conllu_index):
     # input token streams keep punctuation tokens (position parity with the
     # reference's annotated corpora)
     assert hs(conllu_index.term_hits(".", fold=False)) == {(0, 6, 7)}
+
+
+def test_compact_preserves_annotated_streams(spark, tmp_path_factory, conllu_index):
+    """Compacting an annotated-input index must not re-tokenize: punctuation
+    tokens, input lemma/pos, sentence spans and relations all survive."""
+    import json
+    import shutil
+
+    from blacklab_spark.build import compact
+    from blacklab_spark.query import Index
+
+    src_dir = conllu_index.dir
+    out = str(tmp_path_factory.mktemp("ix_conllu_compact"))
+    shutil.copytree(src_dir, out, dirs_exist_ok=True)
+    compact(spark, out, n_shards=2, block_size=4)
+    ix2 = Index(spark, out)
+    assert hs(ix2.term_hits(".", fold=False)) == {(0, 6, 7)}  # punct survives
+    assert hs(bcql.find(ix2, '[lemma="be" & word="are"]')) == {(0, 2, 3)}
+    assert hs(ix2.tag_hits("s")) == {(0, 0, 7), (0, 7, 10), (1, 0, 3)}
+    assert hs(bcql.find(ix2, '_ -nsubj-> _')) == {(0, 1, 3), (0, 7, 9), (1, 0, 2)}
