@@ -12,11 +12,13 @@ A from-scratch rebuild of the capabilities of the reference corpus search engine
   blocks, block-max scores) / manifest tables; opt-in markup tag spans,
   char offsets and dependency relations
 - query: term / regex / fuzzy / OR / AND / phrase / proximity / repetition
-  (unbounded) / relation span queries, BCQL with capture groups, global
-  constraints and annotation layers, and BM25 top-k with block-max WAND
-  pruning — all as DataFrame plans over document-sharded posting blocks
-  (shard == salt: head-term posting lists are split across shards by
-  construction, the explicit skew rule).
+  (unbounded) / relation span queries, markup tags with attribute filters
+  and edge forms, parallel-corpus alignment (`==>field`), BCQL with capture
+  groups, global constraints, annotation layers and a pluggable
+  query-function registry (bcql.register_function), and BM25 top-k with
+  block-max WAND pruning — all as DataFrame plans over document-sharded
+  posting blocks (shard == salt: head-term posting lists are split across
+  shards by construction, the explicit skew rule).
 
 No code is copied from the reference; file:line citations in docstrings point
 at the behavior being mirrored, not at code being translated.

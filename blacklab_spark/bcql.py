@@ -103,7 +103,13 @@ class TPCapture(TP):
 
 @dataclass
 class TPTags(TP):
+    """Inline-tag query (reference TextPatternTags, cql.jj:348-391): `<s/>`
+    (full span), `<s>` (zero-length leading edge), `</s>` (trailing edge),
+    with optional attribute filters `<p class="intro"/>`."""
+
     name: str
+    attrs: tuple = ()  # ((key, value), ...) exact-match filters
+    adjust: str = "full"  # full | leading | trailing
 
 
 @dataclass
@@ -124,6 +130,20 @@ class TPRelation(TP):
     rtype: str
     target: TP
     mode: str = "full"
+
+
+@dataclass
+class TPAlignment(TP):
+    """Parallel-corpus alignment operator `a ==>nl b` / `a =type=>nl b`
+    (reference: RelationOperatorInfo.java:25-70, alignment relations between
+    parallel fields; SpanQueryCaptureRelationsBetweenSpans): keep `a` hits
+    (main field) linked by an alignment relation to a `b` hit in parallel
+    field `field`. `_` as target = any aligned span."""
+
+    source: TP
+    field: str
+    target: TP
+    rtype: str | None = None
 
 
 @dataclass
@@ -174,6 +194,55 @@ class CRef:
     kind: str = "word"  # word | lemma | pos | start | end
 
 
+# --------------------------------------------- query extension functions --
+@dataclass(frozen=True)
+class QueryFunction:
+    """A registered query extension function (reference: the QueryExtensions
+    registry, QueryExtensions.java:150-179, with built-ins from XFDebug and
+    XFRelations). arg_types per slot: 'Q' = subquery, 'S' = quoted string;
+    `defaults` right-aligns onto trailing optional slots; `build` maps the
+    parsed argument list to a TextPattern node."""
+
+    name: str
+    arg_types: tuple
+    build: object  # Callable[[list], TP]
+    defaults: tuple = ()
+
+
+QUERY_FUNCTIONS: dict[str, QueryFunction] = {}
+
+
+def register_function(name, arg_types, build, defaults=()):
+    """Add a query function usable as `name(arg, ...)` in BCQL (reference:
+    QueryExtensions.register, QueryExtensions.java:164-179)."""
+    QUERY_FUNCTIONS[name] = QueryFunction(name, tuple(arg_types), build, tuple(defaults))
+
+
+def _build_fiseq(direction):
+    return lambda a: TPFiSeq(a[0], a[1], direction)
+
+
+def _build_rel(a):
+    # rel(type[, mode]) (reference XFRelations.rel, XFRelations.java:26-30)
+    return TPRelation(TPDefaultValue(), a[0], TPDefaultValue(), a[1])
+
+
+def _build_rspan(a):
+    # rspan(relquery, mode) (reference XFRelations.rspan)
+    if not isinstance(a[0], TPRelation):
+        raise ValueError("rspan(): first argument must be a relation query")
+    q = a[0]
+    return TPRelation(q.source, q.rtype, q.target, a[1])
+
+
+# built-ins (reference: QueryExtensions static block, QueryExtensions.java:146-148)
+register_function("_FI1", "QQ", _build_fiseq("fwd"))  # XFDebug.java:43
+register_function("_FI2", "QQ", _build_fiseq("bwd"))  # XFDebug.java:44
+register_function("_ident", "Q", lambda a: a[0])      # XFDebug.java:42
+register_function("rel", "SS", _build_rel, defaults=("full",))
+register_function("rspan", "QS", _build_rspan)
+
+
 # -------------------------------------------------------------------- lexer --
 _TOKEN_SPEC = [
     ("QUOTED", r'"(?:[^"\\]|\\.)*"'),
@@ -181,7 +250,15 @@ _TOKEN_SPEC = [
     ("FLAGS", r"%[cdis]+"),
     ("NUMBER", r"\d+"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
-    ("TAG", r"<\s*[A-Za-z_][A-Za-z0-9_]*\s*/\s*>"),
+    # full reference tag forms (cql.jj:354): <name attr="v" .../>, <name>,
+    # </name>. Must precede OP so `<`/`>` comparison operators still lex:
+    # a comparison's right side never looks like `name…>` immediately.
+    ("TAG", r"""<\s*/?\s*[A-Za-z_][A-Za-z0-9_]*"""
+            r"""(?:\s+[A-Za-z_][-A-Za-z0-9_:]*\s*=\s*(?:"[^"]*"|'[^']*'))*"""
+            r"""\s*/?\s*>"""),
+    # alignment operator `==>field` / `=type=>field` (parallel corpora,
+    # RelationOperatorInfo.java:30-33) — before OP so `=` still lexes alone
+    ("ALIGNOP", r"=[-A-Za-z0-9_.|*?]*=>[A-Za-z0-9_]*"),
     ("RELOP", r"-[A-Za-z0-9_.|*?]*->"),
     ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>"),
     ("WS", r"\s+"),
@@ -238,6 +315,29 @@ class _Parser:
         if v != val:
             raise ValueError(f"BCQL parse error: expected {val!r}, got {v!r}")
 
+    def _function_call(self, fn: "QueryFunction") -> TP:
+        """`name(` already consumed up to the name; parse the argument list
+        per fn.arg_types ('Q' = subquery, 'S' = quoted string), applying
+        right-aligned defaults for omitted trailing args."""
+        self.expect("(")
+        n_req = len(fn.arg_types) - len(fn.defaults)
+        args: list = []
+        for idx, at in enumerate(fn.arg_types):
+            if idx > 0:
+                if self.peek()[1] == ",":
+                    self.next()
+                elif idx >= n_req:
+                    break
+                else:
+                    self.expect(",")
+            elif self.peek()[1] == ")" and n_req == 0:
+                break
+            args.append(self.query() if at == "Q" else _quoted_val(self.atom()))
+        self.expect(")")
+        while len(args) < len(fn.arg_types):
+            args.append(fn.defaults[len(args) - n_req])
+        return fn.build(args)
+
     # query := SETTINGS? seqOr (('within'|'containing') seqOr)* ('::' constraint)?
     def query(self) -> TP:
         # settings prefix "@a=b,c=d" (reference settingsQuery, cql.jj:129-152
@@ -250,15 +350,35 @@ class _Parser:
             da = self.settings.get("defann")
             if da is not None and da not in ANNOTS:
                 raise ValueError(f"@defann={da!r}: unknown annotation (supported: {ANNOTS})")
-        left = self.seq_or()
+        left = self.rel_query()
         while self.peek()[1] in ("within", "containing"):
             op = self.next()[1]
-            right = self.seq_or()
+            right = self.rel_query()
             left = TPPosFilter(left, right, op)
         if self.peek()[1] == "::":
             self.next()
             left = TPConstrained(left, self.constraint())
         return left
+
+    # relQuery := seqOr ((RELOP|ALIGNOP) relQuery)?  — relation/alignment
+    # operators bind LOOSER than sequence/boolean, tighter than
+    # within/containing (reference: relationQuery sits between
+    # containingWithinQuery and booleanQuery, cql.jj:246-301), so
+    # `"de" "hond" ==>en "the" "dog"` aligns the two-token sequences.
+    def rel_query(self) -> TP:
+        node = self.seq_or()
+        k, op = self.peek()
+        if k == "RELOP":
+            self.next()
+            rtype = op[1:-2]  # strip '-' and '->'
+            return TPRelation(node, rtype, self.rel_query())
+        if k == "ALIGNOP":
+            self.next()
+            body, field = op[1:].split("=>")  # '=TYPE=>FIELD' / '==>FIELD'
+            if not field:
+                raise ValueError(f"alignment operator needs a target field: {op!r}")
+            return TPAlignment(node, field, self.rel_query(), body or None)
+        return node
 
     # constraint := cand ('|' cand)* ; cand := catom ('&' catom)*
     def constraint(self) -> CExpr:
@@ -351,7 +471,7 @@ class _Parser:
                 flat.append(p)
         return flat[0] if len(flat) == 1 else TPSequence(flat)
 
-    # seqpart := [NAME ':'] atom repetition? (RELOP seqpart)?
+    # seqpart := [NAME ':'] atom repetition?
     def seqpart(self) -> TP:
         k, v = self.peek()
         if k == "NAME" and self.toks[self.i + 1][1] == ":":
@@ -359,13 +479,7 @@ class _Parser:
             self.next()  # ':'
             inner = self.seqpart()
             return TPCapture(name, inner)
-        node = self.maybe_repeat(self.atom())
-        if self.peek()[0] == "RELOP":
-            op = self.next()[1]
-            rtype = op[1:-2]  # strip '-' and '->'
-            target = self.seqpart()
-            return TPRelation(node, rtype, target)
-        return node
+        return self.maybe_repeat(self.atom())
 
     def maybe_repeat(self, node: TP) -> TP:
         k, v = self.peek()
@@ -399,36 +513,8 @@ class _Parser:
         if k == "NAME" and v == "_":
             self.next()
             return TPDefaultValue()
-        if k == "NAME" and v in ("_FI1", "_FI2") and self.toks[self.i + 1][1] == "(":
-            fn = self.next()[1]
-            self.expect("(")
-            a = self.atom()
-            self.expect(",")
-            b = self.atom()
-            self.expect(")")
-            return TPFiSeq(a, b, "fwd" if fn == "_FI1" else "bwd")
-        if k == "NAME" and v == "rel" and self.toks[self.i + 1][1] == "(":
-            # rel(type[, mode]) (reference XFRelations.rel, XFRelations.java:26-30)
-            self.next()
-            self.expect("(")
-            t = self.atom()
-            mode = "full"
-            if self.peek()[1] == ",":
-                self.next()
-                mode = _quoted_val(self.atom())
-            self.expect(")")
-            return TPRelation(TPDefaultValue(), _quoted_val(t), TPDefaultValue(), mode)
-        if k == "NAME" and v == "rspan" and self.toks[self.i + 1][1] == "(":
-            # rspan(relquery, mode) (reference XFRelations.rspan)
-            self.next()
-            self.expect("(")
-            q = self.query()
-            self.expect(",")
-            mode = _quoted_val(self.atom())
-            self.expect(")")
-            if not isinstance(q, TPRelation):
-                raise ValueError("rspan(): first argument must be a relation query")
-            return TPRelation(q.source, q.rtype, q.target, mode)
+        if k == "NAME" and v in QUERY_FUNCTIONS and self.toks[self.i + 1][1] == "(":
+            return self._function_call(QUERY_FUNCTIONS[self.next()[1]])
         if k == "QUOTED":
             self.next()
             flags = None
@@ -441,8 +527,23 @@ class _Parser:
             return node
         if k == "TAG":
             self.next()
-            name = re.sub(r"[<>/\s]", "", v)
-            return TPTags(name)
+            closing = re.match(r"<\s*/", v) is not None
+            selfclose = re.search(r"/\s*>$", v) is not None
+            if closing and selfclose:
+                raise ValueError(f"malformed tag: {v!r}")
+            name = re.match(r"<\s*/?\s*([A-Za-z_][A-Za-z0-9_]*)", v).group(1)
+            attrs = tuple(sorted(
+                (ak, av[1:-1])
+                for ak, av in re.findall(
+                    r"""([A-Za-z_][-A-Za-z0-9_:]*)\s*=\s*("[^"]*"|'[^']*')""", v
+                )
+            ))
+            if closing and attrs:
+                raise ValueError(f"closing tag cannot carry attributes: {v!r}")
+            # reference adjust mapping (cql.jj:359-365): self-closing = the
+            # full span; open tag = leading edge; close tag = trailing edge
+            adjust = "full" if selfclose else ("trailing" if closing else "leading")
+            return TPTags(name, attrs, adjust)
         if v == "(":
             self.next()
             node = self.query()
@@ -534,7 +635,7 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     if isinstance(tp, TPNotTerm):
         return S.not_spans(ix.doc_lens(), compile_pattern(ix, tp.inner))
     if isinstance(tp, TPTags):
-        return ix.tag_hits(tp.name)
+        return ix.tag_hits(tp.name, attrs=dict(tp.attrs), adjust=tp.adjust)
     if isinstance(tp, TPOr):
         # term-disjunction fast path: '"a" | "b"' fetches ONE postings union
         # (BLSpanOrQuery's term list) instead of per-clause frames + dedupe
@@ -586,6 +687,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         raise ValueError("`_` (default value) is only valid as a relation side")
     if isinstance(tp, TPRelation):
         return _compile_relation(ix, tp)
+    if isinstance(tp, TPAlignment):
+        return _compile_alignment(ix, tp)
     if isinstance(tp, TPFiSeq):
         return _compile_fiseq(ix, tp)
     if isinstance(tp, TPSequence):
@@ -682,6 +785,39 @@ def _compile_relation(ix: Index, tp: TPRelation) -> DataFrame:
     return hits
 
 
+def _compile_parallel(ix: Index, field: str, tp: TP) -> DataFrame:
+    """Compile a pattern against a parallel field's token stream (v1:
+    single-token terms/regexes and sequences of them — forward-index scan,
+    candidates are restricted by the alignment join)."""
+    if isinstance(tp, TPTerm):
+        if tp.annot != "word":
+            raise ValueError("parallel-field patterns support only `word` (v1)")
+        return ix.parallel_term_hits(field, term=tp.term, fold=not tp.sensitive)
+    if isinstance(tp, TPRegex):
+        if tp.annot != "word":
+            raise ValueError("parallel-field patterns support only `word` (v1)")
+        return ix.parallel_term_hits(field, regex=tp.pattern, fold=not tp.sensitive)
+    if isinstance(tp, TPSequence):
+        out = None
+        for p in tp.parts:
+            h = _compile_parallel(ix, field, p)
+            out = h if out is None else S.sequence(out, h, 0, 0)
+        return out
+    raise ValueError(
+        f"alignment target must be a term/regex/sequence or `_` (v1), got {tp!r}"
+    )
+
+
+def _compile_alignment(ix: Index, tp: TPAlignment) -> DataFrame:
+    src = compile_pattern(ix, tp.source)
+    tgt = (
+        None
+        if isinstance(tp.target, TPDefaultValue)
+        else _compile_parallel(ix, tp.field, tp.target)
+    )
+    return ix.alignment_hits(src, tp.field, tgt, tp.rtype)
+
+
 def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
     if tp.direction == "fwd":
         anchor = compile_pattern(ix, tp.left)
@@ -738,6 +874,13 @@ def guarantees(tp: TP) -> Guarantees:
         if tp.mn == tp.mx and g.fixed_len is not None:
             return Guarantees(tp.mn * g.fixed_len, g.unique)
         return Guarantees(None, False)
+    if isinstance(tp, (TPPosFilter, TPConstrained)):
+        # pure filters: a subset of the producer's hits keeps its guarantees
+        src = tp.producer if isinstance(tp, TPPosFilter) else tp.clause
+        return guarantees(src)
+    if isinstance(tp, TPAlignment):
+        # semi-join against alignment relations: subset of the source hits
+        return guarantees(tp.source)
     return Guarantees(None, False)
 
 
@@ -913,7 +1056,12 @@ def to_dict(tp: TP) -> dict:
     if isinstance(tp, TPCapture):
         return {"type": "capture", "name": tp.name, "clause": to_dict(tp.clause)}
     if isinstance(tp, TPTags):
-        return {"type": "tags", "name": tp.name}
+        d = {"type": "tags", "name": tp.name}
+        if tp.attrs:
+            d["attrs"] = {k: v for k, v in tp.attrs}
+        if tp.adjust != "full":
+            d["adjust"] = tp.adjust
+        return d
     if isinstance(tp, TPPosFilter):
         return {
             "type": "posfilter", "op": tp.op, "invert": tp.invert,
@@ -931,7 +1079,39 @@ def to_dict(tp: TP) -> dict:
             "type": "relation", "rtype": tp.rtype, "mode": tp.mode,
             "source": to_dict(tp.source), "target": to_dict(tp.target),
         }
+    if isinstance(tp, TPAlignment):
+        d = {
+            "type": "alignment", "field": tp.field,
+            "source": to_dict(tp.source), "target": to_dict(tp.target),
+        }
+        if tp.rtype:
+            d["rtype"] = tp.rtype
+        return d
+    if isinstance(tp, TPConstrained):
+        return {
+            "type": "constrained", "clause": to_dict(tp.clause),
+            "constraint": _cexpr_dict(tp.constraint),
+        }
     raise TypeError(repr(tp))
+
+
+def _cexpr_dict(c) -> dict:
+    if isinstance(c, CRef):
+        return {"type": "ref", "name": c.name, "kind": c.kind}
+    if isinstance(c, CExpr):
+        return {
+            "type": "expr", "op": c.op,
+            "left": _cexpr_dict(c.left), "right": _cexpr_dict(c.right),
+        }
+    return {"type": "lit", "value": c}  # str or int literal
+
+
+def _cexpr_from_dict(d):
+    if d["type"] == "ref":
+        return CRef(d["name"], d.get("kind", "word"))
+    if d["type"] == "expr":
+        return CExpr(d["op"], _cexpr_from_dict(d["left"]), _cexpr_from_dict(d["right"]))
+    return d["value"]
 
 
 def from_dict(d: dict) -> TP:
@@ -955,7 +1135,11 @@ def from_dict(d: dict) -> TP:
     if t == "capture":
         return TPCapture(d["name"], from_dict(d["clause"]))
     if t == "tags":
-        return TPTags(d["name"])
+        return TPTags(
+            d["name"],
+            tuple(sorted(d.get("attrs", {}).items())),
+            d.get("adjust", "full"),
+        )
     if t == "posfilter":
         return TPPosFilter(
             from_dict(d["producer"]), from_dict(d["filter"]), d["op"], d.get("invert", False)
@@ -968,6 +1152,13 @@ def from_dict(d: dict) -> TP:
         return TPRelation(
             from_dict(d["source"]), d["rtype"], from_dict(d["target"]), d.get("mode", "full")
         )
+    if t == "alignment":
+        return TPAlignment(
+            from_dict(d["source"]), d["field"], from_dict(d["target"]),
+            d.get("rtype"),
+        )
+    if t == "constrained":
+        return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
     raise ValueError(t)
 
 
@@ -1013,7 +1204,12 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPCapture):
         return f"{tp.name}:{_wrap(tp.clause)}"
     if isinstance(tp, TPTags):
-        return f"<{tp.name}/>"
+        a = "".join(f' {k}="{v}"' for k, v in tp.attrs)
+        if tp.adjust == "leading":
+            return f"<{tp.name}{a}>"
+        if tp.adjust == "trailing":
+            return f"</{tp.name}>"
+        return f"<{tp.name}{a}/>"
     if isinstance(tp, TPPosFilter):
         return f"{_wrap(tp.producer)} {tp.op} {_wrap(tp.filt)}"
     if isinstance(tp, TPFiSeq):
@@ -1026,7 +1222,26 @@ def to_cql(tp: TP) -> str:
         if tp.mode != "full":
             return f'rspan({base}, "{tp.mode}")'
         return base
+    if isinstance(tp, TPAlignment):
+        return f"{_wrap(tp.source)} ={tp.rtype or ''}=>{tp.field} {_wrap(tp.target)}"
+    if isinstance(tp, TPConstrained):
+        return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
     raise TypeError(repr(tp))
+
+
+def _cexpr_str(c) -> str:
+    if isinstance(c, CRef):
+        if c.kind in ("start", "end"):
+            return f"{c.kind}({c.name})"
+        return f"{c.name}.{c.kind}"
+    if isinstance(c, CExpr):
+        l, r = _cexpr_str(c.left), _cexpr_str(c.right)
+        if c.op in ("&", "|"):
+            return f"({l} {c.op} {r})"
+        return f"{l} {c.op} {r}"
+    if isinstance(c, str):
+        return f'"{c}"'
+    return str(c)  # int literal
 
 
 def _wrap(tp: TP) -> str:

@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 7  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 8  # bumped on any docs/terms/postings schema change
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -68,8 +68,9 @@ DOCS_SCHEMA = (
     "doc_len int, tokens array<string>, tokens_fold array<string>, "
     "tokens_lemma array<string>, tokens_pos array<string>, "
     "sents array<array<int>>, "
-    "tags array<struct<name:string,start:int,end:int>>, "
+    "tags array<struct<name:string,start:int,end:int,attrs:map<string,string>>>, "
     "tok_offs array<int>, "
+    "parallel map<string,array<string>>, "
     "relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
     "tgt_start:int,tgt_end:int>>"
 )
@@ -140,6 +141,14 @@ def tokenized_docs(
     in_lemma = annotated_input and "tokens_lemma" in pages.columns
     in_pos = annotated_input and "tokens_pos" in pages.columns
     in_sents = annotated_input and "sents" in pages.columns
+    # PARALLEL fields (reference: parallel corpora, one annotated field per
+    # document version — contents__nl etc.; here: tokens_<field> input
+    # columns stored as a per-doc map, alignment relations use rclass
+    # 'al:<field>' with target positions in that field's token space)
+    par_fields = sorted(
+        c[len("tokens_"):] for c in pages.columns
+        if c.startswith("tokens_") and c not in ("tokens_lemma", "tokens_pos")
+    )
 
     def kernel(batches):
         for pdf0 in batches:
@@ -304,6 +313,22 @@ def tokenized_docs(
                         "sents": sents_col,
                         "tags": tags_col,
                         "tok_offs": offs_col,
+                        "parallel": (
+                            pd.Series(
+                                [
+                                    {
+                                        f: list(row[i]) if row[i] is not None else []
+                                        for i, f in enumerate(par_fields)
+                                    }
+                                    for row in zip(
+                                        *(pdf[f"tokens_{f}"] for f in par_fields)
+                                    )
+                                ],
+                                index=pdf.index, dtype=object,
+                            )
+                            if par_fields
+                            else pd.Series([{}] * len(pdf), index=pdf.index, dtype=object)
+                        ),
                         "relations": rels_col,
                     }
                 )
@@ -759,6 +784,10 @@ def build_index(
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
         "index_relations": has_relations,
+        "parallel_fields": sorted(
+            c[len("tokens_"):] for c in pages.columns
+            if c.startswith("tokens_") and c not in ("tokens_lemma", "tokens_pos")
+        ),
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
     }
@@ -812,7 +841,7 @@ def build_index(
         page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
             c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents", "relations")
             if c in pages.columns
-        ]
+        ] + [f"tokens_{f}" for f in params["parallel_fields"]]
         pages0 = pages.select(*page_cols).join(ids, "url")
         docs0 = tokenized_docs(
             pages0, store_text=store_text, annotations=annotations,
@@ -996,6 +1025,7 @@ def build_index(
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
         "index_relations": has_relations,
+        "parallel_fields": params["parallel_fields"],
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
         "n_terms": int(n_terms),
@@ -1109,6 +1139,12 @@ def compact(
                 )
             if "pos" in p0.get("input_layers", []):
                 cols.append(F.col("tokens_pos"))
+        for fld in p0.get("parallel_fields", []):
+            # parallel streams + their alignment relations pass through
+            cols.append(F.col("parallel").getItem(fld).alias(f"tokens_{fld}"))
+        if p0.get("parallel_fields") and not seg_annotated:
+            # carry stored streams so alignments keep their token positions
+            cols += [F.col("tokens"), F.col("sents"), F.col("relations")]
         pages = docs.select(*cols)
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,

@@ -282,6 +282,116 @@ def get_index(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def get_tagged_index(spark: SparkSession, sf_dir: str):
+    """Markup-input variant of get_index: each document is re-serialized as
+    HTML with two <sec> spans (head = first floor(n/2) tokens, tail = rest),
+    carrying kind="head"/"tail" attributes, and indexed with
+    index_tags=("sec",). Exercises the real markup pipeline end-to-end:
+    tag scan at tokenize time, attrs storage, attribute-filtered tag queries
+    (reference: tag attributes, cql.jj:348-391)."""
+    from .build import FORMAT_VERSION, build_index
+    from .query import Index
+
+    key = "tagged:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = f"/tmp/blacklab_ixtag_{tag}"
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    meta_path = f"{out}/segments/seg0/meta.json"
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        ok = (
+            m.get("n_docs") == n
+            and m.get("format_version") == FORMAT_VERSION
+            and m.get("index_tags") == ["sec"]
+        )
+    if not ok:
+        arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+        d = docs.select("doc_id", arr.alias("a")).withColumn("n", F.size("a"))
+        d = d.withColumn("h", F.floor(F.col("n") / 2).cast("int"))
+        html = F.concat(
+            F.lit('<sec kind="head">'),
+            F.array_join(F.slice(F.col("a"), F.lit(1), F.col("h")), " "),
+            F.lit('</sec> <sec kind="tail">'),
+            F.array_join(
+                F.slice(F.col("a"), F.col("h") + 1, F.col("n") - F.col("h")), " "
+            ),
+            F.lit("</sec>"),
+        )
+        pages = d.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.encode(html, "utf-8").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+        )
+        build_index(spark, pages, out, n_shards=8, index_tags=("sec",))
+    ix = Index(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def get_parallel_index(spark: SparkSession, sf_dir: str):
+    """Parallel-corpus variant of get_index: a deterministic 'nl' version of
+    each document (every token suffixed with 'x') plus two half-document
+    alignment relations (head half -> head half, tail half -> tail half,
+    rclass 'al:nl'). Exercises parallel streams + the `==>field` alignment
+    operator end-to-end (reference: parallel corpora,
+    RelationOperatorInfo.java:25-70)."""
+    from .build import FORMAT_VERSION, build_index
+    from .query import Index
+
+    key = "parallel:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = f"/tmp/blacklab_ixpar_{tag}"
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    meta_path = f"{out}/segments/seg0/meta.json"
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        ok = (
+            m.get("n_docs") == n
+            and m.get("format_version") == FORMAT_VERSION
+            and m.get("parallel_fields") == ["nl"]
+        )
+    if not ok:
+        arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+        d = docs.select("doc_id", arr.alias("a")).withColumn("n", F.size("a"))
+        d = d.withColumn("h", F.floor(F.col("n") / 2).cast("int"))
+
+        def rel(s, e):
+            return F.struct(
+                F.lit("al:nl").alias("rclass"), F.lit("half").alias("rtype"),
+                s.cast("int").alias("src_start"), e.cast("int").alias("src_end"),
+                s.cast("int").alias("tgt_start"), e.cast("int").alias("tgt_end"),
+            )
+
+        pages = d.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+            F.col("a").alias("tokens"),
+            F.transform(F.col("a"), lambda t: F.concat(t, F.lit("x"))).alias("tokens_nl"),
+            F.array(
+                rel(F.lit(0), F.col("h")), rel(F.col("h"), F.col("n"))
+            ).alias("relations"),
+        )
+        build_index(spark, pages, out, n_shards=8)
+    ix = Index(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _ix_hits(df: DataFrame) -> DataFrame:
     """Engine hits -> driver shape (engine doc ids == documents.doc_id by
     construction of the doc:// urls)."""
@@ -386,6 +496,26 @@ def build_queries() -> dict:
 
     q["rs_decade"] = rs_decade
     q["ix_constraint"] = lambda s, d: _bcql(s, d, '"table" A:[] :: A.word = "scan"')
+
+    def ix_tag_attr(s, d):
+        """Attribute-filtered tag query over real markup input (reference:
+        <tag attr="v"/> + containing, cql.jj:348-391)."""
+        from . import bcql
+
+        ix = get_tagged_index(s, d)
+        return _ix_hits(bcql.find(ix, '<sec kind="tail"/> containing "merge"'))
+
+    q["ix_tag_attr"] = ix_tag_attr
+
+    def ix_align(s, d):
+        """Alignment operator over the parallel 'nl' version: 'merge' hits
+        whose document half is aligned to an nl half containing 'scanx'."""
+        from . import bcql
+
+        ix = get_parallel_index(s, d)
+        return _ix_hits(bcql.find(ix, '"merge" ==>nl "scanx"'))
+
+    q["ix_align"] = ix_align
 
     def ix_termfreq(s, d):
         return (
@@ -806,6 +936,37 @@ WITH {SQL_TOKS}
 SELECT doc_id FROM toks WHERE tok = 'table'
 EXCEPT
 SELECT doc_id FROM toks WHERE tok = 'vector'
+"""
+    # 'merge' tokens whose half (head: pos < floor(n/2), tail: pos >= that)
+    # also contains 'scan' — the half-alignment relations are src=tgt spans
+    # and nl tokens are 'x'-suffixed, so 'scanx' aligns exactly to 'scan'
+    o["ix_align"] = f"""
+WITH {SQL_TOKS},
+nn AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
+hh AS (SELECT doc_id, CAST(floor(c / 2) AS INT) AS h FROM nn)
+SELECT m.doc_id, m.pos AS start, m.pos + 1 AS "end"
+FROM toks m JOIN hh USING (doc_id)
+WHERE m.tok = 'merge' AND EXISTS (
+  SELECT 1 FROM toks s
+  WHERE s.doc_id = m.doc_id AND s.tok = 'scan'
+    AND (s.pos < hh.h) = (m.pos < hh.h)
+)
+"""
+    # tail <sec> span = (floor(n/2), n); keep spans containing >= 1 'merge'
+    o["ix_tag_attr"] = f"""
+WITH {SQL_TOKS},
+n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+span AS (
+  SELECT doc_id, CAST(floor(n / 2) AS INT) AS start, CAST(n AS INT) AS "end"
+  FROM n WHERE n >= 1
+)
+SELECT s.doc_id, s.start, s."end"
+FROM span s
+WHERE EXISTS (
+  SELECT 1 FROM toks t
+  WHERE t.doc_id = s.doc_id AND t.tok = 'merge'
+    AND t.pos >= s.start AND t.pos < s."end"
+)
 """
     o["ix_count"] = f"WITH {SQL_TOKS} SELECT CAST(count(*) AS BIGINT) AS n_hits FROM toks WHERE tok = 'table'"
     o["ix_colloc"] = f"""

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import B, K1
 from .codec import varint_decode, delta_decode, delta_decode_segmented
-from .oracle.engine import byte4_to_int, int_to_byte4
+from .oracle.engine import byte4_to_int
 from .tokenize import fold_token
 
 HITS_SCHEMA = "doc_id long, start int, end int"
@@ -414,33 +414,57 @@ class Index:
     def doc_lens(self) -> DataFrame:
         return self.docs.select("doc_id", "doc_len")
 
-    def tag_hits(self, name: str = "s") -> DataFrame:
-        """Inline-tag spans (reference: <s/> tag queries, cql.jj:348-368).
+    def tag_hits(
+        self, name: str = "s", attrs: dict | None = None, adjust: str = "full"
+    ) -> DataFrame:
+        """Inline-tag spans (reference: <s/> tag queries, cql.jj:348-391).
         's' is derived from punctuation at tokenize time (docs.sents); other
         tags come from real markup recorded at build time when the build ran
         with index_tags=(...) (reference: per-format tag config,
-        integrated.md:34-123)."""
-        if name == "s":
-            return self.docs.select("doc_id", F.explode("sents").alias("se")).select(
+        integrated.md:34-123).
+
+        attrs filters on opening-tag attributes (exact match on every pair,
+        reference: TextPatternTags attr map). adjust selects 'full' (the
+        whole span, `<s/>`), 'leading' (zero-length span at the open tag,
+        `<s>`) or 'trailing' (zero-length span at the close tag, `</s>`) —
+        reference TextPatternTags.Adjust, cql.jj:354-366."""
+        if adjust not in ("full", "leading", "trailing"):
+            raise ValueError(f"adjust must be full|leading|trailing, got {adjust!r}")
+        indexed = set()
+        for s in self.segments:
+            indexed |= set(s.meta.get("index_tags", []))
+        if name == "s" and "s" not in indexed:
+            if attrs:
+                raise ValueError(
+                    "attribute filters need real indexed tags; derived 's' "
+                    "sentence spans carry no attributes"
+                )
+            out = self.docs.select("doc_id", F.explode("sents").alias("se")).select(
                 "doc_id",
                 F.col("se")[0].cast("int").alias("start"),
                 F.col("se")[1].cast("int").alias("end"),
             )
-        indexed = set()
-        for s in self.segments:
-            indexed |= set(s.meta.get("index_tags", []))
-        if name not in indexed:
-            raise ValueError(
-                f"unknown tag: {name!r} (indexed tags: ['s'] + {sorted(indexed)}; "
-                "build with index_tags=(...) to record markup spans)"
+        else:
+            if name not in indexed:
+                raise ValueError(
+                    f"unknown tag: {name!r} (indexed tags: ['s'] + {sorted(indexed)}; "
+                    "build with index_tags=(...) to record markup spans)"
+                )
+            t = self.docs.select("doc_id", F.explode("tags").alias("t")).filter(
+                F.col("t.name") == name
             )
-        return self.docs.select("doc_id", F.explode("tags").alias("t")).filter(
-            F.col("t.name") == name
-        ).select(
-            "doc_id",
-            F.col("t.start").cast("int").alias("start"),
-            F.col("t.end").cast("int").alias("end"),
-        )
+            for k, v in (attrs or {}).items():
+                t = t.filter(F.col("t.attrs").getItem(k) == v)
+            out = t.select(
+                "doc_id",
+                F.col("t.start").cast("int").alias("start"),
+                F.col("t.end").cast("int").alias("end"),
+            )
+        if adjust == "leading":
+            out = out.select("doc_id", "start", F.col("start").alias("end"))
+        elif adjust == "trailing":
+            out = out.select("doc_id", F.col("end").alias("start"), "end")
+        return out
 
     def rel_spans(self) -> DataFrame:
         """All indexed relations, exploded (reference: SpanQueryRelations
@@ -490,6 +514,85 @@ class Index:
             "doc_id", s.cast("int").alias("start"), e.cast("int").alias("end"),
             F.col("src_start").alias("source_start"), F.col("src_end").alias("source_end"),
             F.col("tgt_start").alias("target_start"), F.col("tgt_end").alias("target_end"),
+        )
+
+    # ---------------------------------------------------- parallel corpora --
+    def parallel_fields(self) -> list[str]:
+        """Parallel document versions stored in this index (reference:
+        parallel corpora, one annotated field per version)."""
+        out: set[str] = set()
+        for s in self.segments:
+            out |= set(s.meta.get("parallel_fields", []))
+        return sorted(out)
+
+    def parallel_term_hits(
+        self, field: str, term: str | None = None, regex: str | None = None,
+        fold: bool = True,
+    ) -> DataFrame:
+        """Single-token hits in a parallel field's token stream (positions in
+        THAT field's token space). Matching is a forward-index scan of the
+        stored stream — parallel targets are verified against alignment
+        candidates, the same shape as the reference's FiSeq verify; no
+        postings are built for parallel fields (v1). fold=True compares
+        case-insensitively JVM-side (lower(); accent folding needs the terms
+        dict, which parallel fields don't have — divergence documented)."""
+        if field not in self.parallel_fields():
+            raise ValueError(
+                f"unknown parallel field {field!r} (have {self.parallel_fields()})"
+            )
+        toks = self.docs.select(
+            "doc_id", F.posexplode(F.col("parallel").getItem(field)).alias("pos", "tok")
+        )
+        col = F.lower(F.col("tok")) if fold else F.col("tok")
+        if term is not None:
+            toks = toks.filter(col == (term.lower() if fold else term))
+        elif regex is not None:
+            pat = f"^(?:{regex})$"
+            toks = toks.filter(col.rlike(pat.lower() if fold else pat))
+        return toks.select(
+            "doc_id", F.col("pos").cast("int").alias("start"),
+            (F.col("pos") + 1).cast("int").alias("end"),
+        )
+
+    def alignment_hits(
+        self,
+        src_hits: DataFrame,
+        field: str,
+        tgt_hits: DataFrame | None = None,
+        rtype: str | None = None,
+    ) -> DataFrame:
+        """The `==>field` alignment operator (reference: alignment relations
+        between parallel fields, RelationOperatorInfo.java:25-70 +
+        SpanQueryCaptureRelationsBetweenSpans): keep source hits having >= 1
+        alignment relation (rclass 'al:<field>') whose source span overlaps
+        the hit and whose target span overlaps a target-pattern hit in the
+        parallel field (any target when tgt_hits is None). Semi joins — source
+        hits never duplicate; capture columns ride through."""
+        rels = self.rel_spans().filter(F.col("rclass") == f"al:{field}")
+        if rtype is not None:
+            rels = rels.filter(_regex_match_col("rtype", rtype))
+        if tgt_hits is not None:
+            t = tgt_hits.select(
+                F.col("doc_id").alias("t_doc"), F.col("start").alias("t_s"),
+                F.col("end").alias("t_e"),
+            )
+            rels = rels.join(
+                t,
+                (F.col("doc_id") == F.col("t_doc"))
+                & (F.col("tgt_start") < F.col("t_e"))
+                & (F.col("t_s") < F.col("tgt_end")),
+                "left_semi",
+            )
+        r = rels.select(
+            F.col("doc_id").alias("r_doc"), F.col("src_start").alias("r_s"),
+            F.col("src_end").alias("r_e"),
+        )
+        return src_hits.join(
+            r,
+            (src_hits["doc_id"] == F.col("r_doc"))
+            & (F.col("r_s") < src_hits["end"])
+            & (src_hits["start"] < F.col("r_e")),
+            "left_semi",
         )
 
     def seq_hits(self, hit_dfs: list[DataFrame], gap_min: int = 0, gap_max: int = 0) -> DataFrame:

@@ -13,7 +13,7 @@ are (doc_id long, start int, end int).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .query import Index

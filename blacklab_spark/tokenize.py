@@ -141,17 +141,22 @@ def _comb_tagtok():
     return _COMB_TAGTOK
 
 
-def tag_spans_one(html_str: str, tags=DEFAULT_TAGS) -> list[tuple[str, int, int]]:
-    """(name, token_start, token_end) spans for tracked tags in one doc.
+_ATTR_RE = r"""([A-Za-z_][-A-Za-z0-9_:]*)\s*=\s*("[^"]*"|'[^']*')"""
+
+
+def tag_spans_one(html_str: str, tags=DEFAULT_TAGS) -> list[tuple[str, int, int, dict]]:
+    """(name, token_start, token_end, attrs) spans for tracked tags in one doc.
     Scripts/styles are stripped first (their content is not tokenized by
     extract_text either); unknown tags are consumed without emitting spans;
-    nesting per tag name via a stack; unclosed tags are dropped."""
+    nesting per tag name via a stack; unclosed tags are dropped. Attributes of
+    the OPENING tag are recorded (reference: tag attributes are indexed
+    alongside the span and filterable in queries, cql.jj:381-391)."""
     import re
 
     h = re.sub(_TAG_SCRIPT, " ", html_str or "")
     tracked = set(tags)
-    stacks: dict[str, list[int]] = {}
-    out: list[tuple[str, int, int]] = []
+    stacks: dict[str, list[tuple[int, dict]]] = {}
+    out: list[tuple[str, int, int, dict]] = []
     tokc = 0
     for m in _comb_tagtok().finditer(h):
         if m.group("tok") is not None:
@@ -168,11 +173,12 @@ def tag_spans_one(html_str: str, tags=DEFAULT_TAGS) -> list[tuple[str, int, int]
             if closing:
                 st = stacks.get(nm)
                 if st:
-                    s = st.pop()
+                    s, attrs = st.pop()
                     if tokc > s:
-                        out.append((nm, s, tokc))
+                        out.append((nm, s, tokc, attrs))
             elif not t.endswith("/>"):
-                stacks.setdefault(nm, []).append(tokc)
+                attrs = {k: v[1:-1] for k, v in re.findall(_ATTR_RE, t)}
+                stacks.setdefault(nm, []).append((tokc, attrs))
     return out
 
 

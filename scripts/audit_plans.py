@@ -72,6 +72,21 @@ def main() -> None:
     p = plan_of(ix.regex_hits("s.*n"))
     check("regex no IN-list", "term_id IN (" not in p and "BroadcastHashJoin" in p, p[:800])
 
+    # 5. alignment operator: doc_id equijoins (no cartesian), semi joins only
+    p = plan_of(qs["ix_align"](spark, SF))
+    check(
+        "ix_align no cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        p[:800],
+    )
+    # 6. tag-attr query: no cartesian either (semi join against tag spans)
+    p = plan_of(qs["ix_tag_attr"](spark, SF))
+    check(
+        "ix_tag_attr no cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        p[:800],
+    )
+
     print(f"\n{len(failures)} failures")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -1,0 +1,93 @@
+"""Parallel corpora: parallel token streams + `==>field` alignment operator
+(reference: RelationOperatorInfo.java:25-70, SpansOverrideField,
+SpanQueryCaptureRelationsBetweenSpans)."""
+
+import pytest
+
+from blacklab_spark import bcql
+
+
+def hs(df):
+    return {
+        (r["doc_id"], r["start"], r["end"])
+        for r in df.select("doc_id", "start", "end").collect()
+    }
+
+PAR_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "tokens array<string>, tokens_nl array<string>, "
+    "relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
+    "tgt_start:int,tgt_end:int>>"
+)
+
+
+def _align(n):
+    """Word-by-word alignment relations i -> i (rclass al:nl)."""
+    return [("al:nl", "word", i, i + 1, i, i + 1) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def par_index(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    rows = [
+        ("doc://0", None, None, None, "en",
+         ["the", "dog", "sleeps"], ["de", "hond", "slaapt"], _align(3)),
+        ("doc://1", None, None, None, "en",
+         ["a", "cat"], ["een", "kat"], _align(2)),
+    ]
+    pages = spark.createDataFrame(rows, PAR_SCHEMA)
+    out = str(tmp_path_factory.mktemp("ix_parallel"))
+    build_index(spark, pages, out, n_shards=2, block_size=4)
+    return Index(spark, out)
+
+
+def test_parallel_fields_meta(par_index):
+    assert par_index.parallel_fields() == ["nl"]
+
+
+def test_parallel_term_hits(par_index):
+    assert hs(par_index.parallel_term_hits("nl", term="hond")) == {(0, 1, 2)}
+    assert hs(par_index.parallel_term_hits("nl", regex="h.*")) == {(0, 1, 2)}
+    with pytest.raises(ValueError, match="unknown parallel field"):
+        par_index.parallel_term_hits("de", term="x")
+
+
+def test_alignment_operator(par_index):
+    assert hs(bcql.find(par_index, '"dog" ==>nl "hond"')) == {(0, 1, 2)}
+    assert hs(bcql.find(par_index, '"dog" ==>nl "kat"')) == set()
+    assert hs(bcql.find(par_index, '"dog" ==>nl _')) == {(0, 1, 2)}
+    assert hs(bcql.find(par_index, '"cat" ==>nl "kat"')) == {(1, 1, 2)}
+
+
+def test_alignment_rtype_filter(par_index):
+    assert hs(bcql.find(par_index, '"dog" =word=>nl "hond"')) == {(0, 1, 2)}
+    assert hs(bcql.find(par_index, '"dog" =sent=>nl _')) == set()
+
+
+def test_alignment_sequence_target(par_index):
+    got = hs(bcql.find(par_index, '"the" "dog" ==>nl "de" "hond"'))
+    assert got == {(0, 0, 2)}
+
+
+def test_alignment_survives_compact(spark, tmp_path_factory, par_index):
+    import shutil
+
+    from blacklab_spark.build import compact
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path_factory.mktemp("ix_parallel_compact"))
+    shutil.copytree(par_index.dir, out, dirs_exist_ok=True)
+    compact(spark, out, n_shards=2, block_size=4)
+    ix2 = Index(spark, out)
+    assert ix2.parallel_fields() == ["nl"]
+    assert hs(bcql.find(ix2, '"dog" ==>nl "hond"')) == {(0, 1, 2)}
+
+
+def test_alignment_serialization():
+    tp = bcql.parse('"dog" =word=>nl "hond"')
+    assert isinstance(tp, bcql.TPAlignment)
+    assert tp.field == "nl" and tp.rtype == "word"
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp

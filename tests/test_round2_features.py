@@ -112,6 +112,72 @@ def test_unknown_tag_still_raises(tagged_index):
         tagged_index.tag_hits("div")
 
 
+# ------------------------------------------- tag attributes + edge tags
+@pytest.fixture(scope="module")
+def attr_index(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import PAGES_SCHEMA
+    from blacklab_spark.query import Index
+
+    rows = [
+        (
+            "doc://0", None,
+            b'<p class="intro">the quick fox</p> <p class="body" id="b1">lazy dog runs</p>',
+            None, "en",
+        ),
+        ("doc://1", None, b'<p class="body">the dog sleeps</p>', None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path_factory.mktemp("ix_attrs"))
+    build_index(spark, pages, out, n_shards=2, block_size=4, index_tags=("p",))
+    return Index(spark, out)
+
+
+def test_tag_attr_filter(attr_index):
+    assert hs(attr_index.tag_hits("p", attrs={"class": "intro"})) == {(0, 0, 3)}
+    assert hs(attr_index.tag_hits("p", attrs={"class": "body"})) == {(0, 3, 6), (1, 0, 3)}
+    assert hs(attr_index.tag_hits("p", attrs={"class": "body", "id": "b1"})) == {(0, 3, 6)}
+    assert hs(attr_index.tag_hits("p", attrs={"class": "nope"})) == set()
+
+
+def test_tag_attr_bcql(attr_index):
+    got = hs(bcql.find(attr_index, '"dog" within <p class="body"/>'))
+    assert got == {(0, 4, 5), (1, 1, 2)}
+    got = hs(bcql.find(attr_index, '<p class="body" id="b1"/> containing "lazy"'))
+    assert got == {(0, 3, 6)}
+
+
+def test_tag_edges(attr_index):
+    # <p> = zero-length leading edge; </p> = trailing edge (cql.jj:354-366)
+    assert hs(attr_index.tag_hits("p", adjust="leading")) == {(0, 0, 0), (0, 3, 3), (1, 0, 0)}
+    assert hs(attr_index.tag_hits("p", adjust="trailing")) == {(0, 3, 3), (0, 6, 6), (1, 3, 3)}
+    # sequence anchored on a tag edge: token right after a <p> open
+    got = hs(bcql.find(attr_index, '<p> "the"'))
+    assert got == {(0, 0, 1), (1, 0, 1)}
+    got = hs(bcql.find(attr_index, '"runs" </p>'))
+    assert got == {(0, 5, 6)}
+
+
+def test_tag_attr_serialization():
+    tp = bcql.parse('<p class="intro" id="x"/>')
+    assert tp == bcql.TPTags("p", (("class", "intro"), ("id", "x")), "full")
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+    for q in ("<s>", "</s>"):
+        tp = bcql.parse(q)
+        assert bcql.parse(bcql.to_cql(tp)) == tp
+        assert bcql.from_dict(bcql.to_dict(tp)) == tp
+
+
+def test_tag_attrs_unit():
+    from blacklab_spark.tokenize import tag_spans_one
+
+    spans = tag_spans_one(
+        '<p class="a">one two</p><p>three</p>', ("p",)
+    )
+    assert spans == [("p", 0, 2, {"class": "a"}), ("p", 2, 3, {})]
+
+
 # ------------------------------------------------- collation-correct sorting
 def test_sort_hits_matches_sort_pos_i(small_index):
     """sort_hits(fold=True) must order single-token matches exactly like the
