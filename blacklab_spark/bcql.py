@@ -144,6 +144,13 @@ class TPAlignment(TP):
     field: str
     target: TP
     rtype: str | None = None
+    # capture label (`src A:==>nl tgt`, reference childRelation captureLabel,
+    # cql.jj:303-315): adds A_start/A_end = enclosing span of the matched
+    # relations' targets, in the parallel field's token space
+    capture: str | None = None
+    # `==>nl?`: keep source hits even without a matching alignment
+    # (reference optionalMatch, RelationOperatorInfo.java:50-53)
+    optional: bool = False
 
 
 @dataclass
@@ -258,7 +265,7 @@ _TOKEN_SPEC = [
             r"""\s*/?\s*>"""),
     # alignment operator `==>field` / `=type=>field` (parallel corpora,
     # RelationOperatorInfo.java:30-33) — before OP so `=` still lexes alone
-    ("ALIGNOP", r"=[-A-Za-z0-9_.|*?]*=>[A-Za-z0-9_]*"),
+    ("ALIGNOP", r"=[-A-Za-z0-9_.|*?]*=>[A-Za-z0-9_]*\??"),
     ("RELOP", r"-[A-Za-z0-9_.|*?]*->"),
     ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>"),
     ("WS", r"\s+"),
@@ -367,17 +374,35 @@ class _Parser:
     # `"de" "hond" ==>en "the" "dog"` aligns the two-token sequences.
     def rel_query(self) -> TP:
         node = self.seq_or()
+        # optional capture label between source and operator
+        # (childRelation := [captureLabel ':'] relationType target)
+        label = None
+        if (
+            self.peek()[0] == "NAME"
+            and self.toks[self.i + 1][1] == ":"
+            and self.toks[self.i + 2][0] in ("RELOP", "ALIGNOP")
+        ):
+            label = self.next()[1]
+            self.next()  # ':'
         k, op = self.peek()
         if k == "RELOP":
             self.next()
             rtype = op[1:-2]  # strip '-' and '->'
-            return TPRelation(node, rtype, self.rel_query())
+            rel = TPRelation(node, rtype, self.rel_query())
+            return TPCapture(label, rel) if label else rel
         if k == "ALIGNOP":
             self.next()
+            optional = op.endswith("?")
+            if optional:
+                op = op[:-1]
             body, field = op[1:].split("=>")  # '=TYPE=>FIELD' / '==>FIELD'
             if not field:
                 raise ValueError(f"alignment operator needs a target field: {op!r}")
-            return TPAlignment(node, field, self.rel_query(), body or None)
+            return TPAlignment(
+                node, field, self.rel_query(), body or None, label, optional
+            )
+        if label is not None:
+            raise ValueError("capture label must precede a relation operator")
         return node
 
     # constraint := cand ('|' cand)* ; cand := catom ('&' catom)*
@@ -459,6 +484,9 @@ class _Parser:
             if k in ("QUOTED", "TAG") or v in ("[", "(", "!") or (
                 k == "NAME" and v not in ("within", "containing")
                 and self.toks[self.i + 1][1] == ":"
+                # `A:` before a relation/alignment op is a relation capture
+                # label for rel_query, not a sequence part
+                and self.toks[self.i + 2][0] not in ("RELOP", "ALIGNOP")
             ):
                 parts.append(self.seqpart())
             else:
@@ -815,7 +843,9 @@ def _compile_alignment(ix: Index, tp: TPAlignment) -> DataFrame:
         if isinstance(tp.target, TPDefaultValue)
         else _compile_parallel(ix, tp.field, tp.target)
     )
-    return ix.alignment_hits(src, tp.field, tgt, tp.rtype)
+    return ix.alignment_hits(
+        src, tp.field, tgt, tp.rtype, capture=tp.capture, optional=tp.optional
+    )
 
 
 def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
@@ -1086,6 +1116,10 @@ def to_dict(tp: TP) -> dict:
         }
         if tp.rtype:
             d["rtype"] = tp.rtype
+        if tp.capture:
+            d["capture"] = tp.capture
+        if tp.optional:
+            d["optional"] = True
         return d
     if isinstance(tp, TPConstrained):
         return {
@@ -1155,7 +1189,7 @@ def from_dict(d: dict) -> TP:
     if t == "alignment":
         return TPAlignment(
             from_dict(d["source"]), d["field"], from_dict(d["target"]),
-            d.get("rtype"),
+            d.get("rtype"), d.get("capture"), d.get("optional", False),
         )
     if t == "constrained":
         return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
@@ -1223,7 +1257,12 @@ def to_cql(tp: TP) -> str:
             return f'rspan({base}, "{tp.mode}")'
         return base
     if isinstance(tp, TPAlignment):
-        return f"{_wrap(tp.source)} ={tp.rtype or ''}=>{tp.field} {_wrap(tp.target)}"
+        lbl = f"{tp.capture}:" if tp.capture else ""
+        opt = "?" if tp.optional else ""
+        return (
+            f"{_wrap(tp.source)} {lbl}={tp.rtype or ''}=>{tp.field}{opt}"
+            f" {_wrap(tp.target)}"
+        )
     if isinstance(tp, TPConstrained):
         return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
     raise TypeError(repr(tp))
@@ -1246,6 +1285,6 @@ def _cexpr_str(c) -> str:
 
 def _wrap(tp: TP) -> str:
     s = to_cql(tp)
-    if isinstance(tp, (TPSequence, TPOr, TPAnd, TPPosFilter)):
+    if isinstance(tp, (TPSequence, TPOr, TPAnd, TPPosFilter, TPRelation, TPAlignment)):
         return f"({s})"
     return s

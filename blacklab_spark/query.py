@@ -560,14 +560,26 @@ class Index:
         field: str,
         tgt_hits: DataFrame | None = None,
         rtype: str | None = None,
+        capture: str | None = None,
+        optional: bool = False,
     ) -> DataFrame:
         """The `==>field` alignment operator (reference: alignment relations
         between parallel fields, RelationOperatorInfo.java:25-70 +
         SpanQueryCaptureRelationsBetweenSpans): keep source hits having >= 1
         alignment relation (rclass 'al:<field>') whose source span overlaps
         the hit and whose target span overlaps a target-pattern hit in the
-        parallel field (any target when tgt_hits is None). Semi joins — source
-        hits never duplicate; capture columns ride through."""
+        parallel field (any target when tgt_hits is None).
+
+        Without `capture`: semi joins — source hits never duplicate; capture
+        columns ride through. With `capture`: the enclosing span of the
+        matched relations' targets is added as `{capture}_start/_end`
+        (positions in the PARALLEL field's token space — the reference
+        captures the matched alignment relations for translated
+        concordances); costs one groupBy over the hit keys.
+
+        optional (`==>field?`, reference optionalMatch): source hits are kept
+        even without a matching alignment; with `capture`, unmatched hits get
+        NULL capture columns."""
         rels = self.rel_spans().filter(F.col("rclass") == f"al:{field}")
         if rtype is not None:
             rels = rels.filter(_regex_match_col("rtype", rtype))
@@ -585,14 +597,24 @@ class Index:
             )
         r = rels.select(
             F.col("doc_id").alias("r_doc"), F.col("src_start").alias("r_s"),
-            F.col("src_end").alias("r_e"),
+            F.col("src_end").alias("r_e"), "tgt_start", "tgt_end",
         )
-        return src_hits.join(
-            r,
+        cond = (
             (src_hits["doc_id"] == F.col("r_doc"))
             & (F.col("r_s") < src_hits["end"])
-            & (src_hits["start"] < F.col("r_e")),
-            "left_semi",
+            & (src_hits["start"] < F.col("r_e"))
+        )
+        if capture is None:
+            # optional without capture adds no information: every source hit
+            # is kept whether or not an alignment matched
+            return src_hits if optional else src_hits.join(r, cond, "left_semi")
+        return (
+            src_hits.join(r, cond, "left" if optional else "inner")
+            .groupBy(*[src_hits[c] for c in src_hits.columns])
+            .agg(
+                F.min("tgt_start").cast("int").alias(f"{capture}_start"),
+                F.max("tgt_end").cast("int").alias(f"{capture}_end"),
+            )
         )
 
     def seq_hits(self, hit_dfs: list[DataFrame], gap_min: int = 0, gap_max: int = 0) -> DataFrame:

@@ -85,9 +85,44 @@ def test_alignment_survives_compact(spark, tmp_path_factory, par_index):
     assert hs(bcql.find(ix2, '"dog" ==>nl "hond"')) == {(0, 1, 2)}
 
 
+def test_alignment_capture(par_index):
+    # capture label: target span rides along in nl token space
+    df = bcql.find(par_index, '"dog" A:==>nl "hond"')
+    rows = {
+        (r["doc_id"], r["start"], r["end"], r["A_start"], r["A_end"])
+        for r in df.collect()
+    }
+    assert rows == {(0, 1, 2, 1, 2)}
+    # multi-token source: enclosing span of all matched relations' targets
+    df = bcql.find(par_index, '"the" "dog" A:==>nl _')
+    rows = {
+        (r["doc_id"], r["start"], r["end"], r["A_start"], r["A_end"])
+        for r in df.collect()
+    }
+    assert rows == {(0, 0, 2, 0, 2)}
+
+
+def test_alignment_optional(par_index):
+    # `==>nl?`: left side kept even with no alignment match on the right
+    assert hs(bcql.find(par_index, '"dog" ==>nl? "kat"')) == {(0, 1, 2)}
+    df = bcql.find(par_index, '"dog" A:==>nl? "kat"')
+    rows = {
+        (r["doc_id"], r["start"], r["end"], r["A_start"], r["A_end"])
+        for r in df.collect()
+    }
+    assert rows == {(0, 1, 2, None, None)}
+
+
 def test_alignment_serialization():
+    for q in (
+        '"dog" =word=>nl "hond"',
+        '"dog" A:==>nl "hond"',
+        '"dog" A:==>nl? "kat"',
+        '"x" B:-nsubj-> _',
+    ):
+        tp = bcql.parse(q)
+        assert bcql.from_dict(bcql.to_dict(tp)) == tp, q
+        assert bcql.parse(bcql.to_cql(tp)) == tp, q
     tp = bcql.parse('"dog" =word=>nl "hond"')
     assert isinstance(tp, bcql.TPAlignment)
     assert tp.field == "nl" and tp.rtype == "word"
-    assert bcql.from_dict(bcql.to_dict(tp)) == tp
-    assert bcql.parse(bcql.to_cql(tp)) == tp
