@@ -180,6 +180,108 @@ def pages_from_conllu(spark: SparkSession, path: str, lang: str = "und") -> Data
     return raw.mapInPandas(parse, schema=ANNOTATED_PAGES_SCHEMA)
 
 
+# ------------------------------------------------------------- XML formats --
+# The reference's primary ingestion model is XML with per-format config files
+# (*.blf.yaml -> ConfigInputFormat/DocIndexerConfig, integrated.md:34-123):
+# the config names the tag that delimits documents, which inline tags to
+# index, and where doc metadata lives. v1 mirrors the subset our pages data
+# model can hold; matching is the same regex-based markup scan the build
+# kernel uses (tokenize.tag_spans_one), so config'd tags line up exactly
+# with indexed token positions.
+
+DEFAULT_XML_FORMAT = {
+    # tag delimiting one document inside a file; None = file per doc
+    "documentPath": None,
+    # inline tags to index as spans — pass to build_index(index_tags=...)
+    "inlineTags": ("p", "s", "head"),
+    # metadata: pages-field -> tag whose first text content supplies it
+    # (only fields of the pages shape are representable; others need a
+    # schema of their own and are rejected loudly)
+    "metadata": {},
+}
+
+
+def load_xml_format(path: str) -> dict:
+    """Load a *.blf.yaml-style format config file into the v1 dict shape."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    return {**DEFAULT_XML_FORMAT, **cfg}
+
+
+def build_kwargs_from_format(fmt: dict) -> dict:
+    """build_index(**kwargs) derived from a format config."""
+    return {"index_tags": tuple(fmt.get("inlineTags") or ())}
+
+
+def pages_from_xml_dir(
+    spark: SparkSession, path: str, fmt: dict | None = None, lang: str = "und"
+) -> DataFrame:
+    """Directory of XML files (reference: DocIndexerConfig over TEI/FoLiA
+    style input) -> pages. Each file is split into documents on
+    fmt['documentPath'] (whole file when None); the doc's XML rides as
+    `html` so the build's markup scan records fmt['inlineTags'] spans at
+    the exact indexed token positions. fmt['metadata'] may map 'lang' to a
+    tag name; other metadata targets raise (the pages shape has nowhere to
+    put them)."""
+    import re as _re
+
+    fmt = {**DEFAULT_XML_FORMAT, **(fmt or {})}
+    bad = set(fmt.get("metadata", {})) - {"lang"}
+    if bad:
+        raise ValueError(
+            f"metadata targets {sorted(bad)} not representable in the pages "
+            "shape (supported: lang)"
+        )
+    doc_tag = fmt.get("documentPath")
+    lang_tag = fmt.get("metadata", {}).get("lang")
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .withColumn("url", F.input_file_name())
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        doc_re = (
+            _re.compile(
+                rf"(?s)<{doc_tag}(?:\s[^>]*)?>.*?</{doc_tag}\s*>"
+            )
+            if doc_tag
+            else None
+        )
+        lang_re = (
+            _re.compile(rf"(?s)<{lang_tag}(?:\s[^>]*)?>\s*(.*?)\s*</{lang_tag}\s*>")
+            if lang_tag
+            else None
+        )
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                parts = doc_re.findall(content or "") if doc_re else [content or ""]
+                for i, xml in enumerate(parts):
+                    url = f"{fname}#{i}" if doc_re else fname
+                    m = lang_re.search(xml) if lang_re else None
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": None,
+                            "html": xml.encode("utf-8"),
+                            "text": None,
+                            "lang": m.group(1) if m else lang,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def pages_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's synthetic `documents` table -> pages (doc:// urls keep
     doc_id recoverable as the dense rank)."""

@@ -27,6 +27,70 @@ def test_sources_csv_jsonl_text(spark, tmp_path):
     assert r.text == "file one content" and r.url.endswith("one.txt")
 
 
+def test_xml_dir_format_config(spark, tmp_path):
+    """XML input format configs (reference: *.blf.yaml -> DocIndexerConfig):
+    document splitting, inline-tag spans at indexed token positions,
+    metadata extraction."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    xd = tmp_path / "xml"
+    xd.mkdir()
+    (xd / "a.xml").write_text(
+        "<corpus>"
+        '<doc><meta><lang>en</lang></meta><head n="1">first title</head>'
+        "<p>the quick fox</p></doc>"
+        "<doc><meta><lang>nl</lang></meta><head>tweede</head>"
+        "<p>de snelle vos</p></doc>"
+        "</corpus>"
+    )
+    (xd / "b.xml").write_text("<doc><head>solo</head><p>one more doc</p></doc>")
+    fmt = {
+        "documentPath": "doc",
+        "inlineTags": ("head", "p"),
+        "metadata": {"lang": "lang"},
+    }
+    pages = sources.pages_from_xml_dir(spark, str(xd), fmt)
+    rows = sorted(
+        (r.url.rsplit("/", 1)[-1], r.lang) for r in pages.collect()
+    )
+    assert rows == [("a.xml#0", "en"), ("a.xml#1", "nl"), ("b.xml#0", "und")]
+
+    out = str(tmp_path / "ix_xml")
+    build_index(
+        spark, pages, out, n_shards=2, block_size=4,
+        **sources.build_kwargs_from_format(fmt),
+    )
+    ix = Index(spark, out)
+    # doc a#0: tokens = first(0) title(1) the(2) quick(3) fox(4)
+    #   (metadata <lang>en</lang> text is tokenized too — position parity
+    #    with extract_text, which strips only tags)
+    heads = {
+        (r.doc_id, r.start, r.end) for r in ix.tag_hits("head").collect()
+    }
+    assert len(heads) == 3
+    got = {
+        (r.doc_id, r.start, r.end)
+        for r in bcql.find(ix, '"quick" within <p/>').collect()
+    }
+    assert len(got) == 1
+    # metadata filter flows through the lang field
+    assert ix.docs.filter("lang = 'nl'").count() == 1
+
+    # YAML config loading
+    yml = tmp_path / "fmt.blf.yaml"
+    yml.write_text("documentPath: doc\ninlineTags: [head, p]\n")
+    fmt2 = sources.load_xml_format(str(yml))
+    assert fmt2["documentPath"] == "doc" and fmt2["inlineTags"] == ["head", "p"]
+
+    # unrepresentable metadata target fails loudly
+    try:
+        sources.pages_from_xml_dir(spark, str(xd), {"metadata": {"author": "a"}})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "author" in str(e)
+
+
 def test_streaming_ingest_builds_segments(spark, tmp_path):
     from blacklab_spark.fixtures import pages_df
     from blacklab_spark.query import Index
