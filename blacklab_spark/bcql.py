@@ -154,6 +154,18 @@ class TPAlignment(TP):
 
 
 @dataclass
+class TPRelCapture(TP):
+    """rcapture(query[, name[, rtype]]) (reference XFRelations.rcapture,
+    XFRelations.java:147-163): hits of `clause` with all relations inside
+    the span captured as a LIST column `name` (optionally filtered by
+    rtype regex)."""
+
+    clause: TP
+    name: str = "captured_rels"
+    rtype: str | None = None
+
+
+@dataclass
 class TPFiSeq(TP):
     """Forced forward-index sequence direction (reference debug functions
     _FI1/_FI2, extensions/XFDebug.java:43-45, exercised by hits.js:55-56):
@@ -248,6 +260,11 @@ register_function("_FI2", "QQ", _build_fiseq("bwd"))  # XFDebug.java:44
 register_function("_ident", "Q", lambda a: a[0])      # XFDebug.java:42
 register_function("rel", "SS", _build_rel, defaults=("full",))
 register_function("rspan", "QS", _build_rspan)
+register_function(
+    "rcapture", "QSS",
+    lambda a: TPRelCapture(a[0], a[1], a[2]),
+    defaults=("captured_rels", None),
+)
 
 
 # -------------------------------------------------------------------- lexer --
@@ -717,6 +734,10 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         return _compile_relation(ix, tp)
     if isinstance(tp, TPAlignment):
         return _compile_alignment(ix, tp)
+    if isinstance(tp, TPRelCapture):
+        return ix.capture_relations(
+            compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype
+        )
     if isinstance(tp, TPFiSeq):
         return _compile_fiseq(ix, tp)
     if isinstance(tp, TPSequence):
@@ -904,8 +925,9 @@ def guarantees(tp: TP) -> Guarantees:
         if tp.mn == tp.mx and g.fixed_len is not None:
             return Guarantees(tp.mn * g.fixed_len, g.unique)
         return Guarantees(None, False)
-    if isinstance(tp, (TPPosFilter, TPConstrained)):
-        # pure filters: a subset of the producer's hits keeps its guarantees
+    if isinstance(tp, (TPPosFilter, TPConstrained, TPRelCapture)):
+        # filters / 1:1 annotators: the producer's hit set (or a subset of
+        # it) keeps its guarantees
         src = tp.producer if isinstance(tp, TPPosFilter) else tp.clause
         return guarantees(src)
     if isinstance(tp, TPAlignment):
@@ -1126,6 +1148,11 @@ def to_dict(tp: TP) -> dict:
             "type": "constrained", "clause": to_dict(tp.clause),
             "constraint": _cexpr_dict(tp.constraint),
         }
+    if isinstance(tp, TPRelCapture):
+        d = {"type": "relcapture", "clause": to_dict(tp.clause), "name": tp.name}
+        if tp.rtype:
+            d["rtype"] = tp.rtype
+        return d
     raise TypeError(repr(tp))
 
 
@@ -1193,6 +1220,10 @@ def from_dict(d: dict) -> TP:
         )
     if t == "constrained":
         return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
+    if t == "relcapture":
+        return TPRelCapture(
+            from_dict(d["clause"]), d.get("name", "captured_rels"), d.get("rtype")
+        )
     raise ValueError(t)
 
 
@@ -1265,6 +1296,11 @@ def to_cql(tp: TP) -> str:
         )
     if isinstance(tp, TPConstrained):
         return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
+    if isinstance(tp, TPRelCapture):
+        args = [to_cql(tp.clause), f'"{tp.name}"']
+        if tp.rtype:
+            args.append(f'"{tp.rtype}"')
+        return f"rcapture({', '.join(args)})"
     raise TypeError(repr(tp))
 
 

@@ -516,6 +516,44 @@ class Index:
             F.col("tgt_start").alias("target_start"), F.col("tgt_end").alias("target_end"),
         )
 
+    def capture_relations(
+        self, hits: DataFrame, name: str = "captured_rels",
+        rtype: str | None = None, rclass: str | None = None,
+    ) -> DataFrame:
+        """Capture all relations inside each hit span as a LIST column
+        `name` (reference: rcapture() -> SpanQueryCaptureRelationsWithinSpan,
+        XFRelations.java:147-163): array of (rtype, src_start, src_end,
+        tgt_start, tgt_end) structs, empty when none. One groupBy over the
+        hit keys; the relation join is a doc_id equijoin."""
+        rels = self.rel_spans()
+        if rtype is not None:
+            rels = rels.filter(_regex_match_col("rtype", rtype))
+        if rclass is not None:
+            rels = rels.filter(F.col("rclass") == rclass)
+        r = rels.select(
+            F.col("doc_id").alias("r_doc"), "rtype",
+            "src_start", "src_end", "tgt_start", "tgt_end",
+            F.least("src_start", "tgt_start").alias("r_lo"),
+            F.greatest("src_end", "tgt_end").alias("r_hi"),
+        )
+        j = hits.join(
+            r,
+            (hits["doc_id"] == F.col("r_doc"))
+            & (F.col("r_lo") >= hits["start"])
+            & (F.col("r_hi") <= hits["end"]),
+            "inner",
+        )
+        lists = j.groupBy(*[hits[c] for c in hits.columns]).agg(
+            F.collect_list(
+                F.struct("rtype", "src_start", "src_end", "tgt_start", "tgt_end")
+            ).alias(name)
+        )
+        # keep hits containing no relations, with an empty list
+        out = hits.join(lists, list(hits.columns), "left")
+        return out.withColumn(
+            name, F.coalesce(F.col(name), F.array().cast(lists.schema[name].dataType))
+        )
+
     # ---------------------------------------------------- parallel corpora --
     def parallel_fields(self) -> list[str]:
         """Parallel document versions stored in this index (reference:

@@ -95,6 +95,22 @@ def test_input_dependency_relations(conllu_index):
     assert src_mode == {(0, 2, 3)}  # 'are'
 
 
+def test_rcapture_relations_in_span(conllu_index):
+    # rcapture(<s/>, "rels", "nsubj"): every sentence span carries the list
+    # of nsubj relations it contains (XFRelations.rcapture)
+    rows = bcql.find(conllu_index, 'rcapture(<s/>, "rels", "nsubj")').collect()
+    got = {(r["doc_id"], r["start"], r["end"]): r["rels"] for r in rows}
+    assert set(got) == {(0, 0, 7), (0, 7, 10), (1, 0, 3)}
+    assert all(len(v) == 1 and v[0]["rtype"] == "nsubj" for v in got.values())
+    # no matching relations -> empty list, hits kept
+    rows = bcql.find(conllu_index, 'rcapture(<s/>, "rels", "nope")').collect()
+    assert len(rows) == 3 and all(r["rels"] == [] for r in rows)
+    # serialization roundtrip
+    tp = bcql.parse('rcapture(<s/>, "rels", "nsubj")')
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+
+
 def test_punct_tokens_preserved(conllu_index):
     # input token streams keep punctuation tokens (position parity with the
     # reference's annotated corpora)
