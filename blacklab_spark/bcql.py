@@ -163,6 +163,9 @@ class TPRelCapture(TP):
     clause: TP
     name: str = "captured_rels"
     rtype: str | None = None
+    # rcapture2(query, toCapture, captureAs, rtype): relations inside the
+    # named capture group's span (XFRelations.rcaptureWithinCapture)
+    within_capture: str | None = None
 
 
 @dataclass
@@ -263,6 +266,11 @@ register_function("rspan", "QS", _build_rspan)
 register_function(
     "rcapture", "QSS",
     lambda a: TPRelCapture(a[0], a[1], a[2]),
+    defaults=("captured_rels", None),
+)
+register_function(
+    "rcapture2", "QSSS",
+    lambda a: TPRelCapture(a[0], a[2], a[3], a[1]),
     defaults=("captured_rels", None),
 )
 
@@ -736,7 +744,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         return _compile_alignment(ix, tp)
     if isinstance(tp, TPRelCapture):
         return ix.capture_relations(
-            compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype
+            compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype,
+            within_capture=tp.within_capture,
         )
     if isinstance(tp, TPFiSeq):
         return _compile_fiseq(ix, tp)
@@ -1152,6 +1161,8 @@ def to_dict(tp: TP) -> dict:
         d = {"type": "relcapture", "clause": to_dict(tp.clause), "name": tp.name}
         if tp.rtype:
             d["rtype"] = tp.rtype
+        if tp.within_capture:
+            d["within_capture"] = tp.within_capture
         return d
     raise TypeError(repr(tp))
 
@@ -1222,7 +1233,8 @@ def from_dict(d: dict) -> TP:
         return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
     if t == "relcapture":
         return TPRelCapture(
-            from_dict(d["clause"]), d.get("name", "captured_rels"), d.get("rtype")
+            from_dict(d["clause"]), d.get("name", "captured_rels"),
+            d.get("rtype"), d.get("within_capture"),
         )
     raise ValueError(t)
 
@@ -1297,6 +1309,11 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPConstrained):
         return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
     if isinstance(tp, TPRelCapture):
+        if tp.within_capture:
+            args = [to_cql(tp.clause), f'"{tp.within_capture}"', f'"{tp.name}"']
+            if tp.rtype:
+                args.append(f'"{tp.rtype}"')
+            return f"rcapture2({', '.join(args)})"
         args = [to_cql(tp.clause), f'"{tp.name}"']
         if tp.rtype:
             args.append(f'"{tp.rtype}"')

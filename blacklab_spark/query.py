@@ -519,12 +519,17 @@ class Index:
     def capture_relations(
         self, hits: DataFrame, name: str = "captured_rels",
         rtype: str | None = None, rclass: str | None = None,
+        within_capture: str | None = None,
     ) -> DataFrame:
         """Capture all relations inside each hit span as a LIST column
         `name` (reference: rcapture() -> SpanQueryCaptureRelationsWithinSpan,
         XFRelations.java:147-163): array of (rtype, src_start, src_end,
         tgt_start, tgt_end) structs, empty when none. One groupBy over the
-        hit keys; the relation join is a doc_id equijoin."""
+        hit keys; the relation join is a doc_id equijoin.
+
+        within_capture restricts to relations inside the named capture
+        group's span instead of the whole hit (reference: rcapture2 ->
+        rcaptureWithinCapture, XFRelations.java:165-185)."""
         rels = self.rel_spans()
         if rtype is not None:
             rels = rels.filter(_regex_match_col("rtype", rtype))
@@ -536,11 +541,21 @@ class Index:
             F.least("src_start", "tgt_start").alias("r_lo"),
             F.greatest("src_end", "tgt_end").alias("r_hi"),
         )
+        if within_capture is None:
+            lo, hi = hits["start"], hits["end"]
+        else:
+            cs, ce = f"{within_capture}_start", f"{within_capture}_end"
+            if cs not in hits.columns or ce not in hits.columns:
+                raise ValueError(
+                    f"no capture group {within_capture!r} in hits "
+                    f"(columns: {hits.columns})"
+                )
+            lo, hi = hits[cs], hits[ce]
         j = hits.join(
             r,
             (hits["doc_id"] == F.col("r_doc"))
-            & (F.col("r_lo") >= hits["start"])
-            & (F.col("r_hi") <= hits["end"]),
+            & (F.col("r_lo") >= lo)
+            & (F.col("r_hi") <= hi),
             "inner",
         )
         lists = j.groupBy(*[hits[c] for c in hits.columns]).agg(

@@ -111,6 +111,27 @@ def test_rcapture_relations_in_span(conllu_index):
     assert bcql.parse(bcql.to_cql(tp)) == tp
 
 
+def test_rcapture2_within_capture_group(conllu_index):
+    # rcapture2: relations inside the NAMED capture's span, not the hit span.
+    # A:<s/> [] — hit = sentence + 1 token, A = the sentence; relations are
+    # collected within A only (same sets as per-sentence rcapture).
+    rows = bcql.find(
+        conllu_index, 'rcapture2(A:<s/> [], "A", "rels", "nsubj")'
+    ).collect()
+    assert rows and all(
+        len(r["rels"]) == 1 and r["rels"][0]["rtype"] == "nsubj" for r in rows
+    )
+    # unknown capture name fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no capture group"):
+        bcql.find(conllu_index, 'rcapture2(<s/>, "NOPE", "rels")').collect()
+    # serialization roundtrip
+    tp = bcql.parse('rcapture2(A:<s/>, "A", "rels", "nsubj")')
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+
+
 def test_punct_tokens_preserved(conllu_index):
     # input token streams keep punctuation tokens (position parity with the
     # reference's annotated corpora)
