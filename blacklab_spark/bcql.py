@@ -154,6 +154,17 @@ class TPAlignment(TP):
 
 
 @dataclass
+class TPAndNot(TP):
+    """Span-level AND-NOT (reference TextPatternAndNot -> SpanQueryAndNot):
+    `include` hits minus hits identical to any `exclude` hit. Produced by
+    rewrites and ContextQL's NOT, not by BCQL surface syntax; prints as the
+    engine function `_andnot(a, b)`."""
+
+    include: TP
+    exclude: TP
+
+
+@dataclass
 class TPRelCapture(TP):
     """rcapture(query[, name[, rtype]]) (reference XFRelations.rcapture,
     XFRelations.java:147-163): hits of `clause` with all relations inside
@@ -273,6 +284,7 @@ register_function(
     lambda a: TPRelCapture(a[0], a[2], a[3], a[1]),
     defaults=("captured_rels", None),
 )
+register_function("_andnot", "QQ", lambda a: TPAndNot(a[0], a[1]))
 
 
 # -------------------------------------------------------------------- lexer --
@@ -742,6 +754,10 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         return _compile_relation(ix, tp)
     if isinstance(tp, TPAlignment):
         return _compile_alignment(ix, tp)
+    if isinstance(tp, TPAndNot):
+        return S.and_not(
+            compile_pattern(ix, tp.include), compile_pattern(ix, tp.exclude)
+        )
     if isinstance(tp, TPRelCapture):
         return ix.capture_relations(
             compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype,
@@ -1157,6 +1173,11 @@ def to_dict(tp: TP) -> dict:
             "type": "constrained", "clause": to_dict(tp.clause),
             "constraint": _cexpr_dict(tp.constraint),
         }
+    if isinstance(tp, TPAndNot):
+        return {
+            "type": "andnot",
+            "include": to_dict(tp.include), "exclude": to_dict(tp.exclude),
+        }
     if isinstance(tp, TPRelCapture):
         d = {"type": "relcapture", "clause": to_dict(tp.clause), "name": tp.name}
         if tp.rtype:
@@ -1231,6 +1252,8 @@ def from_dict(d: dict) -> TP:
         )
     if t == "constrained":
         return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
+    if t == "andnot":
+        return TPAndNot(from_dict(d["include"]), from_dict(d["exclude"]))
     if t == "relcapture":
         return TPRelCapture(
             from_dict(d["clause"]), d.get("name", "captured_rels"),
@@ -1308,6 +1331,8 @@ def to_cql(tp: TP) -> str:
         )
     if isinstance(tp, TPConstrained):
         return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
+    if isinstance(tp, TPAndNot):
+        return f"_andnot({to_cql(tp.include)}, {to_cql(tp.exclude)})"
     if isinstance(tp, TPRelCapture):
         if tp.within_capture:
             args = [to_cql(tp.clause), f'"{tp.within_capture}"', f'"{tp.name}"']

@@ -517,6 +517,18 @@ def build_queries() -> dict:
 
     q["ix_align"] = ix_align
 
+    def ix_cql_sru(s, d):
+        """ContextQL (SRU) query: contents term + metadata wildcard filter
+        (reference: contextql.jj -> CompleteQuery)."""
+        from . import contextql
+
+        ix = get_index(s, d)
+        return _ix_hits(
+            contextql.find(ix, 'table and url = "doc://00000000000*"')
+        )
+
+    q["ix_cql_sru"] = ix_cql_sru
+
     def ix_termfreq(s, d):
         return (
             get_index(s, d).term_freqs(fold=True)
@@ -936,6 +948,12 @@ WITH {SQL_TOKS}
 SELECT doc_id FROM toks WHERE tok = 'table'
 EXCEPT
 SELECT doc_id FROM toks WHERE tok = 'vector'
+"""
+    # ContextQL: 'table' hits restricted to doc_id 0..9 (the url wildcard)
+    o["ix_cql_sru"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
+WHERE tok = 'table' AND doc_id < 10
 """
     # 'merge' tokens whose half (head: pos < floor(n/2), tail: pos >= that)
     # also contains 'scan' — the half-alignment relations are src=tgt spans
