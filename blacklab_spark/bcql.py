@@ -154,6 +154,19 @@ class TPAlignment(TP):
 
 
 @dataclass
+class TPRelMatch(TP):
+    """Multiple child relations of one parent: `a -x-> b ; -y-> c`
+    (reference: cql.jj:289-290 child list -> TextPatternRelationMatch ->
+    SpanQueryAnd over [parent, child source spans],
+    TextPatternRelationMatch.java:90-122). Result span = the shared parent/
+    source span. Divergence: the reference's unique-relations check (the
+    same relation may not satisfy two children) is not enforced (v1)."""
+
+    parent: TP  # TPDefaultValue = any source
+    children: tuple  # ((rtype, target TP), ...)
+
+
+@dataclass
 class TPAndNot(TP):
     """Span-level AND-NOT (reference TextPatternAndNot -> SpanQueryAndNot):
     `include` hits minus hits identical to any `exclude` hit. Produced by
@@ -304,7 +317,7 @@ _TOKEN_SPEC = [
     # RelationOperatorInfo.java:30-33) — before OP so `=` still lexes alone
     ("ALIGNOP", r"=[-A-Za-z0-9_.|*?]*=>[A-Za-z0-9_]*\??"),
     ("RELOP", r"-[A-Za-z0-9_.|*?]*->"),
-    ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>"),
+    ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>|;"),
     ("WS", r"\s+"),
 ]
 _LEX = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
@@ -425,7 +438,19 @@ class _Parser:
         if k == "RELOP":
             self.next()
             rtype = op[1:-2]  # strip '-' and '->'
-            rel = TPRelation(node, rtype, self.rel_query())
+            rel: TP = TPRelation(node, rtype, self.rel_query())
+            # child-relation list: `a -x-> b ; -y-> c` (cql.jj:289-290)
+            if self.peek()[1] == ";":
+                children = [(rtype, rel.target)]
+                while self.peek()[1] == ";":
+                    self.next()
+                    k2, op2 = self.next()
+                    if k2 != "RELOP":
+                        raise ValueError(
+                            f"expected a relation operator after ';', got {op2!r}"
+                        )
+                    children.append((op2[1:-2], self.rel_query()))
+                rel = TPRelMatch(node, tuple(children))
             return TPCapture(label, rel) if label else rel
         if k == "ALIGNOP":
             self.next()
@@ -758,6 +783,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         return S.and_not(
             compile_pattern(ix, tp.include), compile_pattern(ix, tp.exclude)
         )
+    if isinstance(tp, TPRelMatch):
+        return _compile_relmatch(ix, tp)
     if isinstance(tp, TPRelCapture):
         return ix.capture_relations(
             compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype,
@@ -892,6 +919,34 @@ def _compile_alignment(ix: Index, tp: TPAlignment) -> DataFrame:
     return ix.alignment_hits(
         src, tp.field, tgt, tp.rtype, capture=tp.capture, optional=tp.optional
     )
+
+
+def _compile_relmatch(ix: Index, tp: TPRelMatch) -> DataFrame:
+    """SpanQueryAnd over [parent, child relation source spans]
+    (TextPatternRelationMatch.createRelMatchQuery): each child contributes
+    the SOURCE spans of relations of its type whose target matches; the AND
+    requires them to coincide with the parent span."""
+    from pyspark.sql import functions as F
+
+    clauses: list[DataFrame] = []
+    if not isinstance(tp.parent, TPDefaultValue):
+        clauses.append(compile_pattern(ix, tp.parent))
+    for rtype, target in tp.children:
+        h = ix.rel_hits(rtype=rtype or None, mode="source")
+        if not isinstance(target, TPDefaultValue):
+            th = compile_pattern(ix, target).select(
+                "doc_id",
+                F.col("start").alias("target_start"),
+                F.col("end").alias("target_end"),
+            )
+            h = h.join(th, ["doc_id", "target_start", "target_end"], "left_semi")
+        # drop per-relation capture cols: two children would collide on
+        # source_*/target_* names in the AND
+        clauses.append(h.select("doc_id", "start", "end"))
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = S.and_spans(out, c)
+    return out
 
 
 def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
@@ -1178,6 +1233,13 @@ def to_dict(tp: TP) -> dict:
             "type": "andnot",
             "include": to_dict(tp.include), "exclude": to_dict(tp.exclude),
         }
+    if isinstance(tp, TPRelMatch):
+        return {
+            "type": "relmatch", "parent": to_dict(tp.parent),
+            "children": [
+                {"rtype": rt, "target": to_dict(t)} for rt, t in tp.children
+            ],
+        }
     if isinstance(tp, TPRelCapture):
         d = {"type": "relcapture", "clause": to_dict(tp.clause), "name": tp.name}
         if tp.rtype:
@@ -1254,6 +1316,11 @@ def from_dict(d: dict) -> TP:
         return TPConstrained(from_dict(d["clause"]), _cexpr_from_dict(d["constraint"]))
     if t == "andnot":
         return TPAndNot(from_dict(d["include"]), from_dict(d["exclude"]))
+    if t == "relmatch":
+        return TPRelMatch(
+            from_dict(d["parent"]),
+            tuple((c["rtype"], from_dict(c["target"])) for c in d["children"]),
+        )
     if t == "relcapture":
         return TPRelCapture(
             from_dict(d["clause"]), d.get("name", "captured_rels"),
@@ -1333,6 +1400,9 @@ def to_cql(tp: TP) -> str:
         return f"{to_cql(tp.clause)} :: {_cexpr_str(tp.constraint)}"
     if isinstance(tp, TPAndNot):
         return f"_andnot({to_cql(tp.include)}, {to_cql(tp.exclude)})"
+    if isinstance(tp, TPRelMatch):
+        kids = " ; ".join(f"-{rt}-> {_wrap(t)}" for rt, t in tp.children)
+        return f"{_wrap(tp.parent)} {kids}"
     if isinstance(tp, TPRelCapture):
         if tp.within_capture:
             args = [to_cql(tp.clause), f'"{tp.within_capture}"', f'"{tp.name}"']

@@ -95,6 +95,23 @@ def test_input_dependency_relations(conllu_index):
     assert src_mode == {(0, 2, 3)}  # 'are'
 
 
+def test_child_relation_list(conllu_index):
+    # `;` child list (cql.jj:289-290 -> TextPatternRelationMatch): the shared
+    # source must carry ALL listed child relations; result = source span
+    got = hs(bcql.find(conllu_index, '_ -nsubj-> _ ; -attr-> _'))
+    assert got == {(0, 2, 3)}  # 'are' governs both nsubj and attr
+    got = hs(bcql.find(conllu_index, '_ -nsubj-> _ ; -acomp-> _'))
+    assert got == {(1, 1, 2)}  # 'were'
+    got = hs(bcql.find(conllu_index, '_ -nsubj-> "results" ; -punct-> _'))
+    assert got == {(0, 2, 3)}
+    got = hs(bcql.find(conllu_index, '_ -nsubj-> _ ; -nope-> _'))
+    assert got == set()
+    tp = bcql.parse('_ -nsubj-> _ ; -attr-> _')
+    assert isinstance(tp, bcql.TPRelMatch)
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+
+
 def test_rcapture_relations_in_span(conllu_index):
     # rcapture(<s/>, "rels", "nsubj"): every sentence span carries the list
     # of nsubj relations it contains (XFRelations.rcapture)
