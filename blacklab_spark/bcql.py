@@ -111,6 +111,13 @@ class TPTags(TP):
     attrs: tuple = ()  # ((key, value), ...) exact-match filters
     adjust: str = "full"  # full | leading | trailing
 
+    def __post_init__(self):
+        # the grammar cannot express attrs on a closing tag (</p>), so the
+        # node must not represent it either — to_cql would silently drop
+        # the filter otherwise
+        if self.adjust == "trailing" and self.attrs:
+            raise ValueError("closing-edge tags cannot carry attribute filters")
+
 
 @dataclass
 class TPDefaultValue(TP):

@@ -63,6 +63,18 @@ FORMAT_VERSION = 8  # bumped on any docs/terms/postings schema change
 # enabling them adds NO bytes to the build shuffle.
 DEFAULT_ANNOTATIONS = ("word",)
 
+
+def parallel_field_names(columns) -> list[str]:
+    """PARALLEL document versions carried by the input (reference: parallel
+    corpora, one annotated field per version — contents__nl etc.): every
+    `tokens_<field>` column that is not a derived annotation layer. Stored
+    as a per-doc map; alignment relations use rclass 'al:<field>' with
+    target positions in that field's token space."""
+    return sorted(
+        c[len("tokens_"):] for c in columns
+        if c.startswith("tokens_") and c not in ("tokens_lemma", "tokens_pos")
+    )
+
 DOCS_SCHEMA = (
     "doc_id long, shard int, url string, warc_ts timestamp, lang string, text string, "
     "doc_len int, tokens array<string>, tokens_fold array<string>, "
@@ -141,14 +153,7 @@ def tokenized_docs(
     in_lemma = annotated_input and "tokens_lemma" in pages.columns
     in_pos = annotated_input and "tokens_pos" in pages.columns
     in_sents = annotated_input and "sents" in pages.columns
-    # PARALLEL fields (reference: parallel corpora, one annotated field per
-    # document version — contents__nl etc.; here: tokens_<field> input
-    # columns stored as a per-doc map, alignment relations use rclass
-    # 'al:<field>' with target positions in that field's token space)
-    par_fields = sorted(
-        c[len("tokens_"):] for c in pages.columns
-        if c.startswith("tokens_") and c not in ("tokens_lemma", "tokens_pos")
-    )
+    par_fields = parallel_field_names(pages.columns)
 
     def kernel(batches):
         for pdf0 in batches:
@@ -784,10 +789,7 @@ def build_index(
         "index_tags": list(index_tags),
         "store_offsets": store_offsets,
         "index_relations": has_relations,
-        "parallel_fields": sorted(
-            c[len("tokens_"):] for c in pages.columns
-            if c.startswith("tokens_") and c not in ("tokens_lemma", "tokens_pos")
-        ),
+        "parallel_fields": parallel_field_names(pages.columns),
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
     }

@@ -44,7 +44,7 @@ METADATA_COLS = ("url", "lang", "warc_ts")
 @dataclass(frozen=True)
 class FTerm:
     field: str
-    value: str  # may carry * / ? wildcards; multi-word = all words match
+    value: str  # may carry * / ? wildcards, matched against the WHOLE value
 
 
 @dataclass(frozen=True)
@@ -107,14 +107,17 @@ def _combine(a: CompleteQuery, op: str, b: CompleteQuery) -> CompleteQuery:
     raise ValueError(f"unsupported boolean: {op!r} (prox is not supported)")
 
 
-def _wildcard_to_regex(value: str) -> str:
-    """TextPatternWildcard pattern: * = any run, ? = one char, rest literal."""
+def _wildcard_to_regex(value: str, token_level: bool = True) -> str:
+    """TextPatternWildcard pattern: * = any run, ? = one char, rest literal.
+    token_level confines wildcards within one token (contents terms);
+    metadata values may contain spaces, so their wildcards match anything."""
+    any_run, any_one = ("[^ ]*", "[^ ]") if token_level else (".*", ".")
     out = []
     for ch in value:
         if ch == "*":
-            out.append("[^ ]*")
+            out.append(any_run)
         elif ch == "?":
-            out.append("[^ ]")
+            out.append(any_one)
         else:
             out.append(re.escape(ch))
     return "".join(out)
@@ -122,6 +125,8 @@ def _wildcard_to_regex(value: str) -> str:
 
 def _contents_clause(annot: str, value: str) -> TP:
     parts = value.strip().split()
+    if not parts:
+        raise ValueError("empty search term")
     tps: list[TP] = [
         TPRegex(_wildcard_to_regex(p), sensitive=False, annot=annot) for p in parts
     ]
@@ -235,7 +240,7 @@ def parse(q: str) -> CompleteQuery:
 # ----------------------------------------------------------------- compiler --
 def _filter_col(f) -> "F.Column":
     if isinstance(f, FTerm):
-        pat = f"^(?:{_wildcard_to_regex(f.value)})$"
+        pat = f"^(?:{_wildcard_to_regex(f.value, token_level=False)})$"
         return F.col(f.field).cast("string").rlike(pat)
     if isinstance(f, FBool):
         if f.op == "and":

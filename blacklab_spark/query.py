@@ -466,17 +466,24 @@ class Index:
             out = out.select("doc_id", F.col("end").alias("start"), "end")
         return out
 
-    def rel_spans(self) -> DataFrame:
+    def rel_spans(self, include_alignments: bool = False) -> DataFrame:
         """All indexed relations, exploded (reference: SpanQueryRelations
         matches relation terms + decodes payloads, SpanQueryRelations.java:
         28-34; ours live as a typed per-doc column — SURVEY.md §1.1 mapping).
-        Columns: doc_id, rclass, rtype, src_start, src_end, tgt_start, tgt_end."""
+        Columns: doc_id, rclass, rtype, src_start, src_end, tgt_start, tgt_end.
+
+        Cross-field alignment relations (rclass 'al:<field>', target
+        positions in a PARALLEL field's token space) are excluded by default:
+        a dependency-relation query must never mix token spaces (the
+        reference separates these by relation class the same way). Pass
+        include_alignments=True to get everything (alignment_hits filters
+        its own class)."""
         if not any(s.meta.get("index_relations") for s in self.segments):
             raise ValueError(
                 "no relations indexed (build with index_relations=True or "
                 "provide a `relations` input column)"
             )
-        return self.docs.select("doc_id", F.explode("relations").alias("r")).select(
+        out = self.docs.select("doc_id", F.explode("relations").alias("r")).select(
             "doc_id",
             F.col("r.rclass").alias("rclass"),
             F.col("r.rtype").alias("rtype"),
@@ -485,6 +492,9 @@ class Index:
             F.col("r.tgt_start").alias("tgt_start"),
             F.col("r.tgt_end").alias("tgt_end"),
         )
+        if not include_alignments:
+            out = out.filter(~F.col("rclass").startswith("al:"))
+        return out
 
     def rel_hits(
         self,
@@ -600,8 +610,10 @@ class Index:
         if term is not None:
             toks = toks.filter(col == (term.lower() if fold else term))
         elif regex is not None:
-            pat = f"^(?:{regex})$"
-            toks = toks.filter(col.rlike(pat.lower() if fold else pat))
+            # fold the COLUMN, never the pattern (lowercasing a pattern
+            # corrupts classes like \W and \p{L}); same contract as the
+            # main-field path, which matches the pattern verbatim on term_fold
+            toks = toks.filter(col.rlike(f"^(?:{regex})$"))
         return toks.select(
             "doc_id", F.col("pos").cast("int").alias("start"),
             (F.col("pos") + 1).cast("int").alias("end"),
@@ -633,7 +645,9 @@ class Index:
         optional (`==>field?`, reference optionalMatch): source hits are kept
         even without a matching alignment; with `capture`, unmatched hits get
         NULL capture columns."""
-        rels = self.rel_spans().filter(F.col("rclass") == f"al:{field}")
+        rels = self.rel_spans(include_alignments=True).filter(
+            F.col("rclass") == f"al:{field}"
+        )
         if rtype is not None:
             rels = rels.filter(_regex_match_col("rtype", rtype))
         if tgt_hits is not None:

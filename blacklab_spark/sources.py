@@ -227,6 +227,8 @@ def pages_from_xml_dir(
     put them)."""
     import re as _re
 
+    import re as _re0
+
     fmt = {**DEFAULT_XML_FORMAT, **(fmt or {})}
     bad = set(fmt.get("metadata", {})) - {"lang"}
     if bad:
@@ -236,6 +238,17 @@ def pages_from_xml_dir(
         )
     doc_tag = fmt.get("documentPath")
     lang_tag = fmt.get("metadata", {}).get("lang")
+    # plain tag NAMES only — XPath-style paths ('//doc', 'TEI/text/body')
+    # are not supported (v1) and must fail loudly, not match nothing
+    _TAGNAME = _re0.compile(r"^[A-Za-z_][-A-Za-z0-9_.]*$")
+    for label, t in (("documentPath", doc_tag), ("metadata tag", lang_tag)):
+        if t is not None and not _TAGNAME.match(t):
+            raise ValueError(
+                f"{label} must be a plain tag name, got {t!r} "
+                "(XPath selectors are not supported)"
+            )
+    doc_tag = _re0.escape(doc_tag) if doc_tag else None
+    lang_tag = _re0.escape(lang_tag) if lang_tag else None
 
     raw = (
         spark.read.format("text")

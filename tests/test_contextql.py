@@ -61,6 +61,20 @@ def test_parens_grouping(tiny_index):
     assert got == {(0, 1, 2), (0, 7, 8)}
 
 
+def test_metadata_wildcard_crosses_spaces(tiny_index):
+    # metadata values may contain spaces ('2024-01-01 00:00:03'); wildcards
+    # must match the whole value, unlike token-level contents wildcards
+    docs = {
+        r["doc_id"] for r in contextql.find(tiny_index, 'warc_ts = "2024*"').collect()
+    }
+    assert docs == {0, 1, 2, 3, 4, 5}
+
+
+def test_empty_term_rejected():
+    with pytest.raises(ValueError, match="empty search term"):
+        contextql.parse('word = ""')
+
+
 def test_unsupported_forms():
     with pytest.raises(ValueError, match="prox"):
         contextql.parse("quick prox lazy")

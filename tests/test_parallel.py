@@ -113,6 +113,20 @@ def test_alignment_optional(par_index):
     assert rows == {(0, 1, 2, None, None)}
 
 
+def test_alignment_rels_excluded_from_dependency_queries(par_index):
+    # rclass 'al:<field>' targets live in the PARALLEL field's token space;
+    # generic relation queries must never see them
+    assert par_index.rel_spans().count() == 0
+    assert hs(bcql.find(par_index, '_ -word-> _')) == set()
+    assert par_index.rel_spans(include_alignments=True).count() == 5
+
+
+def test_parallel_regex_pattern_not_lowercased(par_index):
+    # fold lowers the COLUMN, not the pattern (\W etc. would corrupt)
+    assert hs(par_index.parallel_term_hits("nl", regex="h.nd")) == {(0, 1, 2)}
+    assert hs(par_index.parallel_term_hits("nl", regex="HOND")) == set()
+
+
 def test_alignment_serialization():
     for q in (
         '"dog" =word=>nl "hond"',

@@ -169,6 +169,16 @@ def test_tag_attr_serialization():
         assert bcql.from_dict(bcql.to_dict(tp)) == tp
 
 
+def test_trailing_edge_attrs_unrepresentable():
+    with pytest.raises(ValueError, match="closing-edge"):
+        bcql.TPTags("p", (("class", "x"),), "trailing")
+    with pytest.raises(ValueError):
+        bcql.from_dict(
+            {"type": "tags", "name": "p", "attrs": {"class": "x"},
+             "adjust": "trailing"}
+        )
+
+
 def test_tag_attrs_unit():
     from blacklab_spark.tokenize import tag_spans_one
 

@@ -90,6 +90,13 @@ def test_xml_dir_format_config(spark, tmp_path):
     except ValueError as e:
         assert "author" in str(e)
 
+    # XPath-style documentPath fails loudly instead of matching nothing
+    try:
+        sources.pages_from_xml_dir(spark, str(xd), {"documentPath": "//doc"})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "plain tag name" in str(e)
+
 
 def test_streaming_ingest_builds_segments(spark, tmp_path):
     from blacklab_spark.fixtures import pages_df
