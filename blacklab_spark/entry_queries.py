@@ -236,15 +236,19 @@ def _hp_buckets(spark, sf_dir) -> DataFrame:
 _IX_CACHE: dict[str, object] = {}
 
 
-def get_index(spark: SparkSession, sf_dir: str):
-    from .build import build_index
+def _cached_index(spark, sf_dir, variant, dir_prefix, meta_ok, make_pages, **build_kw):
+    """Shared build-or-reuse scaffolding for the driver-facing indexes: one
+    on-disk index per (variant, sf_dir), rebuilt when meta.json is missing
+    or fails `meta_ok(meta, n_docs)` (n_docs/format_version are always
+    checked)."""
+    from .build import FORMAT_VERSION, build_index
     from .query import Index
 
-    key = os.path.abspath(sf_dir)
+    key = (f"{variant}:" if variant else "") + os.path.abspath(sf_dir)
     if key in _IX_CACHE:
         return _IX_CACHE[key]
-    tag = key.strip("/").replace("/", "_")
-    out = f"/tmp/blacklab_ix_{tag}"
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = f"/tmp/{dir_prefix}_{tag}"
     docs = _docs(spark, sf_dir)
     n = docs.count()
     meta_path = f"{out}/segments/seg0/meta.json"
@@ -252,16 +256,21 @@ def get_index(spark: SparkSession, sf_dir: str):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             m = json.load(f)
-        from .build import FORMAT_VERSION
-
         ok = (
             m.get("n_docs") == n
             and m.get("format_version") == FORMAT_VERSION
-            and m.get("annotations") == ["word", "lemma", "pos"]
-            and m.get("index_relations") is True
+            and meta_ok(m)
         )
     if not ok:
-        pages = docs.select(
+        build_index(spark, make_pages(docs), out, n_shards=8, **build_kw)
+    ix = Index(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def get_index(spark: SparkSession, sf_dir: str):
+    def pages(docs):
+        return docs.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
             # deterministic per-doc timestamp: year 1970 + doc_id % 60
             # (drives the decade grouping key; oracle mirrors the arithmetic)
@@ -273,13 +282,22 @@ def get_index(spark: SparkSession, sf_dir: str):
             # engine metadata-filter field carries the documents `source`
             F.col("source").alias("lang"),
         )
-        build_index(
-            spark, pages, out, n_shards=8,
-            annotations=("word", "lemma", "pos"), index_relations=True,
-        )
-    ix = Index(spark, out)
-    _IX_CACHE[key] = ix
-    return ix
+
+    return _cached_index(
+        spark, sf_dir, "", "blacklab_ix",
+        lambda m: m.get("annotations") == ["word", "lemma", "pos"]
+        and m.get("index_relations") is True,
+        pages,
+        annotations=("word", "lemma", "pos"), index_relations=True,
+    )
+
+
+def _halved_docs(docs):
+    """(doc_id, a=tokens, n, h=floor(n/2)) — the shared head/tail split the
+    tagged and parallel variants build on (pinned tokenizer split)."""
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    d = docs.select("doc_id", arr.alias("a")).withColumn("n", F.size("a"))
+    return d.withColumn("h", F.floor(F.col("n") / 2).cast("int"))
 
 
 def get_tagged_index(spark: SparkSession, sf_dir: str):
@@ -289,30 +307,9 @@ def get_tagged_index(spark: SparkSession, sf_dir: str):
     index_tags=("sec",). Exercises the real markup pipeline end-to-end:
     tag scan at tokenize time, attrs storage, attribute-filtered tag queries
     (reference: tag attributes, cql.jj:348-391)."""
-    from .build import FORMAT_VERSION, build_index
-    from .query import Index
 
-    key = "tagged:" + os.path.abspath(sf_dir)
-    if key in _IX_CACHE:
-        return _IX_CACHE[key]
-    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    out = f"/tmp/blacklab_ixtag_{tag}"
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    meta_path = f"{out}/segments/seg0/meta.json"
-    ok = False
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            m = json.load(f)
-        ok = (
-            m.get("n_docs") == n
-            and m.get("format_version") == FORMAT_VERSION
-            and m.get("index_tags") == ["sec"]
-        )
-    if not ok:
-        arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
-        d = docs.select("doc_id", arr.alias("a")).withColumn("n", F.size("a"))
-        d = d.withColumn("h", F.floor(F.col("n") / 2).cast("int"))
+    def make_pages(docs):
+        d = _halved_docs(docs)
         html = F.concat(
             F.lit('<sec kind="head">'),
             F.array_join(F.slice(F.col("a"), F.lit(1), F.col("h")), " "),
@@ -322,17 +319,19 @@ def get_tagged_index(spark: SparkSession, sf_dir: str):
             ),
             F.lit("</sec>"),
         )
-        pages = d.select(
+        return d.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
             F.lit(None).cast("timestamp").alias("warc_ts"),
             F.encode(html, "utf-8").alias("html"),
             F.lit(None).cast("string").alias("text"),
             F.lit("und").alias("lang"),
         )
-        build_index(spark, pages, out, n_shards=8, index_tags=("sec",))
-    ix = Index(spark, out)
-    _IX_CACHE[key] = ix
-    return ix
+
+    return _cached_index(
+        spark, sf_dir, "tagged", "blacklab_ixtag",
+        lambda m: m.get("index_tags") == ["sec"],
+        make_pages, index_tags=("sec",),
+    )
 
 
 def get_parallel_index(spark: SparkSession, sf_dir: str):
@@ -342,30 +341,9 @@ def get_parallel_index(spark: SparkSession, sf_dir: str):
     rclass 'al:nl'). Exercises parallel streams + the `==>field` alignment
     operator end-to-end (reference: parallel corpora,
     RelationOperatorInfo.java:25-70)."""
-    from .build import FORMAT_VERSION, build_index
-    from .query import Index
 
-    key = "parallel:" + os.path.abspath(sf_dir)
-    if key in _IX_CACHE:
-        return _IX_CACHE[key]
-    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    out = f"/tmp/blacklab_ixpar_{tag}"
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    meta_path = f"{out}/segments/seg0/meta.json"
-    ok = False
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            m = json.load(f)
-        ok = (
-            m.get("n_docs") == n
-            and m.get("format_version") == FORMAT_VERSION
-            and m.get("parallel_fields") == ["nl"]
-        )
-    if not ok:
-        arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
-        d = docs.select("doc_id", arr.alias("a")).withColumn("n", F.size("a"))
-        d = d.withColumn("h", F.floor(F.col("n") / 2).cast("int"))
+    def make_pages(docs):
+        d = _halved_docs(docs)
 
         def rel(s, e):
             return F.struct(
@@ -374,7 +352,7 @@ def get_parallel_index(spark: SparkSession, sf_dir: str):
                 s.cast("int").alias("tgt_start"), e.cast("int").alias("tgt_end"),
             )
 
-        pages = d.select(
+        return d.select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
             F.lit(None).cast("timestamp").alias("warc_ts"),
             F.lit(None).cast("binary").alias("html"),
@@ -386,10 +364,12 @@ def get_parallel_index(spark: SparkSession, sf_dir: str):
                 rel(F.lit(0), F.col("h")), rel(F.col("h"), F.col("n"))
             ).alias("relations"),
         )
-        build_index(spark, pages, out, n_shards=8)
-    ix = Index(spark, out)
-    _IX_CACHE[key] = ix
-    return ix
+
+    return _cached_index(
+        spark, sf_dir, "parallel", "blacklab_ixpar",
+        lambda m: m.get("parallel_fields") == ["nl"],
+        make_pages,
+    )
 
 
 def _ix_hits(df: DataFrame) -> DataFrame:
