@@ -295,6 +295,85 @@ def pages_from_xml_dir(
     return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
 
 
+def pages_from_chat_dir(
+    spark: SparkSession, path: str, lang: str = "und"
+) -> DataFrame:
+    """Directory of CHAT transcripts (CHILDES .cha, reference:
+    DocIndexerChat): one doc per file. v1 line handling:
+    - `@Languages:` header supplies lang (first code, as-is);
+      other `@` headers are skipped
+    - `*SPK:` utterance lines (plus tab-indented continuations) become
+      `<u who="SPK">…</u>` spans in the emitted html, so building with
+      index_tags=("u",) yields real utterance spans with the speaker as a
+      queryable tag attribute
+    - `%` dependent tiers are skipped
+    - CHAT inline codes are minimally cleaned: bracketed `[...]` event/
+      error codes, `&=`-prefixed events, and scoping `<`/`>` markers are
+      stripped (full CHAT disambiguation ⏭)."""
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .withColumn("url", F.input_file_name())
+    )
+
+    def parse(batches):
+        import re as _re
+
+        import pandas as pd
+
+        brackets = _re.compile(r"\[[^\]]*\]|&=\S+")
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                doc_lang = lang
+                utts: list[tuple[str, str]] = []
+                cur: tuple[str, list[str]] | None = None
+
+                def close():
+                    nonlocal cur
+                    if cur is not None:
+                        utts.append((cur[0], " ".join(cur[1])))
+                        cur = None
+
+                for line in (content or "").splitlines():
+                    if line.startswith("@"):
+                        close()
+                        if line.lower().startswith("@languages:"):
+                            codes = line.split(":", 1)[1].strip()
+                            if codes:
+                                doc_lang = codes.split(",")[0].strip()
+                    elif line.startswith("*"):
+                        close()
+                        spk, _, rest = line[1:].partition(":")
+                        cur = (spk.strip(), [rest.strip()])
+                    elif line.startswith(("\t", " ")) and cur is not None:
+                        cur[1].append(line.strip())
+                    else:
+                        close()
+                close()
+                html = " ".join(
+                    f'<u who="{spk}">'
+                    + brackets.sub(" ", txt).replace("<", " ").replace(">", " ")
+                    + "</u>"
+                    for spk, txt in utts
+                )
+                rows.append(
+                    {
+                        "url": fname,
+                        "warc_ts": None,
+                        "html": html.encode("utf-8"),
+                        "text": None,
+                        "lang": doc_lang,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def pages_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's synthetic `documents` table -> pages (doc:// urls keep
     doc_id recoverable as the dense rank)."""

@@ -98,6 +98,41 @@ def test_xml_dir_format_config(spark, tmp_path):
         assert "plain tag name" in str(e)
 
 
+def test_chat_dir_reader(spark, tmp_path):
+    """CHAT transcripts (reference: DocIndexerChat): utterances become
+    <u who=...> spans, speaker queryable as a tag attribute."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    cd = tmp_path / "chat"
+    cd.mkdir()
+    (cd / "t.cha").write_text(
+        "@Begin\n"
+        "@Languages:\teng\n"
+        "*MOT:\tlook at the doggy [= points] .\n"
+        "\tsuch a good dog .\n"
+        "%mor:\tskipped tier\n"
+        "*CHI:\tdoggy &=laughs !\n"
+        "@End\n"
+    )
+    pages = sources.pages_from_chat_dir(spark, str(cd))
+    r = pages.collect()[0]
+    assert r.lang == "eng" and r.text is None
+    out = str(tmp_path / "ix_chat")
+    build_index(spark, pages, out, n_shards=1, block_size=4, index_tags=("u",))
+    ix = Index(spark, out)
+    # MOT utterance: look at the doggy such a good dog = tokens 0..8
+    mot = {(r.doc_id, r.start, r.end) for r in ix.tag_hits("u", attrs={"who": "MOT"}).collect()}
+    assert mot == {(0, 0, 8)}
+    chi = {(r.doc_id, r.start, r.end) for r in ix.tag_hits("u", attrs={"who": "CHI"}).collect()}
+    assert chi == {(0, 8, 9)}
+    got = {
+        (r.doc_id, r.start, r.end)
+        for r in bcql.find(ix, '"doggy" within <u who="CHI"/>').collect()
+    }
+    assert got == {(0, 8, 9)}
+
+
 def test_streaming_ingest_builds_segments(spark, tmp_path):
     from blacklab_spark.fixtures import pages_df
     from blacklab_spark.query import Index
