@@ -305,6 +305,14 @@ register_function(
     defaults=("captured_rels", None),
 )
 register_function("_andnot", "QQ", lambda a: TPAndNot(a[0], a[1]))
+# rmatch: AND over relation clauses (XFRelations.rmatch ->
+# TextPatternRelationMatch.createRelMatchQuery). Divergence: the reference's
+# unique-relations requirement (no single relation satisfying two clauses)
+# is not enforced — same caveat as the `;` child-list form.
+register_function(
+    "rmatch", ("Q", "Q*"),
+    lambda a: a[0] if len(a) == 1 else TPAnd(list(a)),
+)
 
 
 # -------------------------------------------------------------------- lexer --
@@ -381,12 +389,15 @@ class _Parser:
 
     def _function_call(self, fn: "QueryFunction") -> TP:
         """`name(` already consumed up to the name; parse the argument list
-        per fn.arg_types ('Q' = subquery, 'S' = quoted string), applying
-        right-aligned defaults for omitted trailing args."""
+        per fn.arg_types ('Q' = subquery, 'S' = quoted string; a trailing
+        '*' marks the last slot variadic — reference ArgType.ELLIPSIS),
+        applying right-aligned defaults for omitted trailing args."""
         self.expect("(")
-        n_req = len(fn.arg_types) - len(fn.defaults)
+        variadic = fn.arg_types and fn.arg_types[-1].endswith("*")
+        fixed = fn.arg_types[:-1] if variadic else fn.arg_types
+        n_req = len(fixed) - len(fn.defaults)
         args: list = []
-        for idx, at in enumerate(fn.arg_types):
+        for idx, at in enumerate(fixed):
             if idx > 0:
                 if self.peek()[1] == ",":
                     self.next()
@@ -397,9 +408,14 @@ class _Parser:
             elif self.peek()[1] == ")" and n_req == 0:
                 break
             args.append(self.query() if at == "Q" else _quoted_val(self.atom()))
-        self.expect(")")
-        while len(args) < len(fn.arg_types):
+        while len(args) < len(fixed):
             args.append(fn.defaults[len(args) - n_req])
+        if variadic:
+            at = fn.arg_types[-1][0]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.query() if at == "Q" else _quoted_val(self.atom()))
+        self.expect(")")
         return fn.build(args)
 
     # query := SETTINGS? seqOr (('within'|'containing') seqOr)* ('::' constraint)?

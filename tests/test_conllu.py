@@ -112,6 +112,17 @@ def test_child_relation_list(conllu_index):
     assert bcql.parse(bcql.to_cql(tp)) == tp
 
 
+def test_rmatch_function(conllu_index):
+    # rmatch(c1, c2, ...): AND over relation clauses (XFRelations.rmatch);
+    # equivalent to the `;` child-list on source-mode spans
+    got = hs(bcql.find(
+        conllu_index,
+        'rmatch(rspan(_ -nsubj-> _, "source"), rspan(_ -attr-> _, "source"))',
+    ))
+    assert got == hs(bcql.find(conllu_index, '_ -nsubj-> _ ; -attr-> _'))
+    assert got == {(0, 2, 3)}
+
+
 def test_rcapture_relations_in_span(conllu_index):
     # rcapture(<s/>, "rels", "nsubj"): every sentence span carries the list
     # of nsubj relations it contains (XFRelations.rcapture)
