@@ -161,6 +161,17 @@ class TPAlignment(TP):
 
 
 @dataclass
+class TPFieldOverride(TP):
+    """`@field=nl <pattern>`: evaluate the whole pattern against a PARALLEL
+    document version; hits are in that field's token space (reference:
+    SpansOverrideField switches the annotated field mid-query). v1 supports
+    the forward-index-matchable subset (terms/regexes/sequences)."""
+
+    field: str
+    clause: TP
+
+
+@dataclass
 class TPRelMatch(TP):
     """Multiple child relations of one parent: `a -x-> b ; -y-> c`
     (reference: cql.jj:289-290 child list -> TextPatternRelationMatch ->
@@ -732,6 +743,9 @@ def parse(q: str) -> TP:
     node = p.query()
     if p.peek()[0] != "EOF":
         raise ValueError(f"BCQL: trailing input at {p.peek()[1]!r}")
+    fld = p.settings.get("field")
+    if fld:
+        node = TPFieldOverride(fld, node)
     return node
 
 
@@ -808,6 +822,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         )
     if isinstance(tp, TPRelMatch):
         return _compile_relmatch(ix, tp)
+    if isinstance(tp, TPFieldOverride):
+        return _compile_parallel(ix, tp.field, tp.clause)
     if isinstance(tp, TPRelCapture):
         return ix.capture_relations(
             compile_pattern(ix, tp.clause), tp.name, rtype=tp.rtype,
@@ -1263,6 +1279,8 @@ def to_dict(tp: TP) -> dict:
                 {"rtype": rt, "target": to_dict(t)} for rt, t in tp.children
             ],
         }
+    if isinstance(tp, TPFieldOverride):
+        return {"type": "fieldoverride", "field": tp.field, "clause": to_dict(tp.clause)}
     if isinstance(tp, TPRelCapture):
         d = {"type": "relcapture", "clause": to_dict(tp.clause), "name": tp.name}
         if tp.rtype:
@@ -1344,6 +1362,8 @@ def from_dict(d: dict) -> TP:
             from_dict(d["parent"]),
             tuple((c["rtype"], from_dict(c["target"])) for c in d["children"]),
         )
+    if t == "fieldoverride":
+        return TPFieldOverride(d["field"], from_dict(d["clause"]))
     if t == "relcapture":
         return TPRelCapture(
             from_dict(d["clause"]), d.get("name", "captured_rels"),
@@ -1426,6 +1446,8 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPRelMatch):
         kids = " ; ".join(f"-{rt}-> {_wrap(t)}" for rt, t in tp.children)
         return f"{_wrap(tp.parent)} {kids}"
+    if isinstance(tp, TPFieldOverride):
+        return f"@field={tp.field} {to_cql(tp.clause)}"
     if isinstance(tp, TPRelCapture):
         if tp.within_capture:
             args = [to_cql(tp.clause), f'"{tp.within_capture}"', f'"{tp.name}"']

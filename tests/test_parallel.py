@@ -113,6 +113,18 @@ def test_alignment_optional(par_index):
     assert rows == {(0, 1, 2, None, None)}
 
 
+def test_field_override(par_index):
+    # @field=nl evaluates the whole pattern in the parallel field's token
+    # space (SpansOverrideField analog)
+    assert hs(bcql.find(par_index, '@field=nl "hond"')) == {(0, 1, 2)}
+    assert hs(bcql.find(par_index, '@field=nl "de" "hond"')) == {(0, 0, 2)}
+    assert hs(bcql.find(par_index, '@field=nl "dog"')) == set()  # main-field term
+    tp = bcql.parse('@field=nl "hond"')
+    assert isinstance(tp, bcql.TPFieldOverride)
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+
+
 def test_alignment_rels_excluded_from_dependency_queries(par_index):
     # rclass 'al:<field>' targets live in the PARALLEL field's token space;
     # generic relation queries must never see them
