@@ -50,9 +50,18 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--out", required=True)
     p_query.add_argument("--topk", help="space-separated terms for BM25 top-k")
     p_query.add_argument("--bcql", help="BCQL query string")
+    p_query.add_argument("--contextql", help="ContextQL (SRU CQL) query string")
     p_query.add_argument("--phrase", help="space-separated phrase terms")
     p_query.add_argument("-k", type=int, default=10)
     p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument(
+        "--output", help="write results to this path via df.write (distributed "
+        "sink, no driver collect) instead of printing JSON lines"
+    )
+    p_query.add_argument(
+        "--output-format", choices=("json", "csv", "parquet"), default="json",
+        help="sink format for --output (reference: DataStreamJson/Csv writers)",
+    )
 
     p_bench = sub.add_parser("bench", help="timed build + query set")
     p_bench.add_argument("--pages", required=True)
@@ -102,13 +111,27 @@ def _run(spark, args) -> int:
         elif args.bcql:
             from . import bcql
 
-            df = bcql.find(ix, args.bcql).limit(args.limit)
+            df = bcql.find(ix, args.bcql)
+        elif args.contextql:
+            from . import contextql
+
+            df = contextql.find(ix, args.contextql)
         elif args.phrase:
-            df = ix.phrase_hits(args.phrase.split()).limit(args.limit)
+            df = ix.phrase_hits(args.phrase.split())
         else:
-            print("need --topk, --bcql or --phrase", file=sys.stderr)
+            print("need --topk, --bcql, --contextql or --phrase", file=sys.stderr)
             return 2
-        for row in df.collect():
+        if args.output:
+            w = df.write.mode("overwrite")
+            if args.output_format == "csv":
+                w.option("header", "true").csv(args.output)
+            elif args.output_format == "parquet":
+                w.parquet(args.output)
+            else:
+                w.json(args.output)
+            print(json.dumps({"written": args.output, "format": args.output_format}))
+            return 0
+        for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
 
