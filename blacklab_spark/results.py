@@ -221,12 +221,15 @@ def filter_hits_by_metadata(ix: Index, hits: DataFrame, predicate: str) -> DataF
     return hits.join(d, "doc_id", "left_semi")
 
 
-def concordances(ix: Index, hits: DataFrame, context_chars: int = 40) -> DataFrame:
+def concordances(
+    ix: Index, hits: DataFrame, context_chars: int = 40, highlight: bool = False
+) -> DataFrame:
     """Character-exact concordances from the stored text (reference
     results/Concordances.java reads the content store; ours is the docs.text
     column + the token->char offset map stored by store_offsets=True).
     Falls back to the KWIC token-window approximation when the index was
-    built without offsets."""
+    built without offsets. highlight=True adds a `snippet` column with the
+    match wrapped in <hl>…</hl> (reference: XmlHighlighter)."""
     has_offsets = all(s.meta.get("store_offsets") for s in ix.segments)
     if not has_offsets:
         return ix.kwic(hits, context=max(1, context_chars // 6))
@@ -238,12 +241,18 @@ def concordances(ix: Index, hits: DataFrame, context_chars: int = 40) -> DataFra
         F.element_at("tokens", F.col("end"))
     )
     left_from = F.greatest(F.lit(0), cs - context_chars)
-    return j.select(
+    out = j.select(
         "doc_id", "start", "end",
         F.substring(F.col("text"), left_from + 1, cs - left_from).alias("left"),
         F.substring(F.col("text"), cs + 1, ce - cs).alias("match"),
         F.substring(F.col("text"), ce + 1, F.lit(context_chars)).alias("right"),
     )
+    if highlight:
+        out = out.withColumn(
+            "snippet",
+            F.concat("left", F.lit("<hl>"), "match", F.lit("</hl>"), "right"),
+        )
+    return out
 
 
 def group_docs_by_decade(ix: Index, doc_ids: DataFrame, ts_field: str = "warc_ts") -> DataFrame:

@@ -240,6 +240,10 @@ def test_concordances_exact_chars(tagged_index):
         assert t[cs : cs + 5] == r["match"]  # char-EXACT, not token approx
         assert r["left"] == t[max(0, cs - 10) : cs]
         assert r["right"] == t[cs + 5 : cs + 15]
+    # highlighted snippet (reference: XmlHighlighter wraps the match)
+    hl = R.concordances(tagged_index, hits, context_chars=10, highlight=True).collect()
+    for r in hl:
+        assert r["snippet"] == f"{r['left']}<hl>{r['match']}</hl>{r['right']}"
 
 
 def test_concordance_fallback_without_offsets(tiny_index):
