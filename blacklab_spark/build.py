@@ -254,7 +254,14 @@ def tokenized_docs(
                         sents_col = toks.map(lambda t: [[0, len(t)]] if t else [])
                 else:
                     sents_col = sentence_spans_series(text)
-                if index_tags:
+                if "tags" in pdf.columns:
+                    # stored tag spans pass through (compact path: the html
+                    # they were scanned from is gone, positions still valid
+                    # because the token streams are identical)
+                    tags_col = pdf["tags"].map(
+                        lambda x: list(x) if x is not None else []
+                    )
+                elif index_tags:
                     # tag spans only where extraction USED the html (text
                     # null): positions must agree with the indexed tokens
                     from_html = pdf["text"].isna()
@@ -841,7 +848,8 @@ def build_index(
         if n_docs <= 5_000_000:
             ids = F.broadcast(ids)
         page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
-            c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents", "relations")
+            c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents",
+                        "relations", "tags")
             if c in pages.columns
         ] + [f"tokens_{f}" for f in params["parallel_fields"]]
         pages0 = pages.select(*page_cols).join(ids, "url")
@@ -1147,10 +1155,17 @@ def compact(
         if p0.get("parallel_fields") and not seg_annotated:
             # carry stored streams so alignments keep their token positions
             cols += [F.col("tokens"), F.col("sents"), F.col("relations")]
+        if p0.get("index_tags"):
+            # stored markup spans pass through — the html they were scanned
+            # from is not retained in docs
+            cols.append(F.col("tags"))
         pages = docs.select(*cols)
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,
         segment="compacted", annotations=seg_annots,
+        index_tags=tuple(p0.get("index_tags", [])),
+        store_offsets=bool(p0.get("store_offsets", False)),
+        index_relations=bool(p0.get("index_relations", False)),
     )
     with open(reg_path, "w") as f:
         json.dump({"segments": ["compacted"]}, f, indent=2)

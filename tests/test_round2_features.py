@@ -158,6 +158,22 @@ def test_tag_edges(attr_index):
     assert got == {(0, 5, 6)}
 
 
+def test_compact_preserves_tag_spans(spark, tmp_path_factory, attr_index):
+    """compact() must carry stored markup spans + attrs through the rebuild
+    (the html they were scanned from is gone) and keep index_tags in meta."""
+    import shutil
+
+    from blacklab_spark.build import compact
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path_factory.mktemp("ix_attrs_compact"))
+    shutil.copytree(attr_index.dir, out, dirs_exist_ok=True)
+    compact(spark, out, n_shards=2, block_size=4)
+    ix2 = Index(spark, out)
+    assert hs(ix2.tag_hits("p", attrs={"class": "body", "id": "b1"})) == {(0, 3, 6)}
+    assert hs(bcql.find(ix2, '"dog" within <p class="body"/>')) == {(0, 4, 5), (1, 1, 2)}
+
+
 def test_tag_attr_serialization():
     tp = bcql.parse('<p class="intro" id="x"/>')
     assert tp == bcql.TPTags("p", (("class", "intro"), ("id", "x")), "full")
