@@ -423,6 +423,9 @@ class _Parser:
             args.append(fn.defaults[len(args) - n_req])
         if variadic:
             at = fn.arg_types[-1][0]
+            if not args and self.peek()[1] != ")":
+                # purely-variadic signature: first arg has no preceding comma
+                args.append(self.query() if at == "Q" else _quoted_val(self.atom()))
             while self.peek()[1] == ",":
                 self.next()
                 args.append(self.query() if at == "Q" else _quoted_val(self.atom()))
@@ -432,9 +435,18 @@ class _Parser:
     # query := SETTINGS? seqOr (('within'|'containing') seqOr)* ('::' constraint)?
     def query(self) -> TP:
         # settings prefix "@a=b,c=d" (reference settingsQuery, cql.jj:129-152
-        # -> TextPatternSettings); understood key: defann = default
-        # annotation for BARE terms/regexes (explicit [word=...] unaffected)
+        # -> TextPatternSettings); understood keys: defann = default
+        # annotation for BARE terms/regexes (explicit [word=...] unaffected),
+        # field = parallel-field override. Allowed ONLY at the very start of
+        # the input (the reference's settingsQuery wraps the whole query);
+        # a nested prefix would leak into the shared settings and silently
+        # rescope the entire query.
         while self.peek()[0] == "SETTINGS":
+            if any(self.toks[j][0] != "SETTINGS" for j in range(self.i)):
+                raise ValueError(
+                    "settings prefix (@k=v) is only allowed at the start of "
+                    "the query"
+                )
             for kv in self.next()[1][1:].split(","):
                 k, v = kv.split("=")
                 self.settings[k] = v

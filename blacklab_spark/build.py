@@ -278,7 +278,12 @@ def tokenized_docs(
                     )
                 else:
                     tags_col = pd.Series([[]] * len(pdf), index=pdf.index, dtype=object)
-                if not store_offsets:
+                if "tok_offs" in pdf.columns:
+                    # stored char offsets pass through (compact path: exact
+                    # preservation beats recomputation, and the annotated
+                    # branch below could not recompute them at all)
+                    offs_col = pdf["tok_offs"]
+                elif not store_offsets:
                     offs_col = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
                 elif annotated_input:
                     # input text when absent is the space-join of tokens:
@@ -849,7 +854,7 @@ def build_index(
             ids = F.broadcast(ids)
         page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
             c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents",
-                        "relations", "tags")
+                        "relations", "tags", "tok_offs")
             if c in pages.columns
         ] + [f"tokens_{f}" for f in params["parallel_fields"]]
         pages0 = pages.select(*page_cols).join(ids, "url")
@@ -1137,28 +1142,48 @@ def compact(
             F.lit(None).cast("binary").alias("html"),
             F.col("text"), F.col("lang"),
         ]
+        added: set[str] = set()
+
+        def add(name, col=None):
+            if name not in added:
+                added.add(name)
+                cols.append(F.col(name) if col is None else col)
+
         if seg_annotated:
-            cols += [F.col("tokens"), F.col("sents"), F.col("relations")]
+            add("tokens"), add("sents"), add("relations")
             # only layers the ORIGINAL input supplied pass through; derived
             # layers re-derive (identical by the pinned rules)
             if "lemma" in p0.get("input_layers", []):
-                cols.append(
+                add(
+                    "tokens_lemma",
                     F.coalesce(
                         "tokens_lemma", F.coalesce("tokens_fold", "tokens")
-                    ).alias("tokens_lemma")
+                    ).alias("tokens_lemma"),
                 )
             if "pos" in p0.get("input_layers", []):
-                cols.append(F.col("tokens_pos"))
+                add("tokens_pos")
         for fld in p0.get("parallel_fields", []):
             # parallel streams + their alignment relations pass through
-            cols.append(F.col("parallel").getItem(fld).alias(f"tokens_{fld}"))
+            add(
+                f"tokens_{fld}",
+                F.col("parallel").getItem(fld).alias(f"tokens_{fld}"),
+            )
         if p0.get("parallel_fields") and not seg_annotated:
             # carry stored streams so alignments keep their token positions
-            cols += [F.col("tokens"), F.col("sents"), F.col("relations")]
+            add("tokens"), add("sents"), add("relations")
         if p0.get("index_tags"):
             # stored markup spans pass through — the html they were scanned
             # from is not retained in docs
-            cols.append(F.col("tags"))
+            add("tags")
+        if p0.get("index_relations"):
+            # stored relations pass through for EVERY relation-bearing
+            # segment (input-supplied relations on a non-annotated build
+            # would otherwise be replaced by derived stand-ins)
+            add("relations")
+        if p0.get("store_offsets"):
+            # exact preservation — the annotated rebuild path could not
+            # recompute offsets (text is non-null there)
+            add("tok_offs")
         pages = docs.select(*cols)
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,

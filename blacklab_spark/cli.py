@@ -106,8 +106,10 @@ def _run(spark, args) -> int:
 
     if args.cmd == "query":
         ix = Index(spark, args.out)
+        capped = True  # hit queries print --limit rows; top-k prints all k
         if args.topk:
             df = ix.topk(args.topk.split(), k=args.k)
+            capped = False
         elif args.bcql:
             from . import bcql
 
@@ -122,16 +124,27 @@ def _run(spark, args) -> int:
             print("need --topk, --bcql, --contextql or --phrase", file=sys.stderr)
             return 2
         if args.output:
-            w = df.write.mode("overwrite")
+            w = df
             if args.output_format == "csv":
-                w.option("header", "true").csv(args.output)
+                # CSV cannot hold array/struct columns (capture lists etc.)
+                # — serialize them to JSON strings, like the reference's
+                # flat DataStreamCsv rows
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                for f in df.schema.fields:
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                        w = w.withColumn(f.name, F.to_json(f.name))
+                w.write.mode("overwrite").option("header", "true").csv(args.output)
             elif args.output_format == "parquet":
-                w.parquet(args.output)
+                w.write.mode("overwrite").parquet(args.output)
             else:
-                w.json(args.output)
+                w.write.mode("overwrite").json(args.output)
             print(json.dumps({"written": args.output, "format": args.output_format}))
             return 0
-        for row in df.limit(args.limit).collect():
+        if capped:
+            df = df.limit(args.limit)
+        for row in df.collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
 

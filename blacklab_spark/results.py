@@ -232,7 +232,15 @@ def concordances(
     match wrapped in <hl>…</hl> (reference: XmlHighlighter)."""
     has_offsets = all(s.meta.get("store_offsets") for s in ix.segments)
     if not has_offsets:
-        return ix.kwic(hits, context=max(1, context_chars // 6))
+        out = ix.kwic(hits, context=max(1, context_chars // 6))
+        if highlight:
+            out = out.withColumn(
+                "snippet",
+                F.concat(
+                    "left", F.lit(" <hl>"), "match", F.lit("</hl> "), "right"
+                ),
+            )
+        return out
     d = ix.docs.select("doc_id", "text", "tokens", "tok_offs")
     j = hits.join(d, "doc_id")
     # char span of the hit: [offs[start], offs[end-1] + len(token[end-1]))

@@ -346,7 +346,10 @@ def pages_from_chat_dir(
                     elif line.startswith("*"):
                         close()
                         spk, _, rest = line[1:].partition(":")
-                        cur = (spk.strip(), [rest.strip()])
+                        # speaker code becomes a tag attribute — keep it to
+                        # characters that cannot break the markup
+                        spk = _re.sub(r"[^A-Za-z0-9_:-]", "", spk.strip())
+                        cur = (spk, [rest.strip()])
                     elif line.startswith(("\t", " ")) and cur is not None:
                         cur[1].append(line.strip())
                     else:

@@ -113,6 +113,26 @@ def test_alignment_optional(par_index):
     assert rows == {(0, 1, 2, None, None)}
 
 
+def test_nested_settings_prefix_rejected(par_index):
+    # a nested @field= would leak into the shared settings and silently
+    # rescope the whole query — reject it (settingsQuery wraps the whole
+    # query in the reference grammar too)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start of the query"):
+        bcql.parse('"dog" (@field=nl "hond")')
+
+
+def test_purely_variadic_function():
+    bcql.register_function(
+        "_orall", ("Q*",), lambda a: bcql.TPOr(list(a)) if len(a) > 1 else a[0]
+    )
+    tp = bcql.parse('_orall("a", "b")')
+    assert isinstance(tp, bcql.TPOr) and len(tp.clauses) == 2
+    assert isinstance(bcql.parse('_orall("a")'), bcql.TPTerm)
+    del bcql.QUERY_FUNCTIONS["_orall"]
+
+
 def test_field_override(par_index):
     # @field=nl evaluates the whole pattern in the parallel field's token
     # space (SpansOverrideField analog)

@@ -262,6 +262,35 @@ def test_concordances_exact_chars(tagged_index):
         assert r["snippet"] == f"{r['left']}<hl>{r['match']}</hl>{r['right']}"
 
 
+def test_concordance_fallback_highlight(tiny_index):
+    # highlight must also work on the no-offsets kwic fallback
+    hits = tiny_index.term_hits("quick")
+    rows = R.concordances(tiny_index, hits, highlight=True).collect()
+    assert rows and all("<hl>" in r["snippet"] for r in rows)
+
+
+def test_compact_preserves_offsets(spark, tmp_path_factory, tagged_index):
+    """store_offsets survives compact exactly (pass-through, not recompute)."""
+    import shutil
+
+    from blacklab_spark.build import compact
+    from blacklab_spark.query import Index
+
+    before = {
+        r["doc_id"]: r["tok_offs"]
+        for r in tagged_index.docs.select("doc_id", "tok_offs").collect()
+    }
+    out = str(tmp_path_factory.mktemp("ix_tags_compact2"))
+    shutil.copytree(tagged_index.dir, out, dirs_exist_ok=True)
+    compact(spark, out, n_shards=2, block_size=4)
+    ix2 = Index(spark, out)
+    after = {
+        r["doc_id"]: r["tok_offs"]
+        for r in ix2.docs.select("doc_id", "tok_offs").collect()
+    }
+    assert after == before and any(v for v in after.values())
+
+
 def test_concordance_fallback_without_offsets(tiny_index):
     # index built without store_offsets falls back to the token-window KWIC
     out = R.concordances(tiny_index, tiny_index.term_hits("quick"))
