@@ -151,6 +151,31 @@ class Index:
             r.attrs["n_q"] = len(qs)
         return out
 
+    def resolve_terms(
+        self, qs: list[str], fold: bool = True, annot: str = "word"
+    ) -> list[pd.DataFrame]:
+        """Per-segment (term_id, key) rows for the given already-folded term
+        strings — ONE Spark job for all segments (the same union trick as
+        resolve()), so driver job count stays O(1) in segment count even on
+        an uncompacted many-segment index. Callers map key -> their own qidx
+        (phrase position, yes/no flag, ...)."""
+        self._check_annot(annot)
+        col = "term_fold" if fold else "term"
+        uniq = sorted(set(qs))
+        frames = [
+            seg.terms.filter((F.col("annot") == annot) & F.col(col).isin(uniq))
+            .select(F.lit(i).alias("_seg"), "term_id", F.col(col).alias("key"))
+            for i, seg in enumerate(self.segments)
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        allr = u.toPandas()
+        return [
+            allr[allr["_seg"] == i].drop(columns=["_seg"]).reset_index(drop=True)
+            for i in range(len(self.segments))
+        ]
+
     def _postings_for(self, seg: Segment, tids: pd.DataFrame, need_pos: bool) -> DataFrame:
         cols = [
             "shard", "term_id", "doc_count", "first_doc", "last_doc",
@@ -265,19 +290,13 @@ class Index:
         """Exact consecutive sequence (reference: SpanQuerySequence,
         engine/.../search/lucene/SpanQuerySequence.java:33-49): intersect
         posting positions with offset checks, shard-local."""
-        per_term = []  # resolve each term separately but keep order as qidx
         qs = [fold_token(t) if fold else t for t in terms]
         parts = []
-        for seg in self.segments:
-            col = "term_fold" if fold else "term"
-            rows = (
-                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin(list(set(qs))))
-                .select("term_id", col).toPandas()
-            )
+        for seg, rows in zip(self.segments, self.resolve_terms(qs, fold)):
             # qidx = position in the phrase (terms may repeat)
             frames = []
             for i, q in enumerate(qs):
-                sub = rows[rows[col] == q][["term_id"]].copy()
+                sub = rows[rows["key"] == q][["term_id"]].copy()
                 sub["qidx"] = i
                 frames.append(sub)
             tids = pd.concat(frames) if frames else pd.DataFrame(columns=["term_id", "qidx"])
@@ -294,16 +313,11 @@ class Index:
         """Proximity (reference: SpansSequenceWithGap semantics,
         engine/.../search/lucene/SpansSequenceWithGap.java:13-57)."""
         parts = []
-        for seg in self.segments:
-            col = "term_fold" if fold else "term"
-            qa = fold_token(a) if fold else a
-            qb = fold_token(b) if fold else b
-            rows = (
-                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin([qa, qb]))
-                .select("term_id", col).toPandas()
-            )
-            ta = rows[rows[col] == qa][["term_id"]].assign(qidx=0)
-            tb = rows[rows[col] == qb][["term_id"]].assign(qidx=1)
+        qa = fold_token(a) if fold else a
+        qb = fold_token(b) if fold else b
+        for seg, rows in zip(self.segments, self.resolve_terms([qa, qb], fold)):
+            ta = rows[rows["key"] == qa][["term_id"]].assign(qidx=0)
+            tb = rows[rows["key"] == qb][["term_id"]].assign(qidx=1)
             if len(ta) == 0 or len(tb) == 0:
                 continue
             tids = pd.concat([ta, tb])
@@ -332,17 +346,12 @@ class Index:
     def and_not_docs(self, yes: str, no: str, fold: bool = True) -> DataFrame:
         """Docs with `yes` and without `no` (reference: SpanQueryAndNot,
         engine/.../search/lucene/SpanQueryAndNot.java:29-33)."""
-        col = "term_fold" if fold else "term"
         qy = fold_token(yes) if fold else yes
         qn = fold_token(no) if fold else no
         parts = []
-        for seg in self.segments:
-            rows = (
-                seg.terms.filter((F.col("annot") == "word") & F.col(col).isin([qy, qn]))
-                .select("term_id", col).toPandas()
-            )
-            ty = rows[rows[col] == qy][["term_id"]].assign(qidx=0)
-            tn = rows[rows[col] == qn][["term_id"]].assign(qidx=1)
+        for seg, rows in zip(self.segments, self.resolve_terms([qy, qn], fold)):
+            ty = rows[rows["key"] == qy][["term_id"]].assign(qidx=0)
+            tn = rows[rows["key"] == qn][["term_id"]].assign(qidx=1)
             if len(ty) == 0:
                 continue
             tids = pd.concat([ty, tn])
