@@ -175,13 +175,18 @@ class TPFieldOverride(TP):
 class TPRelMatch(TP):
     """Multiple child relations of one parent: `a -x-> b ; -y-> c`
     (reference: cql.jj:289-290 child list -> TextPatternRelationMatch ->
-    SpanQueryAnd over [parent, child source spans],
-    TextPatternRelationMatch.java:90-122). Result span = the shared parent/
-    source span. Divergence: the reference's unique-relations check (the
-    same relation may not satisfy two children) is not enforced (v1)."""
+    SpansAndMultiUniqueRelations over [parent, child source spans],
+    TextPatternRelationMatch.java:91-122). Result span = the shared parent/
+    source span; each child clause must be satisfied by a DISTINCT relation
+    (SpansAndMultiUniqueRelations.java:308-319)."""
 
     parent: TP  # TPDefaultValue = any source
     children: tuple  # ((rtype, target TP), ...)
+    # span each child clause contributes to the coinciding-span AND:
+    # 'source' for `;` child lists (CorpusQueryLanguageParser.java:145-153),
+    # 'full' when built by rmatch() over whole relation queries, which AND
+    # the clauses' own (full) spans (XFRelations.java:137-142)
+    child_mode: str = "source"
 
 
 @dataclass
@@ -317,13 +322,26 @@ register_function(
 )
 register_function("_andnot", "QQ", lambda a: TPAndNot(a[0], a[1]))
 # rmatch: AND over relation clauses (XFRelations.rmatch ->
-# TextPatternRelationMatch.createRelMatchQuery). Divergence: the reference's
-# unique-relations requirement (no single relation satisfying two clauses)
-# is not enforced — same caveat as the `;` child-list form.
-register_function(
-    "rmatch", ("Q", "Q*"),
-    lambda a: a[0] if len(a) == 1 else TPAnd(list(a)),
-)
+# TextPatternRelationMatch.createRelMatchQuery). When every clause is a
+# relation query sharing an unconstrained source (`_ -x-> t`), this is the
+# `;` child-list shape and compiles to the unique-relations AND
+# (SpansAndMultiUniqueRelations); mixed clause shapes fall back to a plain
+# coinciding-span AND (divergence: uniqueness unenforced there, documented).
+def _build_rmatch(a):
+    if len(a) == 1:
+        return a[0]
+    if all(
+        isinstance(c, TPRelation) and isinstance(c.source, TPDefaultValue)
+        for c in a
+    ) and len({c.mode for c in a}) == 1:
+        return TPRelMatch(
+            TPDefaultValue(), tuple((c.rtype, c.target) for c in a),
+            child_mode=a[0].mode,
+        )
+    return TPAnd(list(a))
+
+
+register_function("rmatch", ("Q", "Q*"), _build_rmatch)
 
 
 # -------------------------------------------------------------------- lexer --
@@ -973,17 +991,22 @@ def _compile_alignment(ix: Index, tp: TPAlignment) -> DataFrame:
 
 
 def _compile_relmatch(ix: Index, tp: TPRelMatch) -> DataFrame:
-    """SpanQueryAnd over [parent, child relation source spans]
-    (TextPatternRelationMatch.createRelMatchQuery): each child contributes
-    the SOURCE spans of relations of its type whose target matches; the AND
-    requires them to coincide with the parent span."""
+    """Unique-relations AND over [parent, child relation source spans]
+    (TextPatternRelationMatch.createRelMatchQuery ->
+    SpansAndMultiUniqueRelations.java:308-319): each child contributes the
+    SOURCE spans of relations of its type whose target matches; all children
+    must coincide on one span AND be satisfied by pairwise-DISTINCT
+    relations (identity = rtype + both endpoint spans, the reference's
+    RelationInfo equality). Expressed as a k-way equi-join on the span keys
+    with pairwise rel_id inequality — the join enumerates exactly the
+    reference's per-position match combinations; a span survives iff at
+    least one all-distinct combination exists. Fan-out is bounded by
+    per-span relation multiplicity (small for dependency trees)."""
     from pyspark.sql import functions as F
 
-    clauses: list[DataFrame] = []
-    if not isinstance(tp.parent, TPDefaultValue):
-        clauses.append(compile_pattern(ix, tp.parent))
-    for rtype, target in tp.children:
-        h = ix.rel_hits(rtype=rtype or None, mode="source")
+    joined: DataFrame | None = None
+    for i, (rtype, target) in enumerate(tp.children):
+        h = ix.rel_hits(rtype=rtype or None, mode=tp.child_mode, with_identity=True)
         if not isinstance(target, TPDefaultValue):
             th = compile_pattern(ix, target).select(
                 "doc_id",
@@ -991,13 +1014,24 @@ def _compile_relmatch(ix: Index, tp: TPRelMatch) -> DataFrame:
                 F.col("end").alias("target_end"),
             )
             h = h.join(th, ["doc_id", "target_start", "target_end"], "left_semi")
-        # drop per-relation capture cols: two children would collide on
-        # source_*/target_* names in the AND
-        clauses.append(h.select("doc_id", "start", "end"))
-    out = clauses[0]
-    for c in clauses[1:]:
-        out = S.and_spans(out, c)
-    return out
+        # keep only the span keys + this clause's relation identity: two
+        # children would collide on source_*/target_* capture names
+        h = h.select("doc_id", "start", "end", F.col("rel_id").alias(f"_rel{i}"))
+        joined = h if joined is None else joined.join(
+            h, ["doc_id", "start", "end"], "inner"
+        )
+    k = len(tp.children)
+    for i in range(k):
+        for j in range(i + 1, k):
+            joined = joined.filter(F.col(f"_rel{i}") != F.col(f"_rel{j}"))
+    spans = joined.select("doc_id", "start", "end").dropDuplicates(
+        ["doc_id", "start", "end"]
+    )
+    if not isinstance(tp.parent, TPDefaultValue):
+        # parent is an ordinary (relation-free) clause: plain coinciding-span
+        # AND, its capture columns ride through
+        spans = S.and_spans(compile_pattern(ix, tp.parent), spans)
+    return spans
 
 
 def _compile_fiseq(ix: Index, tp: TPFiSeq) -> DataFrame:
@@ -1290,6 +1324,7 @@ def to_dict(tp: TP) -> dict:
             "children": [
                 {"rtype": rt, "target": to_dict(t)} for rt, t in tp.children
             ],
+            **({"child_mode": tp.child_mode} if tp.child_mode != "source" else {}),
         }
     if isinstance(tp, TPFieldOverride):
         return {"type": "fieldoverride", "field": tp.field, "clause": to_dict(tp.clause)}
@@ -1373,6 +1408,7 @@ def from_dict(d: dict) -> TP:
         return TPRelMatch(
             from_dict(d["parent"]),
             tuple((c["rtype"], from_dict(c["target"])) for c in d["children"]),
+            child_mode=d.get("child_mode", "source"),
         )
     if t == "fieldoverride":
         return TPFieldOverride(d["field"], from_dict(d["clause"]))
@@ -1456,6 +1492,11 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPAndNot):
         return f"_andnot({to_cql(tp.include)}, {to_cql(tp.exclude)})"
     if isinstance(tp, TPRelMatch):
+        if tp.child_mode != "source":
+            # rmatch()-built: clauses contribute their own (full) spans;
+            # re-parsing `rmatch(_ -x-> t, ...)` reconstructs child_mode
+            args = ", ".join(f"_ -{rt}-> {_wrap(t)}" for rt, t in tp.children)
+            return f"rmatch({args})"
         kids = " ; ".join(f"-{rt}-> {_wrap(t)}" for rt, t in tp.children)
         return f"{_wrap(tp.parent)} {kids}"
     if isinstance(tp, TPFieldOverride):

@@ -372,6 +372,53 @@ def get_parallel_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def get_relmulti_index(spark: SparkSession, sf_dir: str):
+    """Multi-edge relations variant: every token position i>=1 carries an
+    input 'ab' dependency edge src=(i-1,i) tgt=(i,i+1), and every third
+    position additionally an 'aa' edge on the same spans. Source spans thus
+    hold one or two relations — the discriminating fixture for the
+    unique-relations AND (`;` child lists / rmatch(),
+    SpansAndMultiUniqueRelations.java:308-319): a query whose two clauses
+    can both only be satisfied by the single 'ab' edge must NOT match."""
+
+    def make_pages(docs):
+        d = _halved_docs(docs)
+        idx = F.when(
+            F.col("n") >= 2, F.sequence(F.lit(1), F.col("n") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+
+        def edge(i, rt):
+            return F.struct(
+                F.lit("dep").alias("rclass"), F.lit(rt).alias("rtype"),
+                (i - 1).cast("int").alias("src_start"), i.cast("int").alias("src_end"),
+                i.cast("int").alias("tgt_start"), (i + 1).cast("int").alias("tgt_end"),
+            )
+
+        rels = F.concat(
+            F.transform(idx, lambda i: edge(i, "ab")),
+            F.transform(
+                F.filter(idx, lambda i: i % 3 == 0), lambda i: edge(i, "aa")
+            ),
+        )
+        return d.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+            F.col("a").alias("tokens"),
+            rels.alias("relations"),
+        )
+
+    return _cached_index(
+        spark, sf_dir, "relmulti", "blacklab_ixrm",
+        lambda m: m.get("index_relations") is True
+        and m.get("annotated_input") is True
+        and not m.get("parallel_fields"),
+        make_pages,
+    )
+
+
 def _ix_hits(df: DataFrame) -> DataFrame:
     """Engine hits -> driver shape (engine doc ids == documents.doc_id by
     construction of the doc:// urls)."""
@@ -464,6 +511,19 @@ def build_queries() -> dict:
     q["ix_rel_full"] = lambda s, d: _bcql(s, d, '_ -stop-> _')
     q["ix_rel_src"] = lambda s, d: _bcql(s, d, '"table" -nn-> _')
     q["ix_rel_mode"] = lambda s, d: _bcql(s, d, 'rspan(_ -stop-> _, "source")')
+
+    def ix_rel_multi(s, d):
+        """Unique-relations `;` child list over the multi-edge fixture:
+        clause `-a.*->` matches {aa, ab}, clause `-.*b->` only {ab}; a
+        distinct assignment exists only where the extra 'aa' edge does
+        (every third position) — the reference count, strictly fewer hits
+        than a plain coinciding-span AND (SpansAndMultiUniqueRelations)."""
+        from . import bcql
+
+        ix = get_relmulti_index(s, d)
+        return _ix_hits(bcql.find(ix, '_ -a.*-> _ ; -.*b-> _'))
+
+    q["ix_rel_multi"] = ix_rel_multi
     q["ix_prefix_hits"] = lambda s, d: _ix_hits(get_index(s, d).regex_hits("sc.*"))
 
     def rs_decade(s, d):
@@ -1096,6 +1156,11 @@ WITH {SQL_TOKS},
 pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
 SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos AS INT) AS "end"
 FROM pt b WHERE b.pos >= 1 AND b.p = 'stop'
+"""
+    o["ix_rel_multi"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, CAST(pos - 1 AS INT) AS start, CAST(pos AS INT) AS "end"
+FROM toks WHERE pos >= 1 AND pos % 3 = 0
 """
     o["ix_termfreq"] = f"""
 WITH {SQL_TOKS}

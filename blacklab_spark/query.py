@@ -510,11 +510,18 @@ class Index:
         rtype: str | None = None,
         rclass: str | None = None,
         mode: str = "full",
+        with_identity: bool = False,
     ) -> DataFrame:
         """Relation matches as span hits. mode selects the returned span
         (reference span modes, SpanQueryRelations.java:28-34 /
         SpanQueryRelationSpanAdjust): 'source' | 'target' | 'full'. Source
-        and target spans always ride along as capture columns."""
+        and target spans always ride along as capture columns.
+
+        with_identity=True adds a `rel_id` struct column carrying the
+        relation's identity (rtype + both spans) — the analog of the
+        reference's RelationInfo equality, which the unique-relations AND
+        (SpansAndMultiUniqueRelations.java:308-319) compares clause matches
+        by."""
         r = self.rel_spans()
         if rtype is not None:
             r = r.filter(_regex_match_col("rtype", rtype))
@@ -529,11 +536,18 @@ class Index:
             e = F.greatest("src_end", "tgt_end")
         else:
             raise ValueError(f"unknown relation span mode {mode!r}")
-        return r.select(
-            "doc_id", s.cast("int").alias("start"), e.cast("int").alias("end"),
+        cols = [
+            F.col("doc_id"), s.cast("int").alias("start"), e.cast("int").alias("end"),
             F.col("src_start").alias("source_start"), F.col("src_end").alias("source_end"),
             F.col("tgt_start").alias("target_start"), F.col("tgt_end").alias("target_end"),
-        )
+        ]
+        if with_identity:
+            cols.append(
+                F.struct(
+                    "rtype", "src_start", "src_end", "tgt_start", "tgt_end"
+                ).alias("rel_id")
+            )
+        return r.select(*cols)
 
     def capture_relations(
         self, hits: DataFrame, name: str = "captured_rels",

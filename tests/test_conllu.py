@@ -112,6 +112,31 @@ def test_child_relation_list(conllu_index):
     assert bcql.parse(bcql.to_cql(tp)) == tp
 
 
+def test_unique_relations_required(conllu_index):
+    # SpansAndMultiUniqueRelations.java:308-319: each clause must be
+    # satisfied by a DISTINCT relation. 'are' governs exactly one nsubj
+    # edge, so a two-clause list both naming nsubj can never match ...
+    assert hs(bcql.find(conllu_index, '_ -nsubj-> _ ; -nsubj-> _')) == set()
+    # ... and regex types whose only common witness is that single edge
+    # (ns.* and .*j both match nsubj alone here) must not match either
+    assert hs(bcql.find(conllu_index, '_ -ns.*-> _ ; -.*j-> _')) == set()
+    # distinct edges (nsubj + attr) still satisfy overlapping regexes:
+    # clause1 takes attr, clause2 must take nsubj
+    got = hs(bcql.find(conllu_index, '_ -n.*|attr-> _ ; -n.*-> _'))
+    assert (0, 2, 3) in got
+
+
+def test_rmatch_full_span_mode(conllu_index):
+    # rmatch() over whole relation queries ANDs the clauses' OWN (full)
+    # spans (XFRelations.java:137-142): nsubj at 'are' spans (1,3), attr
+    # spans (2,6) — they never coincide, unlike the source-mode `;` list
+    tp = bcql.parse('rmatch(_ -nsubj-> _, _ -attr-> _)')
+    assert isinstance(tp, bcql.TPRelMatch) and tp.child_mode == "full"
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+    assert hs(bcql.find(conllu_index, 'rmatch(_ -nsubj-> _, _ -attr-> _)')) == set()
+
+
 def test_rmatch_function(conllu_index):
     # rmatch(c1, c2, ...): AND over relation clauses (XFRelations.rmatch);
     # equivalent to the `;` child-list on source-mode spans
