@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 8  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 9  # bumped on any docs/terms/postings schema change
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -82,10 +82,18 @@ DOCS_SCHEMA = (
     "sents array<array<int>>, "
     "tags array<struct<name:string,start:int,end:int,attrs:map<string,string>>>, "
     "tok_offs array<int>, "
-    "parallel map<string,array<string>>, "
     "relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
     "tgt_start:int,tgt_end:int>>"
 )
+
+
+def docs_schema(par_fields) -> str:
+    """DOCS_SCHEMA + one TOP-LEVEL `par_<field>` column per parallel field.
+    Top-level columns, not a map: parquet cannot prune a single map key, so
+    a map would make every parallel-field query read every version's token
+    stream (reference: one independent annotated field per version,
+    AnnotatedFieldNameUtil parallel field naming)."""
+    return DOCS_SCHEMA + "".join(f", par_{f} array<string>" for f in par_fields)
 POSTINGS_SCHEMA = (
     "shard int, annot string, term_id long, block_id int, doc_count int, first_doc long, "
     "last_doc long, max_tf int, min_dl int, tf_sum long, doc_ids binary, "
@@ -330,27 +338,19 @@ def tokenized_docs(
                         "sents": sents_col,
                         "tags": tags_col,
                         "tok_offs": offs_col,
-                        "parallel": (
-                            pd.Series(
-                                [
-                                    {
-                                        f: list(row[i]) if row[i] is not None else []
-                                        for i, f in enumerate(par_fields)
-                                    }
-                                    for row in zip(
-                                        *(pdf[f"tokens_{f}"] for f in par_fields)
-                                    )
-                                ],
-                                index=pdf.index, dtype=object,
-                            )
-                            if par_fields
-                            else pd.Series([{}] * len(pdf), index=pdf.index, dtype=object)
-                        ),
                         "relations": rels_col,
+                        # parallel versions: one top-level column per field
+                        # (column-prunable, unlike a map — docs_schema())
+                        **{
+                            f"par_{f}": pdf[f"tokens_{f}"].map(
+                                lambda x: list(x) if x is not None else []
+                            )
+                            for f in par_fields
+                        },
                     }
                 )
 
-    return pages.mapInPandas(kernel, schema=DOCS_SCHEMA)
+    return pages.mapInPandas(kernel, schema=docs_schema(par_fields))
 
 
 # -------------------------------------------------------- dense id assigner --
@@ -902,6 +902,26 @@ def build_index(
             _encode_shard_kernel(block_size, annotations, input_layers),
             schema=BLOCKS_SCHEMA,
         )
+        # parallel-field postings (reference: each parallel version is a
+        # full annotated field with its own index, SpansOverrideField.java:
+        # 5-10): per field, the same shard-kernel encodes that field's token
+        # stream under annot `f_<field>` — term dict, fold stats, remap and
+        # the term-clustered postings layout all apply unchanged, so
+        # `@field=nl "term"` queries are posting-backed like the main field.
+        # One prunable column scan + one shard shuffle per field; positions
+        # and doc lengths are the PARALLEL stream's own.
+        for fld in params["parallel_fields"]:
+            prows = docs.select(
+                "shard", "doc_id",
+                F.coalesce(
+                    F.col(f"par_{fld}"), F.array().cast("array<string>")
+                ).alias("tokens"),
+            ).withColumn("doc_len", F.size("tokens"))
+            pblocks = prows.repartitionByRange(n_shards, "shard").mapInArrow(
+                _encode_shard_kernel(block_size, ("word",), frozenset()),
+                schema=BLOCKS_SCHEMA,
+            ).withColumn("annot", F.lit(f"f_{fld}"))
+            blocks = blocks.unionByName(pblocks)
         # lineage cut + resume checkpoint: blocks feed 3 consumers (dict,
         # remap, manifest) — recomputing the shuffle per consumer would
         # triple the cost
@@ -1164,10 +1184,7 @@ def compact(
                 add("tokens_pos")
         for fld in p0.get("parallel_fields", []):
             # parallel streams + their alignment relations pass through
-            add(
-                f"tokens_{fld}",
-                F.col("parallel").getItem(fld).alias(f"tokens_{fld}"),
-            )
+            add(f"tokens_{fld}", F.col(f"par_{fld}").alias(f"tokens_{fld}"))
         if p0.get("parallel_fields") and not seg_annotated:
             # carry stored streams so alignments keep their token positions
             add("tokens"), add("sents"), add("relations")

@@ -557,6 +557,19 @@ def build_queries() -> dict:
 
     q["ix_align"] = ix_align
 
+    def ix_par_term(s, d):
+        """Standalone parallel-field term query (`@field=nl "tablex"`),
+        posting-backed since format 9: the nl version's own term dict +
+        posting lists answer it with term_id parquet pushdown, the full
+        SpansOverrideField switch (SpansOverrideField.java:5-10) instead of
+        the v1 forward-index scan."""
+        from . import bcql
+
+        ix = get_parallel_index(s, d)
+        return _ix_hits(bcql.find(ix, '@field=nl "tablex"'))
+
+    q["ix_par_term"] = ix_par_term
+
     def ix_cql_sru(s, d):
         """ContextQL (SRU) query: contents term + metadata wildcard filter
         (reference: contextql.jj -> CompleteQuery)."""
@@ -998,6 +1011,12 @@ WHERE tok = 'table' AND doc_id < 10
     # 'merge' tokens whose half (head: pos < floor(n/2), tail: pos >= that)
     # also contains 'scan' — the half-alignment relations are src=tgt spans
     # and nl tokens are 'x'-suffixed, so 'scanx' aligns exactly to 'scan'
+    # parallel nl token at pos i = main token + 'x'; positions in the nl
+    # stream equal main-stream positions by construction of the fixture
+    o["ix_par_term"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks WHERE tok = 'table'
+"""
     o["ix_align"] = f"""
 WITH {SQL_TOKS},
 nn AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),

@@ -83,11 +83,27 @@ class Index:
 
     # ------------------------------------------------------------- helpers --
     def _check_annot(self, annot: str) -> None:
-        if annot not in self.annotations:
-            raise ValueError(
-                f"annotation {annot!r} is not indexed (index has "
-                f"{list(self.annotations)}; build with annotations=(...))"
-            )
+        if annot in self.annotations:
+            return
+        # parallel-field postings live under annot `f_<field>` (reference:
+        # each parallel version is an annotated field of its own,
+        # SpansOverrideField.java:5-10)
+        if annot.startswith("f_") and self._parallel_postings_ok(annot[2:]):
+            return
+        raise ValueError(
+            f"annotation {annot!r} is not indexed (index has "
+            f"{list(self.annotations)}; build with annotations=(...))"
+        )
+
+    def _parallel_postings_ok(self, field: str) -> bool:
+        """True when EVERY segment carries posting lists for this parallel
+        field (format >= 9 builds them; older segments fall back to the
+        forward-index scan)."""
+        return bool(self.segments) and all(
+            field in s.meta.get("parallel_fields", [])
+            and s.meta.get("format_version", 0) >= 9
+            for s in self.segments
+        )
 
     @property
     def docs(self) -> DataFrame:
@@ -611,23 +627,39 @@ class Index:
             out |= set(s.meta.get("parallel_fields", []))
         return sorted(out)
 
+    def _par_tokens_col(self, field: str):
+        """Token-stream column for a parallel field: top-level `par_<field>`
+        (format >= 9, column-prunable) or the legacy `parallel` map item."""
+        if f"par_{field}" in self.docs.columns:
+            return F.col(f"par_{field}")
+        return F.col("parallel").getItem(field)
+
     def parallel_term_hits(
         self, field: str, term: str | None = None, regex: str | None = None,
         fold: bool = True,
     ) -> DataFrame:
         """Single-token hits in a parallel field's token stream (positions in
-        THAT field's token space). Matching is a forward-index scan of the
-        stored stream — parallel targets are verified against alignment
-        candidates, the same shape as the reference's FiSeq verify; no
-        postings are built for parallel fields (v1). fold=True compares
-        case-insensitively JVM-side (lower(); accent folding needs the terms
-        dict, which parallel fields don't have — divergence documented)."""
+        THAT field's token space). Format >= 9 indexes build real posting
+        lists per parallel field (annot `f_<field>` — term dict with fold
+        columns, term-clustered parquet layout, same pruning as the main
+        field), so this is posting-backed exactly like the main field
+        (reference: SpansOverrideField.java:5-10 — the overridden field is a
+        full annotated field). Older segments fall back to a forward-index
+        scan of the stored stream with lower()-only folding (the historical
+        v1 behavior)."""
         if field not in self.parallel_fields():
             raise ValueError(
                 f"unknown parallel field {field!r} (have {self.parallel_fields()})"
             )
+        if self._parallel_postings_ok(field):
+            annot = f"f_{field}"
+            if term is not None:
+                return self.term_hits(term, fold=fold, annot=annot)
+            if regex is not None:
+                return self.regex_hits(regex, fold=fold, annot=annot)
+            raise ValueError("parallel_term_hits: pass term= or regex=")
         toks = self.docs.select(
-            "doc_id", F.posexplode(F.col("parallel").getItem(field)).alias("pos", "tok")
+            "doc_id", F.posexplode(self._par_tokens_col(field)).alias("pos", "tok")
         )
         col = F.lower(F.col("tok")) if fold else F.col("tok")
         if term is not None:

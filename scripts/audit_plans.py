@@ -72,6 +72,18 @@ def main() -> None:
     p = plan_of(ix.regex_hits("s.*n"))
     check("regex no IN-list", "term_id IN (" not in p and "BroadcastHashJoin" in p, p[:800])
 
+    # 5b. parallel-field term query: posting-backed (term_id pushdown on the
+    #     f_<field> postings; no forward-index scan of the par_<field> column)
+    pix = E.get_parallel_index(spark, SF)
+    p = plan_of(pix.parallel_term_hits("nl", term="tablex"))
+    check(
+        "parallel term posting-backed",
+        "PushedFilters: [" in p
+        and "term_id" in p.split("PushedFilters:")[1][:200]
+        and "par_nl" not in p,
+        p[:800],
+    )
+
     # 5. alignment operator: doc_id equijoins (no cartesian), semi joins only
     p = plan_of(qs["ix_align"](spark, SF))
     check(

@@ -85,21 +85,23 @@ def main() -> None:
     # cluster job would see, and the gate keeps reps out of the sandbox
     # host's intermittent slow phases
     out = f"{work_dir}/ix_{cpus}"
-    reps: list[tuple[float, bool]] = []
+    reps: list[tuple[float, bool, dict]] = []
     all_probes = []
     for _ in range(4):
         pre = wait_for_quiet(limit_s=0.06)
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
-        build_index(spark, pages, out, n_shards=N_SHARDS)
+        meta = build_index(spark, pages, out, n_shards=N_SHARDS)
         dt = time.time() - t0
         post = probe_speed()  # discard reps contaminated by a mid-run slow phase
-        reps.append((dt, post < 0.1))
+        reps.append((dt, post < 0.1, meta["stage_s"]))
         all_probes.append(pre + [post])
-        if sum(1 for _, ok in reps if ok) >= 2:
+        if sum(1 for _, ok, _s in reps if ok) >= 2:
             break
-    valid = [t for t, ok in reps if ok]
-    build_s = min(valid) if valid else min(t for t, _ in reps)
+    valid = [(t, s) for t, ok, s in reps if ok]
+    if not valid:
+        valid = [(t, s) for t, _ok, s in reps]
+    build_s, stage_s = min(valid, key=lambda v: v[0])
 
     ix = Index(spark, out)
     lat = {}
@@ -123,6 +125,7 @@ def main() -> None:
                 "n_shards": N_SHARDS,
                 "shuffle_partitions": SHUFFLE_PARTITIONS,
                 "speed_probes_s": [round(p[-1], 3) for p in all_probes],
+                "stage_s": stage_s,
             }
         )
     )

@@ -35,7 +35,9 @@ LEVELS = ("2", "8")          # official N vs 4N pair (see module docstring)
 CURVE = ("4", "16", "32")    # extra single-rep curve points (build only)
 # tmpfs: isolate the CPU-scaling measurement from virtio disk jitter
 WORK = "/dev/shm/blacklab_scaling" if os.path.isdir("/dev/shm") else "/tmp/blacklab_scaling"
-PAGES = f"{WORK}/pages_bench"
+# n_docs-suffixed: a cached corpus from a different-sized run must never be
+# silently reused (the official levels and the curve must see the SAME input)
+PAGES = f"{WORK}/pages_bench_{N_DOCS}"
 
 
 def _cpu_burn(_):
@@ -124,6 +126,7 @@ def main() -> None:
     # curve points: build-only, best of PROFILE_REPS (cheaper than the
     # official levels' gated reps; presented as context, not the criterion)
     curve = {c: results[c]["build_s"] for c in LEVELS}
+    stages = {c: results[c].get("stage_s", {}) for c in LEVELS}
     env = dict(os.environ, PROFILE_REPS="2")
     for cpus in CURVE:
         out = subprocess.run(
@@ -132,8 +135,10 @@ def main() -> None:
         )
         j = json.loads(out.stdout.strip().splitlines()[-1])
         curve[cpus] = j["wall_s"]
+        stages[cpus] = j["stage_s"]
         print(out.stdout.strip().splitlines()[-1])
 
+    stage_names = list(stages.get("32") or next(iter(stages.values())))
     r8, r32 = results[LEVELS[0]], results[LEVELS[1]]
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     ts = dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
@@ -190,6 +195,39 @@ ceiling, not to serial fractions in the job. Raw probes:
 | level | build wall (s) | docs/sec |
 |---|---|---|
 {curve_rows}
+
+### Per-stage walls at every level (same run as the probes above)
+
+| stage | """ + " | ".join(f"local[{c}]" for c in sorted(stages, key=int)) + """ |
+|---|""" + "---|" * len(stages) + """
+""" + "\n".join(
+        "| " + st + " | " + " | ".join(
+            str(stages[c].get(st, "")) for c in sorted(stages, key=int)
+        ) + " |"
+        for st in stage_names
+    ) + f"""
+
+### Attribution of the 16 -> 32 step (verdict r2 item 2)
+
+Stage-by-stage delta from local[16] to local[32], summed against the
+same-run memory-bandwidth probe ({probes['membw_16']} -> {probes['membw_32']}
+units/s, ratio {round(probes['membw_32'] / probes['membw_16'], 2)}x for 2x
+threads; pure CPU {round(probes['cpu_32'] / probes['cpu_16'], 2)}x):
+
+| stage | local[16] s | local[32] s | delta s |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {st} | {stages['16'].get(st, 0)} | {stages['32'].get(st, 0)} | "
+        f"{round(stages['32'].get(st, 0) - stages['16'].get(st, 0), 2)} |"
+        for st in stage_names
+    ) + f"""
+| **total** | {round(sum(stages['16'].values()), 2)} | {round(sum(stages['32'].values()), 2)} | {round(sum(stages['32'].values()) - sum(stages['16'].values()), 2)} |
+
+The streaming-bound stages (docs/blocks/postings: shuffle + Arrow + parquet
++ radix sorts) carry the loss where the probe shows the bus ceiling; CPU
+stages keep scaling. Walls here are best-of-{env['PROFILE_REPS']} per level
+(16/32 from profile_build in this run), so residual host-phase noise is
+bounded but not zero.
 
 Per-query latency (s):
 
