@@ -51,6 +51,9 @@ class TPTerm(TP):
     term: str
     sensitive: bool = False
     annot: str = "word"
+    # partial-sensitivity variant: "" (use `sensitive`), "ci" (lowercase
+    # only) or "di" (accent strip only) — MatchSensitivity.java:12-17
+    sens: str = ""
 
 
 @dataclass
@@ -58,6 +61,7 @@ class TPRegex(TP):
     pattern: str
     sensitive: bool = False
     annot: str = "word"
+    sens: str = ""
 
 
 @dataclass
@@ -348,7 +352,7 @@ register_function("rmatch", ("Q", "Q*"), _build_rmatch)
 _TOKEN_SPEC = [
     ("QUOTED", r'"(?:[^"\\]|\\.)*"'),
     ("SETTINGS", r"@[A-Za-z0-9_]+=[A-Za-z0-9_]+(?:,[A-Za-z0-9_]+=[A-Za-z0-9_]+)*"),
-    ("FLAGS", r"%[cdis]+"),
+    ("FLAGS", r"%[cdisCDIS]+"),
     ("NUMBER", r"\d+"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
     # full reference tag forms (cql.jj:354): <name attr="v" .../>, <name>,
@@ -360,7 +364,7 @@ _TOKEN_SPEC = [
     # alignment operator `==>field` / `=type=>field` (parallel corpora,
     # RelationOperatorInfo.java:30-33) — before OP so `=` still lexes alone
     ("ALIGNOP", r"=[-A-Za-z0-9_.|*?]*=>[A-Za-z0-9_]*\??"),
-    ("RELOP", r"-[A-Za-z0-9_.|*?]*->"),
+    ("RELOP", r"-[:A-Za-z0-9_.|*?]*->"),
     ("OP", r"::|!=|<=|>=|=|\{|\}|\[|\]|\(|\)|\||&|!|\*|\+|\?|:|,|\.|<|>|;"),
     ("WS", r"\s+"),
 ]
@@ -385,15 +389,40 @@ def _lex(q: str) -> list[tuple[str, str]]:
 _LITERAL_RE = re.compile(r"^[\wÀ-ɏ]*$", re.UNICODE)
 
 
+def _flags_to_sens(flags: str | None) -> str:
+    """%-flag chars -> MatchSensitivity code (MatchSensitivity.get,
+    MatchSensitivity.java:19-24): `c`/`d` turn case-/diacritics-sensitivity
+    ON, `C`/`D` force it OFF, legacy `s`/`i` set both. Default: insensitive.
+    (caseSensitive, diacriticsSensitive) -> s / i / ci / di."""
+    cs = ds = False
+    for ch in flags or "":
+        if ch == "c":
+            cs = True
+        elif ch == "C":
+            cs = False
+        elif ch == "d":
+            ds = True
+        elif ch == "D":
+            ds = False
+        elif ch in "sS":
+            cs = ds = True
+        elif ch in "iI":
+            cs = ds = False
+    return {(True, True): "s", (False, False): "i",
+            (False, True): "ci", (True, False): "di"}[(cs, ds)]
+
+
 def _quoted_to_tp(raw: str, flags: str | None) -> TP:
     """Bare string -> anchored regex -> simplified (SimplestMatcher;
     reference CorpusQueryLanguageParser.java:88-98 + TextPatternRegex.
     rewriteForQuery TextPatternRegex.java:73-98)."""
     s = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-    sensitive = bool(flags and "c" in flags) or bool(flags and "s" in flags)
+    code = _flags_to_sens(flags)
+    sensitive = code == "s"
+    sens = code if code in ("ci", "di") else ""
     if _LITERAL_RE.match(s):
-        return TPTerm(s, sensitive)
-    return TPRegex(s, sensitive)
+        return TPTerm(s, sensitive, sens=sens)
+    return TPRegex(s, sensitive, sens=sens)
 
 
 # ------------------------------------------------------------------- parser --
@@ -455,7 +484,10 @@ class _Parser:
         # settings prefix "@a=b,c=d" (reference settingsQuery, cql.jj:129-152
         # -> TextPatternSettings); understood keys: defann = default
         # annotation for BARE terms/regexes (explicit [word=...] unaffected),
-        # field = parallel-field override. Allowed ONLY at the very start of
+        # field = parallel-field override, rc / relationclass = default
+        # relation class for bare relation types (TextPatternSettings.java:
+        # 33-40; explicit `cls::type` wins, RelationUtil.fullTypeRegex).
+        # Allowed ONLY at the very start of
         # the input (the reference's settingsQuery wraps the whole query);
         # a nested prefix would leak into the shared settings and silently
         # rescope the entire query.
@@ -481,6 +513,16 @@ class _Parser:
             left = TPConstrained(left, self.constraint())
         return left
 
+    def _rel_type(self, rtype: str) -> str:
+        """Prefix the default relation class onto a bare relation type
+        (reference: settings key relationclass/rc applied through
+        QueryExecutionContext.withDefaultRelationClass; an explicit
+        `cls::type` spelling wins — RelationUtil.fullTypeRegex)."""
+        rc = self.settings.get("rc") or self.settings.get("relationclass")
+        if rc and rtype and "::" not in rtype:
+            return f"{rc}::{rtype}"
+        return rtype
+
     # relQuery := seqOr ((RELOP|ALIGNOP) relQuery)?  — relation/alignment
     # operators bind LOOSER than sequence/boolean, tighter than
     # within/containing (reference: relationQuery sits between
@@ -501,7 +543,7 @@ class _Parser:
         k, op = self.peek()
         if k == "RELOP":
             self.next()
-            rtype = op[1:-2]  # strip '-' and '->'
+            rtype = self._rel_type(op[1:-2])  # strip '-' and '->'
             rel: TP = TPRelation(node, rtype, self.rel_query())
             # child-relation list: `a -x-> b ; -y-> c` (cql.jj:289-290)
             if self.peek()[1] == ";":
@@ -513,7 +555,7 @@ class _Parser:
                         raise ValueError(
                             f"expected a relation operator after ';', got {op2!r}"
                         )
-                    children.append((op2[1:-2], self.rel_query()))
+                    children.append((self._rel_type(op2[1:-2]), self.rel_query()))
                 rel = TPRelMatch(node, tuple(children))
             return TPCapture(label, rel) if label else rel
         if k == "ALIGNOP":
@@ -784,9 +826,13 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
     """TextPattern -> hits DataFrame (the reference's translate() +
     rewrite() collapsed; Catalyst handles the relational part)."""
     if isinstance(tp, TPTerm):
-        return ix.term_hits(tp.term, fold=not tp.sensitive, annot=tp.annot)
+        return ix.term_hits(
+            tp.term, fold=not tp.sensitive, annot=tp.annot, sens=tp.sens or None
+        )
     if isinstance(tp, TPRegex):
-        return ix.regex_hits(tp.pattern, fold=not tp.sensitive, annot=tp.annot)
+        return ix.regex_hits(
+            tp.pattern, fold=not tp.sensitive, annot=tp.annot, sens=tp.sens or None
+        )
     if isinstance(tp, TPAnyToken):
         return S.any_token(ix.doc_lens(), tp.mn, tp.mx)
     if isinstance(tp, TPNotTerm):
@@ -801,6 +847,7 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         if all(
             isinstance(c, TPTerm)
             and c.sensitive == tp.clauses[0].sensitive
+            and c.sens == tp.clauses[0].sens
             and c.annot == tp.clauses[0].annot
             for c in tp.clauses
         ):
@@ -808,6 +855,7 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
                 [c.term for c in tp.clauses],
                 fold=not tp.clauses[0].sensitive,
                 annot=tp.clauses[0].annot,
+                sens=tp.clauses[0].sens or None,
             )
         out = compile_pattern(ix, tp.clauses[0])
         for c in tp.clauses[1:]:
@@ -918,6 +966,11 @@ def _fi_pattern(tp: TP) -> tuple[str, str]:
 
     from .tokenize import fold_token
 
+    if isinstance(tp, (TPTerm, TPRegex)) and tp.sens:
+        raise ValueError(
+            "forward-index verification does not support ci/di sensitivity "
+            "variants (v1); use the postings path"
+        )
     if isinstance(tp, TPTerm):
         val = tp.term if tp.sensitive else fold_token(tp.term)
         pat = _re.escape(val)
@@ -960,12 +1013,18 @@ def _compile_parallel(ix: Index, field: str, tp: TP) -> DataFrame:
     single-token terms/regexes and sequences of them — forward-index scan,
     candidates are restricted by the alignment join)."""
     if isinstance(tp, TPTerm):
-        if tp.annot != "word":
-            raise ValueError("parallel-field patterns support only `word` (v1)")
+        if tp.annot != "word" or tp.sens:
+            raise ValueError(
+                "parallel-field patterns support only `word` with s/i "
+                "sensitivity (v1)"
+            )
         return ix.parallel_term_hits(field, term=tp.term, fold=not tp.sensitive)
     if isinstance(tp, TPRegex):
-        if tp.annot != "word":
-            raise ValueError("parallel-field patterns support only `word` (v1)")
+        if tp.annot != "word" or tp.sens:
+            raise ValueError(
+                "parallel-field patterns support only `word` with s/i "
+                "sensitivity (v1)"
+            )
         return ix.parallel_term_hits(field, regex=tp.pattern, fold=not tp.sensitive)
     if isinstance(tp, TPSequence):
         out = None
@@ -1102,7 +1161,10 @@ def guarantees(tp: TP) -> Guarantees:
 
 
 def _is_pure_term(p: TP) -> bool:
-    return isinstance(p, TPTerm) and not p.sensitive and p.annot == "word"
+    return (
+        isinstance(p, TPTerm) and not p.sensitive and not p.sens
+        and p.annot == "word"
+    )
 
 
 def _matches_empty(tp: TP) -> bool:
@@ -1164,6 +1226,7 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
     if (
         len(parts) >= 2
         and isinstance(parts[0], TPRegex)
+        and not parts[0].sens
         and parts[0].annot == "word"
         and _is_pure_term(parts[1])
     ):
@@ -1202,6 +1265,7 @@ def _compile_sequence(ix: Index, parts: list[TP]) -> DataFrame:
             out is not None
             and pending_gap is None
             and isinstance(p, TPRegex)
+            and not p.sens
             and p.annot == "word"
             and _is_pure_term(prev_part)
         ):
@@ -1255,9 +1319,15 @@ _NODE_TYPES = {
 
 def to_dict(tp: TP) -> dict:
     if isinstance(tp, TPTerm):
-        return {"type": "term", "term": tp.term, "sensitive": tp.sensitive, "annot": tp.annot}
+        return {
+            "type": "term", "term": tp.term, "sensitive": tp.sensitive,
+            "annot": tp.annot, **({"sens": tp.sens} if tp.sens else {}),
+        }
     if isinstance(tp, TPRegex):
-        return {"type": "regex", "pattern": tp.pattern, "sensitive": tp.sensitive, "annot": tp.annot}
+        return {
+            "type": "regex", "pattern": tp.pattern, "sensitive": tp.sensitive,
+            "annot": tp.annot, **({"sens": tp.sens} if tp.sens else {}),
+        }
     if isinstance(tp, TPAnyToken):
         return {"type": "anytoken", "min": tp.mn, "max": tp.mx}
     if isinstance(tp, TPNotTerm):
@@ -1360,9 +1430,15 @@ def _cexpr_from_dict(d):
 def from_dict(d: dict) -> TP:
     t = d["type"]
     if t == "term":
-        return TPTerm(d["term"], d.get("sensitive", False), d.get("annot", "word"))
+        return TPTerm(
+            d["term"], d.get("sensitive", False), d.get("annot", "word"),
+            sens=d.get("sens", ""),
+        )
     if t == "regex":
-        return TPRegex(d["pattern"], d.get("sensitive", False), d.get("annot", "word"))
+        return TPRegex(
+            d["pattern"], d.get("sensitive", False), d.get("annot", "word"),
+            sens=d.get("sens", ""),
+        )
     if t == "anytoken":
         return TPAnyToken(d["min"], d["max"])
     if t == "not":
@@ -1424,17 +1500,27 @@ def _q(s: str) -> str:
     return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
 
+def _sens_flags(tp) -> str:
+    """Serialize the sensitivity variant back to %-flags (lossless through
+    _flags_to_sens): s -> %cd, di -> %c, ci -> %d, i -> none."""
+    if tp.sensitive:
+        return "%cd"
+    return {"di": "%c", "ci": "%d"}.get(tp.sens, "")
+
+
 def to_cql(tp: TP) -> str:
     """Pattern -> CQL text (round-trips through parse; mirrors
     TextPatternSerializerCql.java)."""
     if isinstance(tp, TPTerm):
+        fl = _sens_flags(tp)
         if tp.annot != "word":
-            return f"[{tp.annot}={_q(tp.term)}" + ("%c" if tp.sensitive else "") + "]"
-        return _q(tp.term) + ("%c" if tp.sensitive else "")
+            return f"[{tp.annot}={_q(tp.term)}{fl}]"
+        return _q(tp.term) + fl
     if isinstance(tp, TPRegex):
+        fl = _sens_flags(tp)
         if tp.annot != "word":
-            return f"[{tp.annot}={_q(tp.pattern)}" + ("%c" if tp.sensitive else "") + "]"
-        return _q(tp.pattern) + ("%c" if tp.sensitive else "")
+            return f"[{tp.annot}={_q(tp.pattern)}{fl}]"
+        return _q(tp.pattern) + fl
     if isinstance(tp, TPAnyToken):
         if tp.mn == tp.mx == 1:
             return "[]"

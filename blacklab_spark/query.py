@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from . import B, K1
 from .codec import varint_decode, delta_decode, delta_decode_segmented
 from .oracle.engine import byte4_to_int
-from .tokenize import fold_token
+from .tokenize import accent_fold_token, case_fold_token, fold_token
 
 HITS_SCHEMA = "doc_id long, start int, end int"
 SCORE_SCHEMA = "doc_id long, score double"
@@ -126,7 +126,8 @@ class Index:
         return t
 
     def resolve(
-        self, terms: list[str], fold: bool = True, annot: str = "word"
+        self, terms: list[str], fold: bool = True, annot: str = "word",
+        sens: str | None = None,
     ) -> list[pd.DataFrame]:
         """Per segment: (term_id, qidx, df) for each query term, qidx in
         sorted folded order (fixes the float association order vs the oracle).
@@ -134,8 +135,50 @@ class Index:
         mapping qidx -> global df. annot selects the annotation layer
         (reference: annotation select, cql.jj:625-637); every layer folds
         its term_fold, so non-word layers match insensitively by default
-        (the reference's i-only sensitivity for them)."""
+        (the reference's i-only sensitivity for them).
+
+        sens overrides fold with one of the reference's four sensitivity
+        variants (MatchSensitivity.java:12-17): 's'/'i' behave like
+        fold=False/True; 'ci' (lowercase only) and 'di' (accent strip only)
+        pre-filter the dict on the full fold — a superset of any partial
+        fold — then apply the partial desensitize to the tiny candidate set
+        in pandas. df for ci/di groups is the sum of member surface dfs
+        (exact unless one doc holds >1 surface variant of the same partial
+        fold — the reference with a dedicated ci/di-indexed field stores
+        exact counts; divergence documented)."""
         self._check_annot(annot)
+        if sens == "s":
+            sens, fold = None, False
+        elif sens == "i":
+            sens, fold = None, True
+        if sens in ("ci", "di"):
+            vf = case_fold_token if sens == "ci" else accent_fold_token
+            qs = sorted({vf(t) for t in terms})
+            base = sorted({fold_token(t) for t in terms})
+            qidx = {q: i for i, q in enumerate(qs)}
+            frames = [
+                seg.terms.filter(
+                    (F.col("annot") == annot) & F.col("term_fold").isin(base)
+                ).select(F.lit(i).alias("_seg"), "term_id", "term", "df")
+                for i, seg in enumerate(self.segments)
+            ]
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            allr = u.toPandas()
+            allr["_v"] = allr["term"].map(vf)
+            allr = allr[allr["_v"].isin(qs)]
+            out, gdf = [], {}
+            for i in range(len(self.segments)):
+                rows = allr[allr["_seg"] == i].drop(columns=["_seg"]).copy()
+                rows["qidx"] = rows["_v"].map(qidx)
+                out.append(rows)
+                for q, grp in rows.groupby("qidx"):
+                    gdf[q] = gdf.get(q, 0) + int(grp["df"].sum())
+            for r in out:
+                r.attrs["gdf"] = gdf
+                r.attrs["n_q"] = len(qs)
+            return out
         if fold:
             qs = sorted({fold_token(t) for t in terms})
             col = "term_fold"
@@ -204,10 +247,16 @@ class Index:
         return p.join(F.broadcast(qmap), "term_id")
 
     # ----------------------------------------------------------- span ops ---
-    def term_hits(self, term: str, fold: bool = True, annot: str = "word") -> DataFrame:
-        return self.or_hits([term], fold=fold, annot=annot)
+    def term_hits(
+        self, term: str, fold: bool = True, annot: str = "word",
+        sens: str | None = None,
+    ) -> DataFrame:
+        return self.or_hits([term], fold=fold, annot=annot, sens=sens)
 
-    def or_hits(self, terms: list[str], fold: bool = True, annot: str = "word") -> DataFrame:
+    def or_hits(
+        self, terms: list[str], fold: bool = True, annot: str = "word",
+        sens: str | None = None,
+    ) -> DataFrame:
         """Union of single-term position hits (reference: BLSpanOrQuery).
 
         No dedupe: distinct surface terms cannot share a (doc, pos) — one
@@ -215,12 +264,15 @@ class Index:
         SpanGuarantees move (SpanGuarantees.java:22-67): provable uniqueness
         skips a real shuffle."""
         parts = []
-        for seg, tids in zip(self.segments, self.resolve(terms, fold, annot)):
+        for seg, tids in zip(self.segments, self.resolve(terms, fold, annot, sens=sens)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
         return self._union(parts, HITS_SCHEMA)
 
-    def regex_hits(self, pattern: str, fold: bool = True, annot: str = "word") -> DataFrame:
+    def regex_hits(
+        self, pattern: str, fold: bool = True, annot: str = "word",
+        sens: str | None = None,
+    ) -> DataFrame:
         """Regex over the dict -> postings union (unique by the same argument
         as or_hits: matching term_ids are distinct).
 
@@ -230,9 +282,28 @@ class Index:
         and no plan-exploding IN-list: a 10^9-term dict never touches the
         driver. Trade-off vs the exact-term path: the join loses parquet
         row-group pruning on term_id, the cost the reference pays too when it
-        expands a multi-term query (BLSpanMultiTermQueryWrapper.java:46-52)."""
+        expands a multi-term query (BLSpanMultiTermQueryWrapper.java:46-52).
+
+        sens selects a sensitivity variant (MatchSensitivity.java:12-17):
+        'ci' matches case-insensitively via the regex engine's (?i) flag
+        against the SURFACE term (diacritics must match exactly); 'di'
+        regexes are unsupported v1 (the di variant is not indexed and accent
+        folding is not expressible JVM-side) — di TERM queries work via
+        resolve()."""
         self._check_annot(annot)
-        col = "term_fold" if fold else "term"
+        if sens == "s":
+            sens, fold = None, False
+        elif sens == "i":
+            sens, fold = None, True
+        if sens == "di":
+            raise ValueError(
+                "diacritics-insensitive regex matching is not supported (v1); "
+                "use a term query or full-insensitive matching"
+            )
+        if sens == "ci":
+            col, pattern = "term", f"(?i)(?:{pattern})"
+        else:
+            col = "term_fold" if fold else "term"
         parts = []
         for seg in self.segments:
             m = (
@@ -539,10 +610,17 @@ class Index:
         (SpansAndMultiUniqueRelations.java:308-319) compares clause matches
         by."""
         r = self.rel_spans()
-        if rtype is not None:
+        # `cls::type` spellings carry the relation class inside the type
+        # string (RelationUtil.fullTypeRegex, CLASS_TYPE_SEPARATOR '::');
+        # both halves match as regexes, like the reference's full-type regex
+        if rtype is not None and "::" in rtype:
+            cls, rtype = rtype.split("::", 1)
+            if rclass is None:
+                rclass = cls
+        if rtype is not None and rtype != "":
             r = r.filter(_regex_match_col("rtype", rtype))
         if rclass is not None:
-            r = r.filter(F.col("rclass") == rclass)
+            r = r.filter(_regex_match_col("rclass", rclass))
         if mode == "source":
             s, e = F.col("src_start"), F.col("src_end")
         elif mode == "target":

@@ -260,6 +260,22 @@ def fold_token(tok: str) -> str:
     )
 
 
+def case_fold_token(tok: str) -> str:
+    """CASE_INSENSITIVE desensitize: lowercase only, diacritics kept
+    (reference MatchSensitivity.java:82-95, CASE_INSENSITIVE branch)."""
+    return tok.lower()
+
+
+def accent_fold_token(tok: str) -> str:
+    """DIACRITICS_INSENSITIVE desensitize: NFD accent strip, case kept
+    (reference MatchSensitivity.java:82-95, DIACRITICS_INSENSITIVE branch)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", tok) if not unicodedata.combining(c)
+    )
+
+
 def extract_text_one(html: bytes | None, text: str | None) -> str:
     """Scalar extraction for the oracle — routed through the Series impl so the
     two paths cannot diverge."""

@@ -126,6 +126,28 @@ def test_unique_relations_required(conllu_index):
     assert (0, 2, 3) in got
 
 
+def test_settings_relationclass(conllu_index):
+    # @rc= / @relationclass= set the default relation class for bare types
+    # (TextPatternSettings.java:33-40); CoNLL-U relations carry class 'dep',
+    # so qualifying with the right class is a no-op and a wrong class (or a
+    # wrong explicit `cls::type`) matches nothing
+    base = hs(bcql.find(conllu_index, '_ -nsubj-> _'))
+    assert base
+    assert hs(bcql.find(conllu_index, '@rc=dep _ -nsubj-> _')) == base
+    assert hs(bcql.find(conllu_index, '@relationclass=dep _ -nsubj-> _')) == base
+    assert hs(bcql.find(conllu_index, '_ -dep::nsubj-> _')) == base
+    assert hs(bcql.find(conllu_index, '@rc=foo _ -nsubj-> _')) == set()
+    assert hs(bcql.find(conllu_index, '_ -foo::nsubj-> _')) == set()
+    # explicit cls::type wins over the setting
+    assert hs(bcql.find(conllu_index, '@rc=foo _ -dep::nsubj-> _')) == base
+    # the qualified spelling round-trips
+    tp = bcql.parse('_ -dep::nsubj-> _')
+    assert bcql.parse(bcql.to_cql(tp)) == tp
+    assert bcql.from_dict(bcql.to_dict(tp)) == tp
+    # child lists inherit the default class
+    assert hs(bcql.find(conllu_index, '@rc=foo _ -n.*|attr-> _ ; -n.*-> _')) == set()
+
+
 def test_rmatch_full_span_mode(conllu_index):
     # rmatch() over whole relation queries ANDs the clauses' OWN (full)
     # spans (XFRelations.java:137-142): nsubj at 'are' spans (1,3), attr
