@@ -862,9 +862,16 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
             out = S.or_spans(out, compile_pattern(ix, c))
         return out
     if isinstance(tp, TPAnd):
+        # SpanGuarantees-driven physical choice: a provably-unique side
+        # turns Intersect into a semi join (no dedupe aggregate)
         out = compile_pattern(ix, tp.clauses[0])
+        u = guarantees(tp.clauses[0]).unique
         for c in tp.clauses[1:]:
-            out = S.and_spans(out, compile_pattern(ix, c))
+            gc = guarantees(c).unique
+            out = S.and_spans(
+                out, compile_pattern(ix, c), a_unique=u, b_unique=gc
+            )
+            u = u or gc  # the intersection inherits either side's uniqueness
         return out
     if isinstance(tp, TPRepetition):
         if isinstance(tp.clause, TPAnyToken) and tp.clause.mn == tp.clause.mx == 1:
@@ -896,7 +903,8 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
         return _compile_alignment(ix, tp)
     if isinstance(tp, TPAndNot):
         return S.and_not(
-            compile_pattern(ix, tp.include), compile_pattern(ix, tp.exclude)
+            compile_pattern(ix, tp.include), compile_pattern(ix, tp.exclude),
+            dedupe=not guarantees(tp.include).unique,
         )
     if isinstance(tp, TPRelMatch):
         return _compile_relmatch(ix, tp)
@@ -1141,6 +1149,16 @@ def guarantees(tp: TP) -> Guarantees:
             # fixed-length parts: the start determines the whole chain, so
             # uniqueness of every part implies uniqueness of the sequence
             return Guarantees(sum(g.fixed_len for g in gs), all(g.unique for g in gs))
+        # exactly ONE variable-length part among unique parts: its position
+        # AND length are pinned by the fixed remainder and the overall span,
+        # so (doc, start, end) still determines the whole chain (the
+        # hitsHaveUniqueStartEnd reasoning, SpanGuarantees.java:22-67)
+        if (
+            sum(1 for g in gs if g.fixed_len is None) == 1
+            and all(g.unique for g in gs)
+            and not any(_matches_empty(par) for par in tp.parts)
+        ):
+            return Guarantees(None, True)
         return Guarantees(None, False)
     if isinstance(tp, TPCapture):
         return guarantees(tp.clause)
@@ -1148,6 +1166,11 @@ def guarantees(tp: TP) -> Guarantees:
         g = guarantees(tp.clause)
         if tp.mn == tp.mx and g.fixed_len is not None:
             return Guarantees(tp.mn * g.fixed_len, g.unique)
+        # variable count over a fixed-length unique clause: (start, end)
+        # determines the repetition count and every link position, so the
+        # span set stays unique (mn >= 1: zero-length spans excluded)
+        if tp.mn >= 1 and g.fixed_len is not None and g.unique:
+            return Guarantees(None, True)
         return Guarantees(None, False)
     if isinstance(tp, (TPPosFilter, TPConstrained, TPRelCapture)):
         # filters / 1:1 annotators: the producer's hit set (or a subset of
@@ -1157,6 +1180,12 @@ def guarantees(tp: TP) -> Guarantees:
     if isinstance(tp, TPAlignment):
         # semi-join against alignment relations: subset of the source hits
         return guarantees(tp.source)
+    if isinstance(tp, TPRelMatch):
+        # the relmatch compiler dedupes its span set; a non-default parent
+        # may carry captures that re-expand spans
+        return Guarantees(None, isinstance(tp.parent, TPDefaultValue))
+    if isinstance(tp, TPFieldOverride):
+        return guarantees(tp.clause)
     return Guarantees(None, False)
 
 

@@ -272,11 +272,27 @@ def filter_by_length(h: DataFrame, mn: int, mx: int) -> DataFrame:
     return h.filter((F.col("end") - F.col("start")).between(mn, mx))
 
 
-def and_spans(a: DataFrame, b: DataFrame) -> DataFrame:
+def and_spans(
+    a: DataFrame, b: DataFrame,
+    a_unique: bool = False, b_unique: bool = False,
+) -> DataFrame:
     """Hits equal in (doc,start,end) in both clauses (SpansAnd). Capture
-    columns from BOTH sides ride through (the reference merges match info)."""
+    columns from BOTH sides ride through (the reference merges match info).
+
+    a_unique/b_unique: caller-proven span-set uniqueness (the SpanGuarantees
+    flags, SpanGuarantees.java:22-67). A semi join FROM a provably-unique
+    side produces the same distinct set as Intersect without Intersect's
+    dedupe aggregate — one less shuffle stage."""
     caps_a, caps_b = _caps(a), _caps(b)
     if not caps_a and not caps_b:
+        if a_unique:
+            return a.select(*HITS_COLS).join(
+                b.select(*HITS_COLS), list(HITS_COLS), "left_semi"
+            )
+        if b_unique:
+            return b.select(*HITS_COLS).join(
+                a.select(*HITS_COLS), list(HITS_COLS), "left_semi"
+            )
         return a.select(*HITS_COLS).intersect(b.select(*HITS_COLS))
     a2 = a.dropDuplicates([*HITS_COLS, *caps_a])
     b2 = b.dropDuplicates([*HITS_COLS, *caps_b]).select(
@@ -301,9 +317,14 @@ def or_spans(a: DataFrame, b: DataFrame) -> DataFrame:
     return out.dropDuplicates(out.columns)
 
 
-def and_not(a: DataFrame, b: DataFrame) -> DataFrame:
-    """a minus hits equal to any b hit (SpanQueryAndNot simple form)."""
-    return a.select(*HITS_COLS).exceptAll(b.select(*HITS_COLS)).dropDuplicates(list(HITS_COLS))
+def and_not(a: DataFrame, b: DataFrame, dedupe: bool = True) -> DataFrame:
+    """a minus hits equal to any b hit (SpanQueryAndNot simple form).
+
+    dedupe=False when the caller proves a's span set unique (SpanGuarantees):
+    exceptAll preserves multiplicity, so unique input means unique output and
+    the dropDuplicates shuffle is skipped."""
+    out = a.select(*HITS_COLS).exceptAll(b.select(*HITS_COLS))
+    return out.dropDuplicates(list(HITS_COLS)) if dedupe else out
 
 
 def capture(h: DataFrame, name: str) -> DataFrame:
