@@ -192,6 +192,8 @@ def pages_from_conllu(spark: SparkSession, path: str, lang: str = "und") -> Data
 DEFAULT_XML_FORMAT = {
     # tag delimiting one document inside a file; None = file per doc
     "documentPath": None,
+    # XPath-source only: subtree to tokenize/index (None = whole document)
+    "contentPath": None,
     # inline tags to index as spans — pass to build_index(index_tags=...)
     "inlineTags": ("p", "s", "head"),
     # metadata: pages-field -> tag whose first text content supplies it
@@ -293,6 +295,142 @@ def pages_from_xml_dir(
             )
 
     return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+XML_PAGES_SCHEMA = (
+    PAGES_SCHEMA
+    + ", tokens array<string>, sents array<array<int>>"
+    + ", tags array<struct<name:string,start:int,end:int,attrs:map<string,string>>>"
+)
+
+
+def _local_name(qname: str) -> str:
+    """'{uri}tag' -> 'tag' (ElementTree's namespace-qualified spelling)."""
+    return qname.rsplit("}", 1)[-1]
+
+
+def pages_from_xml_xpath(
+    spark: SparkSession, path: str, fmt: dict | None = None, lang: str = "und"
+) -> DataFrame:
+    """XPath-config XML ingestion (reference: DocIndexerSaxon,
+    engine/.../index/DocIndexerSaxon.java:199-272): files parse with a real
+    namespace-aware XML parser instead of pages_from_xml_dir's regex scan,
+    so namespaced documents (TEI etc.) work. Documents select by XPath,
+    inline tags record spans in TOKEN positions from one document-order
+    walk (text nodes tokenize with the pinned tokenizer, so spans line up
+    exactly with the indexed token stream), and metadata selects by XPath.
+
+    fmt keys:
+    - documentPath: XPath selecting document elements within a file
+      (ElementTree subset, e.g. './/tei:TEI'); None = whole file is one doc
+    - contentPath: XPath (relative to the document element) selecting the
+      subtree whose text is tokenized/indexed — the reference's annotated-
+      field containerPath (e.g. './/tei:text', keeping headers out of the
+      token stream); None = the whole document element
+    - namespaces: {prefix: uri} map the XPaths may reference
+    - inlineTags: LOCAL tag names to record as spans (+ attributes); pass
+      the same names to build_index(index_tags=...) / use
+      build_kwargs_from_format
+    - metadata: {'lang': xpath} — first matching element's text
+
+    Output carries tokens/sents/tags columns (annotated-input build path);
+    `<s>` elements feed the sents column when present, else one whole-doc
+    sentence."""
+    fmt = {**DEFAULT_XML_FORMAT, **(fmt or {})}
+    bad = set(fmt.get("metadata", {})) - {"lang"}
+    if bad:
+        raise ValueError(
+            f"metadata targets {sorted(bad)} not representable in the pages "
+            "shape (supported: lang)"
+        )
+    doc_path = fmt.get("documentPath")
+    content_path = fmt.get("contentPath")
+    ns = dict(fmt.get("namespaces") or {})
+    inline = tuple(fmt.get("inlineTags") or ())
+    lang_path = fmt.get("metadata", {}).get("lang")
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .withColumn("url", F.input_file_name())
+    )
+
+    def parse(batches):
+        import re as _re
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        from .tokenize import TOKEN_RE
+
+        tok_re = _re.compile(TOKEN_RE)
+        inline_set = set(inline)
+
+        def walk_doc(doc_el):
+            toks: list[str] = []
+            tags: list[tuple] = []
+            sents: list[list[int]] = []
+
+            def walk(el):
+                start = len(toks)
+                if el.text:
+                    toks.extend(tok_re.findall(el.text))
+                for child in el:
+                    walk(child)
+                    if child.tail:
+                        toks.extend(tok_re.findall(child.tail))
+                name = _local_name(el.tag)
+                if name == "s":
+                    sents.append([start, len(toks)])
+                if name in inline_set:
+                    attrs = {_local_name(k): v for k, v in el.attrib.items()}
+                    tags.append((name, start, len(toks), attrs))
+
+            walk(doc_el)
+            sents.sort()
+            return toks, tags, sents or ([[0, len(toks)]] if toks else [])
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                root = ET.fromstring(content or "<empty/>")
+                doc_els = root.findall(doc_path, ns) if doc_path else []
+                if doc_path and not doc_els:
+                    # the root itself may be the document element
+                    # (findall never matches the element it starts from)
+                    probe = ET.Element("probe")
+                    probe.append(root)
+                    doc_els = probe.findall(doc_path, ns)
+                if not doc_path:
+                    doc_els = [root]
+                for i, el in enumerate(doc_els):
+                    body = el.find(content_path, ns) if content_path else el
+                    toks, tags, sents = walk_doc(
+                        body if body is not None else el
+                    )
+                    lv = el.findtext(lang_path, namespaces=ns) if lang_path else None
+                    rows.append(
+                        {
+                            "url": f"{fname}#{i}" if doc_path else fname,
+                            "warc_ts": None,
+                            "html": None,
+                            "text": None,
+                            "lang": (lv or lang).strip() if (lv or lang) else lang,
+                            "tokens": toks,
+                            "sents": sents,
+                            "tags": tags,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang",
+                    "tokens", "sents", "tags",
+                ],
+            )
+
+    return raw.mapInPandas(parse, schema=XML_PAGES_SCHEMA)
 
 
 def pages_from_chat_dir(
