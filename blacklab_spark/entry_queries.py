@@ -419,6 +419,66 @@ def get_relmulti_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def get_sens_index(spark: SparkSession, sf_dir: str):
+    """Sensitivity-variant fixture: deterministic case/accent variants over
+    the documents token stream — every 5th position replaces 'a' with 'á',
+    every 3rd position uppercases the first letter (accent first, then
+    case). Discriminates all four MatchSensitivity variants: 'table' at a
+    generic position, 'Table' (%3), 'táble' (%5), 'Táble' (%15)."""
+
+    def make_pages(docs):
+        d = _halved_docs(docs)
+        toks = F.transform(
+            F.col("a"),
+            lambda x, i: F.when(
+                i % 3 == 0,
+                F.concat(
+                    F.upper(
+                        F.substring(
+                            F.when(i % 5 == 0, F.regexp_replace(x, "a", "á"))
+                            .otherwise(x), 1, 1
+                        )
+                    ),
+                    F.substring(
+                        F.when(i % 5 == 0, F.regexp_replace(x, "a", "á"))
+                        .otherwise(x), 2, 1000
+                    ),
+                ),
+            ).otherwise(
+                F.when(i % 5 == 0, F.regexp_replace(x, "a", "á")).otherwise(x)
+            ),
+        )
+        return d.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+            toks.alias("tokens"),
+        )
+
+    return _cached_index(
+        spark, sf_dir, "sens", "blacklab_ixsens",
+        lambda m: m.get("annotated_input") is True
+        and m.get("annotations") == ["word"]
+        and not m.get("index_relations"),
+        make_pages,
+    )
+
+
+# the same variant construction in DuckDB SQL (accent first, then case)
+SQL_SENS_TOKS = """
+v0 AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos % 5 = 0 THEN replace(tok, 'a', 'á') ELSE tok END AS t
+  FROM toks
+), vtoks AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos % 3 = 0 THEN upper(substr(t, 1, 1)) || substr(t, 2) ELSE t END AS tv
+  FROM v0
+)"""
+
+
 def _ix_hits(df: DataFrame) -> DataFrame:
     """Engine hits -> driver shape (engine doc ids == documents.doc_id by
     construction of the doc:// urls)."""
@@ -569,6 +629,27 @@ def build_queries() -> dict:
         return _ix_hits(bcql.find(ix, '@field=nl "tablex"'))
 
     q["ix_par_term"] = ix_par_term
+
+    def ix_sens_di(s, d):
+        """`%c`-only = DIACRITICS_INSENSITIVE (case must match, accents
+        folded; MatchSensitivity.java:12-17): matches the 'table' and
+        'táble' variants, not 'Table'/'Táble'."""
+        from . import bcql
+
+        ix = get_sens_index(s, d)
+        return _ix_hits(bcql.find(ix, '"table"%c'))
+
+    def ix_sens_ci(s, d):
+        """`%d`-only = CASE_INSENSITIVE (accents must match, case folded):
+        matches 'táble' and 'Táble', not the unaccented variants."""
+        from . import bcql
+
+        ix = get_sens_index(s, d)
+        return _ix_hits(bcql.find(ix, '"táble"%d'))
+
+    q["ix_sens_di"] = ix_sens_di
+    q["ix_sens_ci"] = ix_sens_ci
+    q["ix_rel_class"] = lambda s, d: _bcql(s, d, '_ -dep::stop-> _')
 
     def ix_cql_sru(s, d):
         """ContextQL (SRU) query: contents term + metadata wildcard filter
@@ -1163,6 +1244,9 @@ pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
 SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos + 1 AS INT) AS "end"
 FROM pt b WHERE b.pos >= 1 AND b.p = 'stop'
 """
+    # class-qualified spelling of the same query (derived relations carry
+    # class 'dep'): identical result set to ix_rel_full
+    o["ix_rel_class"] = o["ix_rel_full"]
     o["ix_rel_src"] = f"""
 WITH {SQL_TOKS},
 pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
@@ -1175,6 +1259,16 @@ WITH {SQL_TOKS},
 pt AS (SELECT doc_id, pos, tok, {SQL_POS} AS p FROM toks)
 SELECT b.doc_id, CAST(b.pos - 1 AS INT) AS start, CAST(b.pos AS INT) AS "end"
 FROM pt b WHERE b.pos >= 1 AND b.p = 'stop'
+"""
+    o["ix_sens_di"] = f"""
+WITH {SQL_TOKS},{SQL_SENS_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end"
+FROM vtoks WHERE strip_accents(tv) = 'table'
+"""
+    o["ix_sens_ci"] = f"""
+WITH {SQL_TOKS},{SQL_SENS_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end"
+FROM vtoks WHERE lower(tv) = 'táble'
 """
     o["ix_rel_multi"] = f"""
 WITH {SQL_TOKS}

@@ -433,6 +433,261 @@ def pages_from_xml_xpath(
     return raw.mapInPandas(parse, schema=XML_PAGES_SCHEMA)
 
 
+ANNOTATED_TAGGED_PAGES_SCHEMA = (
+    ANNOTATED_PAGES_SCHEMA
+    + ", tags array<struct<name:string,start:int,end:int,attrs:map<string,string>>>"
+)
+
+
+def _wholefile_reader(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .withColumn("url", F.input_file_name())
+    )
+
+
+def pages_from_eaf_dir(
+    spark: SparkSession, path: str, lang: str = "und"
+) -> DataFrame:
+    """Directory of ELAN .eaf files (reference format config:
+    engine/src/main/resources/formats/eaf.blf.yaml): one doc per file.
+    Alignable annotations across all tiers order by their start TIME_SLOT
+    (stable by tier for ties); each annotation's value tokenizes with the
+    pinned tokenizer and becomes one utterance = one sentence span + one
+    `<u who=PARTICIPANT tier=TIER_ID/>` tag span, so building with
+    index_tags=("u",) gives queryable speaker/tier attributes. Reference
+    annotations (no time slots) are skipped (v1)."""
+
+    def parse(batches):
+        import re as _re
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        from .tokenize import TOKEN_RE
+
+        tok_re = _re.compile(TOKEN_RE)
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                root = ET.fromstring(content or "<ANNOTATION_DOCUMENT/>")
+                times = {
+                    ts.get("TIME_SLOT_ID"): int(ts.get("TIME_VALUE") or 0)
+                    for ts in root.iter("TIME_SLOT")
+                }
+                utts = []  # (start_ms, tier_order, participant, tier_id, text)
+                for ti, tier in enumerate(root.iter("TIER")):
+                    part = tier.get("PARTICIPANT") or ""
+                    tid = tier.get("TIER_ID") or ""
+                    for ann in tier.iter("ALIGNABLE_ANNOTATION"):
+                        val = ann.findtext("ANNOTATION_VALUE") or ""
+                        t0 = times.get(ann.get("TIME_SLOT_REF1"), 0)
+                        utts.append((t0, ti, part, tid, val))
+                utts.sort(key=lambda u: (u[0], u[1]))
+                toks: list[str] = []
+                sents: list[list[int]] = []
+                tags: list[tuple] = []
+                for _t0, _ti, part, tid, val in utts:
+                    ut = tok_re.findall(val)
+                    if not ut:
+                        continue
+                    a = len(toks)
+                    toks.extend(ut)
+                    sents.append([a, len(toks)])
+                    tags.append(("u", a, len(toks), {"who": part, "tier": tid}))
+                rows.append(
+                    {
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": lang, "tokens": toks,
+                        "tokens_lemma": None, "tokens_pos": None,
+                        "sents": sents, "relations": [], "tags": tags,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations", "tags",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_TAGGED_PAGES_SCHEMA
+    )
+
+
+def pages_from_tcf_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of TCF (WebLicht Text Corpus Format) files (reference
+    format config: engine/src/main/resources/formats/tcf.blf.yaml): one doc
+    per file. Token stream comes from the <tokens> layer verbatim (TCF is
+    pre-tokenized), sentence spans from <sentences> tokenIDs, lemma/POS
+    layers from <lemmas>/<POStags> by tokenID, dependency relations from
+    <depparsing> (dep func -> rtype, class 'dep'), lang from
+    TextCorpus@lang. Namespaces are ignored by matching local names."""
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        def by_local(root, name):
+            return [el for el in root.iter() if _local_name(el.tag) == name]
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                root = ET.fromstring(content or "<D-Spin/>")
+                tc = (by_local(root, "TextCorpus") or [root])[0]
+                toks, tok_pos = [], {}
+                for el in by_local(tc, "token"):
+                    tok_pos[el.get("ID")] = len(toks)
+                    toks.append((el.text or "").strip())
+                lem = [None] * len(toks)
+                for el in by_local(tc, "lemma"):
+                    for tid in (el.get("tokenIDs") or "").split():
+                        if tid in tok_pos:
+                            lem[tok_pos[tid]] = (el.text or "").strip()
+                pos = [None] * len(toks)
+                for el in by_local(tc, "tag"):
+                    if _local_name(el.tag) != "tag":
+                        continue
+                    for tid in (el.get("tokenIDs") or "").split():
+                        if tid in tok_pos:
+                            pos[tok_pos[tid]] = (el.text or "").strip()
+                sents = []
+                for el in by_local(tc, "sentence"):
+                    ids = [
+                        tok_pos[t]
+                        for t in (el.get("tokenIDs") or "").split()
+                        if t in tok_pos
+                    ]
+                    if ids:
+                        sents.append([min(ids), max(ids) + 1])
+                sents.sort()
+                rels = []
+                for el in by_local(tc, "dependency"):
+                    src = [
+                        tok_pos[t]
+                        for t in (el.get("govIDs") or "").split()
+                        if t in tok_pos
+                    ]
+                    tgt = [
+                        tok_pos[t]
+                        for t in (el.get("depIDs") or "").split()
+                        if t in tok_pos
+                    ]
+                    if src and tgt:
+                        rels.append(
+                            (
+                                "dep", el.get("func") or "dep",
+                                min(src), max(src) + 1, min(tgt), max(tgt) + 1,
+                            )
+                        )
+                rows.append(
+                    {
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": tc.get("lang") or "und",
+                        "tokens": toks,
+                        "tokens_lemma": [
+                            v if v is not None else t for v, t in zip(lem, toks)
+                        ],
+                        "tokens_pos": [v if v is not None else "X" for v in pos],
+                        "sents": sents or ([[0, len(toks)]] if toks else []),
+                        "relations": rels,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_PAGES_SCHEMA
+    )
+
+
+def pages_from_naf_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of NAF files (reference format config:
+    engine/src/main/resources/formats/naf.blf.yaml): one doc per file.
+    <wf> word forms in document order supply tokens (their sent attribute
+    groups sentence spans), <term> elements supply lemma/pos by wf span
+    targets, <dep> elements supply dependency relations (term spans resolve
+    to wf positions; rfunc -> rtype, class 'dep'), lang from NAF@xml:lang."""
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                root = ET.fromstring(content or "<NAF/>")
+                toks, wf_pos, wf_sent = [], {}, []
+                for el in root.iter("wf"):
+                    wf_pos[el.get("id")] = len(toks)
+                    toks.append((el.text or "").strip())
+                    wf_sent.append(el.get("sent") or "")
+                lem = [None] * len(toks)
+                pos = [None] * len(toks)
+                term_span: dict[str, tuple[int, int]] = {}
+                for el in root.iter("term"):
+                    ids = [
+                        wf_pos[t.get("id")]
+                        for t in el.iter("target")
+                        if t.get("id") in wf_pos
+                    ]
+                    if not ids:
+                        continue
+                    term_span[el.get("id")] = (min(ids), max(ids) + 1)
+                    for i in ids:
+                        lem[i] = el.get("lemma")
+                        pos[i] = el.get("pos")
+                sents = []
+                for i, sid in enumerate(wf_sent):
+                    if not sents or sid != wf_sent[i - 1]:
+                        sents.append([i, i + 1])
+                    else:
+                        sents[-1][1] = i + 1
+                rels = []
+                for el in root.iter("dep"):
+                    s = term_span.get(el.get("from"))
+                    t = term_span.get(el.get("to"))
+                    if s and t:
+                        rels.append(
+                            ("dep", el.get("rfunc") or "dep", s[0], s[1], t[0], t[1])
+                        )
+                lang = root.get("{http://www.w3.org/XML/1998/namespace}lang") or "und"
+                rows.append(
+                    {
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": lang, "tokens": toks,
+                        "tokens_lemma": [
+                            v if v is not None else t for v, t in zip(lem, toks)
+                        ],
+                        "tokens_pos": [v if v is not None else "X" for v in pos],
+                        "sents": sents or ([[0, len(toks)]] if toks else []),
+                        "relations": rels,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_PAGES_SCHEMA
+    )
+
+
 def pages_from_chat_dir(
     spark: SparkSession, path: str, lang: str = "und"
 ) -> DataFrame:

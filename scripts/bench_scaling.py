@@ -223,9 +223,11 @@ threads; pure CPU {round(probes['cpu_32'] / probes['cpu_16'], 2)}x):
     ) + f"""
 | **total** | {round(sum(stages['16'].values()), 2)} | {round(sum(stages['32'].values()), 2)} | {round(sum(stages['32'].values()) - sum(stages['16'].values()), 2)} |
 
-The streaming-bound stages (docs/blocks/postings: shuffle + Arrow + parquet
-+ radix sorts) carry the loss where the probe shows the bus ceiling; CPU
-stages keep scaling. Walls here are best-of-{env['PROFILE_REPS']} per level
+A positive delta is a 32-level loss (attribute it against the probe row
+above: streaming-bound stages — docs/blocks/postings: shuffle + Arrow +
+parquet + radix sorts — stall when the bus probe stalls, CPU stages keep
+scaling); a negative total means 32 was strictly faster and no loss needs
+attributing. Walls here are best-of-{env['PROFILE_REPS']} per level
 (16/32 from profile_build in this run), so residual host-phase noise is
 bounded but not zero.
 
