@@ -54,7 +54,7 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 9  # bumped on any docs/terms/postings schema change
+FORMAT_VERSION = 10  # bumped on any docs/terms/postings schema change
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -82,6 +82,7 @@ DOCS_SCHEMA = (
     "sents array<array<int>>, "
     "tags array<struct<name:string,start:int,end:int,attrs:map<string,string>>>, "
     "tok_offs array<int>, "
+    "mv array<struct<p:int,v:string>>, "
     "relations array<struct<rclass:string,rtype:string,src_start:int,src_end:int,"
     "tgt_start:int,tgt_end:int>>"
 )
@@ -170,9 +171,48 @@ def tokenized_docs(
             for lo in range(0, len(pdf0), 8192):
                 pdf = pdf0.iloc[lo : lo + 8192]
                 if annotated_input:
-                    toks = pdf["tokens"].map(
-                        lambda x: list(x) if x is not None else []
-                    )
+                    # multi-value positions 'a|b|c' (reference: payload-
+                    # flagged values at one token position, PayloadUtils.
+                    # java:14-26): the FIRST value is the position's primary
+                    # — it feeds the forward index and every derived layer,
+                    # exactly the reference's forward-index behavior —
+                    # while secondary values go to `mv` as (pos, value)
+                    # pairs the blocks kernel posts at the same position.
+                    raw_toks = [
+                        list(x) if x is not None else []
+                        for x in pdf["tokens"]
+                    ]
+                    firsts_l, mv_l = [], []
+                    for ts in raw_toks:
+                        if any("|" in t for t in ts):
+                            firsts, extras = [], []
+                            for i, t in enumerate(ts):
+                                if "|" in t:
+                                    parts = t.split("|")
+                                    firsts.append(parts[0])
+                                    extras.extend(
+                                        (i, v) for v in parts[1:] if v
+                                    )
+                                else:
+                                    firsts.append(t)
+                            firsts_l.append(firsts)
+                            mv_l.append(extras)
+                        else:
+                            firsts_l.append(ts)
+                            mv_l.append([])
+                    if "mv" in pdf.columns:
+                        # compact path: stored secondary values pass through
+                        # (tokens hold first values only after a build)
+                        for j, st in enumerate(pdf["mv"]):
+                            if st is not None and len(st):
+                                mv_l[j] = list(mv_l[j]) + [
+                                    (int(x["p"]), x["v"])
+                                    if isinstance(x, dict)
+                                    else (int(x[0]), x[1])
+                                    for x in st
+                                ]
+                    toks = pd.Series(firsts_l, index=pdf.index, dtype=object)
+                    mv_col = pd.Series(mv_l, index=pdf.index, dtype=object)
                     text = pd.Series(
                         [
                             t if t is not None else " ".join(tk)
@@ -183,6 +223,9 @@ def tokenized_docs(
                 else:
                     text = extract_text_series(pdf["html"], pdf["text"])
                     toks = tokenize_series(text)
+                    mv_col = pd.Series(
+                        [[]] * len(pdf), index=pdf.index, dtype=object
+                    )
                 # dictionary fold: fold each DISTINCT token once per batch
                 # (pandas str ops are per-element Python; Zipf vocab makes
                 # uniques tiny)
@@ -338,6 +381,7 @@ def tokenized_docs(
                         "sents": sents_col,
                         "tags": tags_col,
                         "tok_offs": offs_col,
+                        "mv": mv_col,
                         "relations": rels_col,
                         # parallel versions: one top-level column per field
                         # (column-prunable, unlike a map — docs_schema())
@@ -460,6 +504,7 @@ def _encode_shard_kernel(
     def kernel(batches):
         vals, docs_l, dls_l, shs_l, counts_l = [], [], [], [], []
         in_vals = {a: [] for a in input_layers}
+        mv_p_l, mv_v_l, mv_counts_l = [], [], []
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -467,9 +512,26 @@ def _encode_shard_kernel(
             counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
-            if counts.sum() == 0:
+            mvc = b.column("mv") if "mv" in b.schema.names else None
+            mv_counts = (
+                pc.fill_null(pc.list_value_length(mvc), 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                if mvc is not None
+                else np.zeros(b.num_rows, dtype=np.int64)
+            )
+            if counts.sum() == 0 and mv_counts.sum() == 0:
                 continue
             vals.append(toks.flatten())
+            if mvc is not None and mv_counts.sum():
+                flat_mv = mvc.flatten()
+                mv_p_l.append(
+                    flat_mv.field("p").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                mv_v_l.append(flat_mv.field("v"))
+            else:
+                mv_p_l.append(np.zeros(0, dtype=np.int64))
+                mv_v_l.append(None)
+            mv_counts_l.append(mv_counts)
             for a in input_layers:
                 in_vals[a].append(b.column(f"_{a}_eff").flatten())
             docs_l.append(b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
@@ -484,13 +546,50 @@ def _encode_shard_kernel(
         counts = np.concatenate(counts_l)
         n_docs_local = len(doc_arr)
         flat_all = pa.concat_arrays(vals)
-        enc = pc.dictionary_encode(flat_all)
-        word_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        word_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        total = len(word_codes)
+        total = len(flat_all)
         owner = np.repeat(np.arange(n_docs_local, dtype=np.int64), counts)
         ends = np.cumsum(counts)
         pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        # layer streams gather/expand as pyarrow arrays, lazily concatenated
+        in_flat = {a: pa.concat_arrays(in_vals[a]) for a in input_layers}
+        # ---- multi-value expansion (PayloadUtils.java:14-26): secondary
+        # values post at their position in the SAME word layer. The extras
+        # append to the stream with explicit positions, then ONE stable
+        # pre-sort by position restores the per-(doc) position order the
+        # delta encoder and the fast path's stability argument rely on.
+        # Input layers gather the position's primary-layer value for each
+        # extra, so their streams stay aligned with the word stream.
+        n_extra = int(sum(len(x) for x in mv_p_l))
+        if n_extra:
+            mv_counts = np.concatenate(mv_counts_l)
+            mv_owner = np.repeat(np.arange(n_docs_local, dtype=np.int64), mv_counts)
+            mv_pos = np.concatenate(mv_p_l)
+            main_starts = ends - counts
+            mv_main_idx = main_starts[mv_owner] + np.minimum(
+                mv_pos, np.maximum(counts[mv_owner] - 1, 0)
+            )
+            mv_vals = pa.concat_arrays(
+                [v.cast(flat_all.type) for v in mv_v_l if v is not None]
+            )
+            flat_all = pa.concat_arrays([flat_all, mv_vals])
+            owner = np.concatenate([owner, mv_owner])
+            pos = np.concatenate([pos, mv_pos])
+            for a in input_layers:
+                in_flat[a] = pa.concat_arrays(
+                    [in_flat[a], in_flat[a].take(mv_main_idx)]
+                )
+            pre = np.argsort(pos, kind="stable")
+            # secondary entries sort after the primary at the same position
+            # (arrival order: primaries first) — deterministic content
+            flat_all = flat_all.take(pre)
+            owner = owner[pre]
+            pos = pos[pre]
+            for a in input_layers:
+                in_flat[a] = in_flat[a].take(pre)
+            total = len(flat_all)
+        enc = pc.dictionary_encode(flat_all)
+        word_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        word_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         sh_small, sh_inv = np.unique(sh_arr, return_inverse=True)
         n_sh = len(sh_small)
         # doc RANK, not batch-arrival index, as the sort key component: rows
@@ -524,9 +623,7 @@ def _encode_shard_kernel(
             if annot in input_layers:
                 # input-supplied layer (annotated ingestion): factorize the
                 # shipped values directly — NOT a function of the word dict
-                flat = np.asarray(
-                    pa.concat_arrays(in_vals[annot]).to_pylist(), dtype=object
-                )
+                flat = np.asarray(in_flat[annot].to_pylist(), dtype=object)
                 uniq, inv = np.unique(flat, return_inverse=True)
                 return inv.astype(np.int64), uniq.astype(object)
             fv = get_folded_vocab()
@@ -854,7 +951,7 @@ def build_index(
             ids = F.broadcast(ids)
         page_cols = ["url", "warc_ts", "html", "text", "lang"] + [
             c for c in ("tokens", "tokens_lemma", "tokens_pos", "sents",
-                        "relations", "tags", "tok_offs")
+                        "relations", "tags", "tok_offs", "mv")
             if c in pages.columns
         ] + [f"tokens_{f}" for f in params["parallel_fields"]]
         pages0 = pages.select(*page_cols).join(ids, "url")
@@ -897,6 +994,10 @@ def build_index(
             )
         if "pos" in input_layers:
             row_cols.append(F.col("tokens_pos").alias("_pos_eff"))
+        if annotated_in and "mv" in docs.columns:
+            # secondary position values (multi-value input) ride to the
+            # kernel; empty arrays on docs without them cost ~1 byte/doc
+            row_cols.append(F.col("mv"))
         rows = docs.select(*row_cols).repartitionByRange(n_shards, "shard")
         blocks = rows.mapInArrow(
             _encode_shard_kernel(block_size, annotations, input_layers),
@@ -1170,7 +1271,7 @@ def compact(
                 cols.append(F.col(name) if col is None else col)
 
         if seg_annotated:
-            add("tokens"), add("sents"), add("relations")
+            add("tokens"), add("sents"), add("relations"), add("mv")
             # only layers the ORIGINAL input supplied pass through; derived
             # layers re-derive (identical by the pinned rules)
             if "lemma" in p0.get("input_layers", []):

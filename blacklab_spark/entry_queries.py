@@ -466,6 +466,36 @@ def get_sens_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def get_mv_index(spark: SparkSession, sf_dir: str):
+    """Multi-value-position fixture (reference: payload-flagged values at
+    one position, PayloadUtils.java:14-26): every 7th token position
+    carries a secondary value 'qq7x' ('tok|qq7x' input spelling)."""
+
+    def make_pages(docs):
+        d = _halved_docs(docs)
+        toks = F.transform(
+            F.col("a"),
+            lambda x, i: F.when(i % 7 == 0, F.concat(x, F.lit("|qq7x"))).otherwise(x),
+        )
+        return d.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+            toks.alias("tokens"),
+        )
+
+    return _cached_index(
+        spark, sf_dir, "mv", "blacklab_ixmv",
+        lambda m: m.get("annotated_input") is True
+        and m.get("annotations") == ["word"]
+        and not m.get("index_relations")
+        and not m.get("parallel_fields"),
+        make_pages,
+    )
+
+
 # the same variant construction in DuckDB SQL (accent first, then case)
 SQL_SENS_TOKS = """
 v0 AS (
@@ -650,6 +680,17 @@ def build_queries() -> dict:
     q["ix_sens_di"] = ix_sens_di
     q["ix_sens_ci"] = ix_sens_ci
     q["ix_rel_class"] = lambda s, d: _bcql(s, d, '_ -dep::stop-> _')
+
+    def ix_multi_value(s, d):
+        """Secondary values at multi-value positions are posting-backed in
+        the word layer (PayloadUtils.java:14-26): 'qq7x' matches exactly
+        the every-7th positions that carry it."""
+        from . import bcql
+
+        ix = get_mv_index(s, d)
+        return _ix_hits(bcql.find(ix, '"qq7x"'))
+
+    q["ix_multi_value"] = ix_multi_value
 
     def ix_cql_sru(s, d):
         """ContextQL (SRU) query: contents term + metadata wildcard filter
@@ -1269,6 +1310,11 @@ FROM vtoks WHERE strip_accents(tv) = 'table'
 WITH {SQL_TOKS},{SQL_SENS_TOKS}
 SELECT doc_id, pos AS start, pos + 1 AS "end"
 FROM vtoks WHERE lower(tv) = 'táble'
+"""
+    o["ix_multi_value"] = f"""
+WITH {SQL_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end"
+FROM toks WHERE pos % 7 = 0 OR tok = 'qq7x'
 """
     o["ix_rel_multi"] = f"""
 WITH {SQL_TOKS}
