@@ -749,6 +749,21 @@ def build_queries() -> dict:
 
     q["rs_sorted_window"] = rs_sorted_window
 
+    def rs_group_window(s, d):
+        """Group-level sort/window (reference SearchHitGroupsWindow /
+        HitGroupPropertySize): hit groups by match text, size-descending
+        order, page [2, 7) — TakeOrderedAndProject plan, no global window."""
+        from . import results as R
+
+        ix = get_index(s, d)
+        hits = ix.or_hits(["table", "vector", "scan", "merge", "the"])
+        g = R.group_hits_by_text(ix, hits).select("group_key", "size")
+        return R.window_groups(g, 2, 5, by="size").select(
+            "group_key", F.col("size").cast("long").alias("size")
+        )
+
+    q["rs_group_window"] = rs_group_window
+
     # ---------------- multimodal plumbing (stubbed decode) ----------------
     def mm_image_meta(s, d):
         from . import multimodal as M
@@ -1337,6 +1352,15 @@ SELECT b.tok AS term, CAST(count(*) AS BIGINT) AS n
 FROM toks a JOIN toks b
   ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
 WHERE a.tok = 'table' GROUP BY 1
+"""
+    o["rs_group_window"] = f"""
+WITH {SQL_TOKS},
+g AS (
+  SELECT tok AS group_key, count(*) AS size FROM toks
+  WHERE tok IN ('table', 'vector', 'scan', 'merge', 'the')
+  GROUP BY tok
+)
+SELECT group_key, size FROM g ORDER BY size DESC, group_key LIMIT 5 OFFSET 2
 """
     o["rs_sorted_window"] = f"""
 WITH {SQL_TOKS},

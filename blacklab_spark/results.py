@@ -90,13 +90,51 @@ def sort_hits(
     descending: bool = False,
 ) -> DataFrame:
     """Hits.sort(HitProperty) (reference results/HitsAbstract.java:279-293).
-    by: 'match' | 'before' | 'after' | 'doc' | 'position'.
+    by: 'match' | 'before' | 'after' | 'doc' | 'position'
+    | 'capture:<name>' (sort by a capture group's text,
+      HitPropertyCaptureGroup.java) | 'metadata:<field>' (sort by a doc
+      metadata field, HitPropertyDocumentStoredField.java).
 
     Context sorts are collation-correct: fold=True orders by the terms
     dict's INSENSITIVE collator positions (sort_pos_i ~ (fold, surface)
     pairs — see _ctx_collation_key), fold=False by the sensitive order
     (sort_pos_s = rank over surface term, which plain string order realizes
-    directly)."""
+    directly). Capture sorts use the same collation keys over the captured
+    span; metadata sorts join the field from the docs table (one broadcast-
+    or sort-merge equijoin on doc_id, no extra shuffle of the hit set)."""
+    if by.startswith("metadata:"):
+        fld = by.split(":", 1)[1]
+        hits = hits.join(
+            ix.docs.select("doc_id", F.col(fld).alias("_key")), "doc_id"
+        )
+        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
+        if descending:
+            keys = [k.desc() for k in keys]
+        return hits.orderBy(*keys).drop("_key")
+    if by.startswith("capture:"):
+        name = by.split(":", 1)[1]
+        # point the context-key machinery at the CAPTURED span
+        tmp = (
+            hits.withColumnRenamed("start", "_hs")
+            .withColumnRenamed("end", "_he")
+            .withColumnRenamed(f"{name}_start", "start")
+            .withColumnRenamed(f"{name}_end", "end")
+        )
+        tmp = (
+            _ctx_collation_key(ix, tmp, "match", context)
+            if fold
+            else _hit_text_col(ix, tmp, "match", context, fold=False)
+        )
+        hits = (
+            tmp.withColumnRenamed("start", f"{name}_start")
+            .withColumnRenamed("end", f"{name}_end")
+            .withColumnRenamed("_hs", "start")
+            .withColumnRenamed("_he", "end")
+        )
+        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
+        if descending:
+            keys = [k.desc() for k in keys]
+        return hits.orderBy(*keys).drop("_key")
     if by in ("doc", "position"):
         keys = [F.col("doc_id"), F.col("start"), F.col("end")]
     elif fold:
@@ -120,6 +158,45 @@ def window_hits(hits: DataFrame, first: int, n: int) -> DataFrame:
     if first + n <= 100_000:
         return rank_head(hits, keys, first, n)
     r = ranked_all(hits, keys, "_rn")
+    return r.filter((F.col("_rn") > first) & (F.col("_rn") <= first + n)).drop("_rn")
+
+
+def sort_groups(
+    groups: DataFrame, by: str = "size", descending: bool = True
+) -> DataFrame:
+    """HitGroups.sort (reference searches/SearchHitGroups.java sortBy;
+    HitGroupPropertySize / HitGroupPropertyIdentity): 'size' orders by
+    group size (ties by identity), 'identity' by the group key."""
+    if by == "size":
+        keys = [F.col("size"), F.col("group_key")]
+    elif by == "identity":
+        keys = [F.col("group_key")]
+    else:
+        raise ValueError(f"sort_groups by must be size|identity, got {by!r}")
+    return groups.orderBy(*([k.desc() for k in keys] if descending else keys))
+
+
+def filter_groups(groups: DataFrame, min_size: int = 1) -> DataFrame:
+    """HitGroups.filter by minimum group size (reference
+    searches/SearchHitGroupsFiltered)."""
+    return groups.filter(F.col("size") >= min_size)
+
+
+def window_groups(
+    groups: DataFrame, first: int, n: int, by: str = "size",
+    descending: bool = True,
+) -> DataFrame:
+    """HitGroups.window over the sorted group list (reference
+    searches/SearchHitGroupsWindow): TakeOrderedAndProject for shallow
+    windows, range-partition rank for deep pagination — same plan shape as
+    window_hits, no single-partition WindowExec."""
+    if by == "size":
+        keys = [("size", not descending), ("group_key", True)]
+    else:
+        keys = [("group_key", not descending)]
+    if first + n <= 100_000:
+        return rank_head(groups, keys, first, n)
+    r = ranked_all(groups, keys, "_rn")
     return r.filter((F.col("_rn") > first) & (F.col("_rn") <= first + n)).drop("_rn")
 
 

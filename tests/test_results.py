@@ -67,3 +67,41 @@ def test_filter_hits_by_metadata(tiny_index):
     hits = tiny_index.term_hits("aap")
     out = R.filter_hits_by_metadata(tiny_index, hits, "doc_len > 12")
     assert {r.doc_id for r in out.collect()} == {5}
+
+
+def test_sort_hits_by_metadata(tiny_index):
+    # HitPropertyDocumentStoredField: order by the docs `lang` field (all
+    # 'und' in tiny -> falls back to doc order), then by a field with
+    # variation: url differs per doc
+    hits = tiny_index.term_hits("quick")
+    out = R.sort_hits(tiny_index, hits, by="metadata:url").collect()
+    urls = None
+    docs = [r.doc_id for r in out]
+    assert docs == sorted(docs)  # urls rank like doc ids in the fixture
+    _ = urls
+
+
+def test_sort_hits_by_capture(tiny_index):
+    from blacklab_spark import bcql
+
+    # A: captures the token after 'quick' -> sort by captured text:
+    # 'blue' < 'brown'
+    hits = bcql.find(tiny_index, '"quick" A:[]')
+    out = R.sort_hits(tiny_index, hits, by="capture:A").collect()
+    first = out[0]
+    assert (first.doc_id, first.A_start) == (2, 7)  # 'blue'
+    # capture columns survive the sort
+    assert {"A_start", "A_end"} <= set(out[0].asDict())
+
+
+def test_group_sort_filter_window(tiny_index):
+    hits = tiny_index.or_hits(["quick", "brown", "aap"])
+    groups = R.group_hits_by_text(tiny_index, hits)
+    by_size = R.sort_groups(groups, by="size").collect()
+    sizes = [r.size for r in by_size]
+    assert sizes == sorted(sizes, reverse=True)
+    big = R.filter_groups(groups, min_size=3).collect()
+    assert all(r.size >= 3 for r in big)
+    # window over the size-sorted list pages consistently
+    w = R.window_groups(groups, 1, 2, by="size").collect()
+    assert [r.group_key for r in w] == [r.group_key for r in by_size[1:3]]
