@@ -1208,6 +1208,228 @@ def add_segment(spark, pages: DataFrame, out_dir: str, segment: str, **kw) -> di
     return build_index(spark, pages, out_dir, segment=segment, base_doc_id=base, **kw)
 
 
+def merge_segments(
+    spark: SparkSession, out_dir: str, segment: str = "merged"
+) -> dict:
+    """Posting-LEVEL segment merge (reference:
+    BlackLab40PostingsWriter.merge, codec/BlackLab40PostingsWriter.java:
+    102-140): unlike compact()'s forward-index rebuild, nothing
+    re-tokenizes or re-encodes. Docs tables union with renumbered shards
+    (delta segments already hold globally unique doc ids via add_segment's
+    base_doc_id), the merged term dictionary re-ranks once from the
+    segments' per-term stats (doc sets are disjoint, so df/cf/fold stats
+    SUM exactly), and each segment's postings remap (annot, term) -> new
+    term_id through a dict join — the delta+varint block bytes move
+    verbatim. One dict-sized shuffle + one postings re-clustering write;
+    the heavy token streams never move.
+
+    Result is query-identical to the multi-segment index and to a one-shot
+    rebuild: per-(shard, term) block sets union, and every consumer keys
+    blocks by (annot, term_id), never by row order."""
+    t0 = time.time()
+    stage_s: dict[str, float] = {}
+    _last = [t0]
+
+    def tick(name: str) -> None:
+        now = time.time()
+        stage_s[name] = round(now - _last[0], 2)
+        _last[0] = now
+
+    reg_path = os.path.join(out_dir, "segments.json")
+    with open(reg_path) as f:
+        segs = json.load(f)["segments"]
+    metas, params = [], []
+    for s in segs:
+        with open(f"{out_dir}/segments/{s}/meta.json") as mf:
+            metas.append(json.load(mf))
+        with open(f"{out_dir}/segments/{s}/build_params.json") as pf:
+            params.append(json.load(pf))
+    if len(segs) < 2:
+        raise ValueError("merge_segments: need >= 2 segments")
+    if any(m["annotations"] != metas[0]["annotations"] for m in metas):
+        raise ValueError(
+            "merge_segments: all segments must share the annotations set "
+            f"(have {[m['annotations'] for m in metas]}); use compact() to "
+            "rebuild with a uniform configuration"
+        )
+    seg_dir = os.path.join(out_dir, "segments", segment)
+    import shutil as _sh
+
+    _sh.rmtree(seg_dir, ignore_errors=True)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    # ---- docs: union with renumbered shards (contiguous doc ranges stay
+    # one-to-one with shards, the kernel grouping key)
+    shard_off = 0
+    docs_u = None
+    terms_u = None
+    posts_u = None
+    for i, (s, m) in enumerate(zip(segs, metas)):
+        base = f"{out_dir}/segments/{s}"
+        d = spark.read.parquet(f"{base}/docs").withColumn(
+            "shard", (F.col("shard") + F.lit(shard_off)).cast("int")
+        )
+        t = spark.read.parquet(f"{base}/terms").withColumn("_seg", F.lit(i))
+        p = spark.read.parquet(f"{base}/postings").withColumn(
+            "shard", (F.col("shard") + F.lit(shard_off)).cast("int")
+        ).withColumn("_seg", F.lit(i))
+        docs_u = d if docs_u is None else docs_u.unionByName(
+            d, allowMissingColumns=True
+        )
+        terms_u = t if terms_u is None else terms_u.unionByName(t)
+        posts_u = p if posts_u is None else posts_u.unionByName(p)
+        shard_off += int(m["n_shards"])
+    docs_u.write.mode("overwrite").parquet(f"{seg_dir}/docs")
+    tick("docs")
+
+    # ---- merged dictionary: stats sum exactly (disjoint doc sets); ranks
+    # (term_id, sort_pos_i) re-assign over the merged (annot, term) set
+    stats = terms_u.groupBy("annot", "term").agg(
+        F.first("term_fold").alias("term_fold"),
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+    )
+    folds = (
+        terms_u.select("_seg", "annot", "term_fold", "fold_df", "fold_cf")
+        .dropDuplicates(["_seg", "annot", "term_fold"])
+        .groupBy("annot", "term_fold")
+        .agg(F.sum("fold_df").alias("fold_df"), F.sum("fold_cf").alias("fold_cf"))
+    )
+    merged = stats.join(folds, ["annot", "term_fold"])
+    TERMS_SCHEMA = (
+        "annot string, term string, df long, cf long, term_fold string, "
+        "fold_cf long, fold_df long, term_id long, sort_pos_s long, sort_pos_i long"
+    )
+    n_docs_total = sum(int(m["n_docs"]) for m in metas)
+    if n_docs_total <= 20_000_000:
+        # small-dict path: one single-task rank kernel (same shape as the
+        # build's _dict_kernel, stats pre-merged here)
+        def rank_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop(columns=["_g"])
+            annot = pdf["annot"].to_numpy(dtype=object)
+            term = pdf["term"].to_numpy(dtype=object)
+            tf = pdf["term_fold"].to_numpy(dtype=object)
+            order = np.lexsort((term, annot))
+            term_id = np.empty(len(order), np.int64)
+            term_id[order] = np.arange(len(order))
+            order_i = np.lexsort((term, tf, annot))
+            sort_pos_i = np.empty(len(order_i), np.int64)
+            sort_pos_i[order_i] = np.arange(len(order_i))
+            return pdf.assign(
+                term_id=term_id, sort_pos_s=term_id, sort_pos_i=sort_pos_i
+            )[[
+                "annot", "term", "df", "cf", "term_fold", "fold_cf",
+                "fold_df", "term_id", "sort_pos_s", "sort_pos_i",
+            ]]
+
+        (
+            merged.withColumn("_g", F.lit(1)).groupBy("_g")
+            .applyInPandas(rank_kernel, TERMS_SCHEMA)
+            .write.mode("overwrite").parquet(f"{seg_dir}/terms")
+        )
+    else:
+        merged = merged.withColumn("_tk", F.concat_ws(chr(0), "annot", "term"))
+        t0d, _n, c1 = assign_dense_ids(merged, "_tk", "term_id", 32)
+        t0d = t0d.drop("_tk")
+        fr, _n2, c2 = assign_dense_ids(
+            t0d.select(
+                "term_id",
+                F.concat_ws(chr(0), "annot", "term_fold", "term").alias("_k"),
+            ),
+            "_k", "sort_pos_i", 32,
+        )
+        (
+            t0d.withColumn("sort_pos_s", F.col("term_id"))
+            .join(fr.select("term_id", "sort_pos_i"), "term_id")
+            .write.mode("overwrite").parquet(f"{seg_dir}/terms")
+        )
+        c1.unpersist(), c2.unpersist()
+    terms = spark.read.parquet(f"{seg_dir}/terms")
+    n_terms = terms.count()
+    tick("terms")
+
+    # ---- postings: remap (annot, old term_id) -> new term_id per segment
+    # via the term STRING (two dict-scale joins; blocks bytes untouched)
+    old_ids = terms_u.select("_seg", "annot", "term", F.col("term_id").alias("_old"))
+    remap = old_ids.join(
+        terms.select("annot", "term", F.col("term_id").alias("_new")),
+        ["annot", "term"],
+    ).select("_seg", "annot", F.col("_old").alias("term_id"), "_new")
+    if n_terms <= 2_000_000:
+        remap = F.broadcast(remap)
+    (
+        posts_u.join(remap, ["_seg", "annot", "term_id"])
+        .select(
+            "shard", "annot", F.col("_new").alias("term_id"), "block_id",
+            "doc_count", "first_doc", "last_doc", "max_tf", "min_dl",
+            "tf_sum", "doc_ids", "tfs", "dls", "positions",
+        )
+        .repartitionByRange(max(8, shard_off), "term_id")
+        .sortWithinPartitions("term_id", "shard", "block_id")
+        .write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    )
+    tick("postings")
+
+    man = (
+        spark.read.parquet(f"{seg_dir}/postings")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("doc_count").alias("n_postings"),
+            F.countDistinct("term_id").alias("n_terms"),
+        )
+        .withColumn("segment_id", F.lit(segment))
+        .withColumn("status", F.lit("committed"))
+        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/manifest")
+    tick("manifest")
+
+    p0 = params[0]
+    merged_params = {
+        **p0,
+        "n_shards": shard_off,
+        "base_doc_id": 0,
+        "annotated_input": any(p.get("annotated_input") for p in params),
+        "input_layers": sorted({l for p in params for l in p.get("input_layers", [])}),
+        "index_tags": sorted({t for p in params for t in p.get("index_tags", [])}),
+        "store_offsets": all(p.get("store_offsets") for p in params),
+        "index_relations": any(p.get("index_relations") for p in params),
+        "parallel_fields": sorted(
+            {f for p in params for f in p.get("parallel_fields", [])}
+        ),
+        "store_text": all(p.get("store_text", True) for p in params),
+    }
+    with open(f"{seg_dir}/build_params.json", "w") as f:
+        json.dump(merged_params, f)
+    meta = {
+        "stage_s": stage_s,
+        "format_version": FORMAT_VERSION,
+        "segment": segment,
+        "annotations": metas[0]["annotations"],
+        "input_layers": merged_params["input_layers"],
+        "index_tags": merged_params["index_tags"],
+        "store_offsets": merged_params["store_offsets"],
+        "index_relations": merged_params["index_relations"],
+        "parallel_fields": merged_params["parallel_fields"],
+        "n_docs": n_docs_total,
+        "sum_dl": sum(int(m["sum_dl"]) for m in metas),
+        "n_terms": int(n_terms),
+        "n_shards": shard_off,
+        "per_shard": max(int(m.get("per_shard", 1)) for m in metas),
+        "base_doc_id": 0,
+        "block_size": metas[0]["block_size"],
+        "tokenizer_version": TOKENIZER_VERSION,
+        "k1": K1,
+        "b": B,
+        "build_wall_s": time.time() - t0,
+    }
+    with open(f"{seg_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(reg_path, "w") as f:
+        json.dump({"segments": [segment]}, f, indent=2)
+    return meta
+
+
 def compact(
     spark: SparkSession,
     out_dir: str,

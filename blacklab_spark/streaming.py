@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .build import add_segment, compact
+from .build import add_segment, compact, merge_segments
 
 
 def stream_pages_from_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
@@ -35,9 +35,13 @@ def stream_build(
     n_shards: int = 8,
     compact_every: int | None = None,
     trigger_available_now: bool = True,
+    compact_strategy: str = "merge",
 ):
     """Run the ingest stream. Each micro-batch -> one delta segment
     `stream-<batch_id>`; optionally compact every N batches.
+    compact_strategy: 'merge' (posting-level merge_segments — no
+    re-tokenize/re-encode, the steady-state choice) or 'rebuild'
+    (compact()'s forward-index rebuild).
 
     Returns the StreamingQuery (call .awaitTermination(); with
     trigger_available_now=True the query drains pending input and stops —
@@ -50,7 +54,16 @@ def stream_build(
             return
         add_segment(spark, batch_df, out_dir, f"stream-{batch_id}", n_shards=n_shards)
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact(spark, out_dir, n_shards=n_shards)
+            if compact_strategy == "merge":
+                import json as _json
+                import os as _os
+
+                with open(_os.path.join(out_dir, "segments.json")) as f:
+                    n_segs = len(_json.load(f)["segments"])
+                if n_segs >= 2:
+                    merge_segments(spark, out_dir, segment=f"merged-{batch_id}")
+            else:
+                compact(spark, out_dir, n_shards=n_shards)
 
     w = pages_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,97 @@
+"""Posting-level segment merge (reference BlackLab40PostingsWriter.merge):
+merge_segments must be query-identical to the multi-segment index and to a
+compact() rebuild, without re-tokenizing or re-encoding anything."""
+
+import shutil
+
+import pytest
+
+from blacklab_spark import bcql
+
+
+@pytest.fixture(scope="module")
+def two_seg_dir(spark, tmp_path_factory):
+    from blacklab_spark.build import add_segment, build_index
+    from blacklab_spark.fixtures import pages_df
+
+    out = str(tmp_path_factory.mktemp("ix_two_seg"))
+    pages = pages_df(spark, "small")
+    a = pages.filter(pages.url < "doc://000000000030")
+    b = pages.filter(pages.url >= "doc://000000000030")
+    build_index(
+        spark, a, out, n_shards=2, block_size=8,
+        annotations=("word", "lemma", "pos"), index_relations=True,
+    )
+    add_segment(
+        spark, b, out, "seg1", n_shards=2, block_size=8,
+        annotations=("word", "lemma", "pos"), index_relations=True,
+    )
+    return out
+
+
+def hs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+QUERIES = [
+    lambda ix: ix.term_hits("the"),
+    lambda ix: ix.or_hits(["small", "large"]),
+    lambda ix: ix.regex_hits("th.*"),
+    lambda ix: ix.phrase_hits(["of", "the"]),
+    lambda ix: ix.topk(["the", "data"], k=10),
+    lambda ix: ix.term_freqs(fold=True).orderBy("term").limit(30),
+    lambda ix: bcql.find(ix, '[pos="nn"]'),
+    lambda ix: bcql.find(ix, '_ -stop-> _'),
+    lambda ix: bcql.find(ix, '[lemma="the"]'),
+]
+
+
+def test_merge_matches_multisegment(spark, two_seg_dir, tmp_path_factory):
+    from blacklab_spark.build import merge_segments
+    from blacklab_spark.query import Index
+
+    multi = Index(spark, two_seg_dir)
+    assert len(multi.segments) == 2
+    before = [hs(q(multi)) for q in QUERIES]
+    n_docs, sum_dl = multi.n_docs, multi.sum_dl
+
+    merged_dir = str(tmp_path_factory.mktemp("ix_merged"))
+    shutil.copytree(two_seg_dir, merged_dir, dirs_exist_ok=True)
+    meta = merge_segments(spark, merged_dir)
+    ix = Index(spark, merged_dir)
+    assert len(ix.segments) == 1
+    assert ix.n_docs == n_docs and ix.sum_dl == sum_dl
+    assert meta["n_shards"] == 4
+    for q, want in zip(QUERIES, before):
+        assert hs(q(ix)) == want
+
+
+def test_merge_matches_rebuild_compact(spark, two_seg_dir, tmp_path_factory):
+    from blacklab_spark.build import compact, merge_segments
+    from blacklab_spark.query import Index
+
+    d1 = str(tmp_path_factory.mktemp("ix_m"))
+    d2 = str(tmp_path_factory.mktemp("ix_c"))
+    shutil.copytree(two_seg_dir, d1, dirs_exist_ok=True)
+    shutil.copytree(two_seg_dir, d2, dirs_exist_ok=True)
+    merge_segments(spark, d1)
+    compact(spark, d2, n_shards=2, block_size=8)
+    a, b = Index(spark, d1), Index(spark, d2)
+    # same dictionary stats and same hits (shard layout may differ)
+    ta = {tuple(r) for r in a.terms_df.select(
+        "annot", "term", "df", "cf", "fold_df", "term_id").collect()}
+    tb = {tuple(r) for r in b.terms_df.select(
+        "annot", "term", "df", "cf", "fold_df", "term_id").collect()}
+    assert ta == tb
+    for q in QUERIES:
+        assert hs(q(a)) == hs(q(b))
+
+
+def test_merge_requires_two_segments(spark, tmp_path_factory):
+    from blacklab_spark.build import build_index, merge_segments
+    from blacklab_spark.fixtures import pages_df
+
+    out = str(tmp_path_factory.mktemp("ix_one"))
+    build_index(spark, pages_df(spark, "tiny"), out, n_shards=1)
+    with pytest.raises(ValueError, match="need >= 2"):
+        merge_segments(spark, out)
