@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     p_compact = sub.add_parser("compact", help="merge all segments into one")
     p_compact.add_argument("--out", required=True)
     p_compact.add_argument("--shards", type=int, default=32)
+    p_compact.add_argument(
+        "--strategy", choices=("merge", "rebuild"), default="merge",
+        help="merge = posting-level segment merge (no re-tokenize/encode); "
+        "rebuild = forward-index rebuild (uniform re-shard/re-block)",
+    )
 
     p_query = sub.add_parser("query", help="run a query against a built index")
     p_query.add_argument("--out", required=True)
@@ -59,8 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         "sink, no driver collect) instead of printing JSON lines"
     )
     p_query.add_argument(
-        "--output-format", choices=("json", "csv", "parquet"), default="json",
-        help="sink format for --output (reference: DataStreamJson/Csv writers)",
+        "--output-format", choices=("json", "csv", "parquet", "xml"),
+        default="json",
+        help="sink format for --output (reference: DataStreamJson/Csv/Xml "
+        "response writers)",
     )
 
     p_bench = sub.add_parser("bench", help="timed build + query set")
@@ -98,7 +105,16 @@ def _run(spark, args) -> int:
         return 0
 
     if args.cmd == "compact":
-        meta = compact(spark, args.out, n_shards=args.shards)
+        if args.strategy == "merge":
+            from .build import merge_segments
+
+            try:
+                meta = merge_segments(spark, args.out)
+            except ValueError as e:
+                print(json.dumps({"skipped": str(e)}))
+                return 0
+        else:
+            meta = compact(spark, args.out, n_shards=args.shards)
         print(json.dumps(meta))
         return 0
 
@@ -138,6 +154,14 @@ def _run(spark, args) -> int:
                 w.write.mode("overwrite").option("header", "true").csv(args.output)
             elif args.output_format == "parquet":
                 w.write.mode("overwrite").parquet(args.output)
+            elif args.output_format == "xml":
+                # Spark 4 native XML sink (reference: DataStreamXml response
+                # format, <hits><hit>...</hit></hits>)
+                (
+                    w.write.mode("overwrite").format("xml")
+                    .option("rootTag", "hits").option("rowTag", "hit")
+                    .save(args.output)
+                )
             else:
                 w.write.mode("overwrite").json(args.output)
             print(json.dumps({"written": args.output, "format": args.output_format}))

@@ -93,7 +93,9 @@ def sort_hits(
     by: 'match' | 'before' | 'after' | 'doc' | 'position'
     | 'capture:<name>' (sort by a capture group's text,
       HitPropertyCaptureGroup.java) | 'metadata:<field>' (sort by a doc
-      metadata field, HitPropertyDocumentStoredField.java).
+      metadata field, HitPropertyDocumentStoredField.java)
+    | a LIST of the above — compared property by property in order, the
+      reference's HitPropertyMultiple.java.
 
     Context sorts are collation-correct: fold=True orders by the terms
     dict's INSENSITIVE collator positions (sort_pos_i ~ (fold, surface)
@@ -102,51 +104,62 @@ def sort_hits(
     directly). Capture sorts use the same collation keys over the captured
     span; metadata sorts join the field from the docs table (one broadcast-
     or sort-merge equijoin on doc_id, no extra shuffle of the hit set)."""
+    props = list(by) if isinstance(by, (list, tuple)) else [by]
+    hits, key_cols = hits, []
+    for i, prop in enumerate(props):
+        hits, kc = _one_sort_key(ix, hits, prop, context, fold, f"_sk{i}")
+        key_cols.extend(kc)
+    keys = [F.col(c) for c in key_cols] + [
+        F.col("doc_id"), F.col("start"), F.col("end"),
+    ]
+    if descending:
+        keys = [k.desc() for k in keys]
+    out = hits.orderBy(*keys)
+    return out.drop(*[c for c in key_cols if c in out.columns])
+
+
+def _one_sort_key(
+    ix: Index, hits: DataFrame, by: str, context: int, fold: bool, name: str
+):
+    """Attach ONE HitProperty's sort key as column `name`; returns
+    (df, [key column names]). 'doc'/'position' contribute no extra column —
+    the canonical (doc_id, start, end) tiebreak always applies last."""
+    if by in ("doc", "position"):
+        return hits, []
     if by.startswith("metadata:"):
         fld = by.split(":", 1)[1]
-        hits = hits.join(
-            ix.docs.select("doc_id", F.col(fld).alias("_key")), "doc_id"
+        return (
+            hits.join(ix.docs.select("doc_id", F.col(fld).alias(name)), "doc_id"),
+            [name],
         )
-        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
-        if descending:
-            keys = [k.desc() for k in keys]
-        return hits.orderBy(*keys).drop("_key")
     if by.startswith("capture:"):
-        name = by.split(":", 1)[1]
+        cap = by.split(":", 1)[1]
         # point the context-key machinery at the CAPTURED span
         tmp = (
             hits.withColumnRenamed("start", "_hs")
             .withColumnRenamed("end", "_he")
-            .withColumnRenamed(f"{name}_start", "start")
-            .withColumnRenamed(f"{name}_end", "end")
+            .withColumnRenamed(f"{cap}_start", "start")
+            .withColumnRenamed(f"{cap}_end", "end")
         )
         tmp = (
             _ctx_collation_key(ix, tmp, "match", context)
             if fold
             else _hit_text_col(ix, tmp, "match", context, fold=False)
         )
-        hits = (
-            tmp.withColumnRenamed("start", f"{name}_start")
-            .withColumnRenamed("end", f"{name}_end")
+        out = (
+            tmp.withColumnRenamed("start", f"{cap}_start")
+            .withColumnRenamed("end", f"{cap}_end")
             .withColumnRenamed("_hs", "start")
             .withColumnRenamed("_he", "end")
+            .withColumnRenamed("_key", name)
         )
-        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
-        if descending:
-            keys = [k.desc() for k in keys]
-        return hits.orderBy(*keys).drop("_key")
-    if by in ("doc", "position"):
-        keys = [F.col("doc_id"), F.col("start"), F.col("end")]
-    elif fold:
-        hits = _ctx_collation_key(ix, hits, by, context)
-        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
-    else:
-        hits = _hit_text_col(ix, hits, by, context, fold=False)
-        keys = [F.col("_key"), F.col("doc_id"), F.col("start"), F.col("end")]
-    if descending:
-        keys = [k.desc() for k in keys]
-    out = hits.orderBy(*keys)
-    return out.drop("_key") if "_key" in out.columns else out
+        return out, [name]
+    out = (
+        _ctx_collation_key(ix, hits, by, context)
+        if fold
+        else _hit_text_col(ix, hits, by, context, fold=False)
+    )
+    return out.withColumnRenamed("_key", name), [name]
 
 
 def window_hits(hits: DataFrame, first: int, n: int) -> DataFrame:

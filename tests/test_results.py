@@ -105,3 +105,23 @@ def test_group_sort_filter_window(tiny_index):
     # window over the size-sorted list pages consistently
     w = R.window_groups(groups, 1, 2, by="size").collect()
     assert [r.group_key for r in w] == [r.group_key for r in by_size[1:3]]
+
+
+def test_sort_hits_multiple_properties(tiny_index):
+    # HitPropertyMultiple: primary key metadata:url (doc order), secondary
+    # the match text — quick/brown hits order by doc first, then text
+    hits = tiny_index.or_hits(["quick", "brown"])
+    out = R.sort_hits(tiny_index, hits, by=["metadata:url", "match"]).collect()
+    seq = [(r.doc_id, r.start) for r in out]
+    by_doc_then_text = sorted(
+        seq,
+        key=lambda t: (t[0],),
+    )
+    assert [t[0] for t in seq] == [t[0] for t in by_doc_then_text]
+    # within doc 0, 'brown' (pos 2) sorts before 'quick' (pos 1)
+    d0 = [t for t in seq if t[0] == 0]
+    assert d0 == [(0, 2), (0, 1)]
+    # single-string by= keeps working identically
+    a = [(r.doc_id, r.start) for r in R.sort_hits(tiny_index, hits, by="match").collect()]
+    b = [(r.doc_id, r.start) for r in R.sort_hits(tiny_index, hits, by=["match"]).collect()]
+    assert a == b
