@@ -419,6 +419,53 @@ def get_relmulti_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def get_merged_index(spark: SparkSession, sf_dir: str):
+    """Two delta segments (documents split at doc_id median) collapsed by
+    the posting-level merge (build.merge_segments) — the driver-checked
+    end-to-end path for segment merging. Engine doc ids equal
+    documents.doc_id: segment A holds the url-rank-lower half (ids 0..h-1),
+    segment B builds with base_doc_id=h."""
+    from .build import FORMAT_VERSION, add_segment, build_index, merge_segments
+    from .query import Index
+
+    key = "mergedix:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = f"/tmp/blacklab_ixmg_{tag}"
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    meta_path = f"{out}/segments/merged/meta.json"
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        ok = m.get("n_docs") == n and m.get("format_version") == FORMAT_VERSION
+    if not ok:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+        def pages(d):
+            return d.select(
+                F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                F.col("source").alias("lang"),
+            )
+
+        h = n // 2
+        build_index(spark, pages(docs.filter(F.col("doc_id") < h)), out, n_shards=4)
+        add_segment(
+            spark, pages(docs.filter(F.col("doc_id") >= h)), out, "seg1", n_shards=4
+        )
+        merge_segments(spark, out)
+    ix = Index(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def get_sens_index(spark: SparkSession, sf_dir: str):
     """Sensitivity-variant fixture: deterministic case/accent variants over
     the documents token stream — every 5th position replaces 'a' with 'á',
@@ -691,6 +738,15 @@ def build_queries() -> dict:
         return _ix_hits(bcql.find(ix, '"qq7x"'))
 
     q["ix_multi_value"] = ix_multi_value
+
+    def ix_merged_term(s, d):
+        """Term hits over a two-segment index collapsed by the posting-
+        level merge (merge_segments): identical result set to the one-shot
+        build, proving dict re-rank + term_id remap + shard renumbering."""
+        ix = get_merged_index(s, d)
+        return _ix_hits(ix.term_hits("table"))
+
+    q["ix_merged_term"] = ix_merged_term
 
     def ix_cql_sru(s, d):
         """ContextQL (SRU) query: contents term + metadata wildcard filter
@@ -1112,6 +1168,7 @@ def build_oracles() -> dict:
     o = {}
     hits = "SELECT doc_id, pos AS start, pos + 1 AS \"end\" FROM toks"
     o["ix_term_hits"] = f"WITH {SQL_TOKS} {hits} WHERE tok = 'table'"
+    o["ix_merged_term"] = o["ix_term_hits"]
     o["ix_or_hits"] = f"WITH {SQL_TOKS} {hits} WHERE tok IN ('vector', 'merge')"
     o["ix_regex_hits"] = f"WITH {SQL_TOKS} {hits} WHERE regexp_matches(tok, '^(?:s.*n)$')"
     o["ix_phrase"] = f"""
