@@ -1252,6 +1252,23 @@ def merge_segments(
             f"(have {[m['annotations'] for m in metas]}); use compact() to "
             "rebuild with a uniform configuration"
         )
+    # Posting blocks move verbatim, so every source must carry the CURRENT
+    # on-disk format and the same tokenizer: a pre-format-9 segment has no
+    # parallel-field postings / term_di column the merged meta would claim,
+    # and mixed tokenizer versions merge inconsistent term_fold stats.
+    if any(m.get("format_version") != FORMAT_VERSION for m in metas):
+        raise ValueError(
+            "merge_segments: all segments must have format_version == "
+            f"{FORMAT_VERSION} (have "
+            f"{[m.get('format_version') for m in metas]}); use compact() to "
+            "rebuild older segments at the current format"
+        )
+    if any(m.get("tokenizer_version") != metas[0].get("tokenizer_version") for m in metas):
+        raise ValueError(
+            "merge_segments: all segments must share tokenizer_version "
+            f"(have {[m.get('tokenizer_version') for m in metas]}); use "
+            "compact() to re-tokenize uniformly"
+        )
     seg_dir = os.path.join(out_dir, "segments", segment)
     import shutil as _sh
 
@@ -1418,7 +1435,8 @@ def merge_segments(
         "per_shard": max(int(m.get("per_shard", 1)) for m in metas),
         "base_doc_id": 0,
         "block_size": metas[0]["block_size"],
-        "tokenizer_version": TOKENIZER_VERSION,
+        # propagate, don't stamp: validated equal across sources above
+        "tokenizer_version": metas[0]["tokenizer_version"],
         "k1": K1,
         "b": B,
         "build_wall_s": time.time() - t0,
@@ -1427,6 +1445,14 @@ def merge_segments(
         json.dump(meta, f, indent=2)
     with open(reg_path, "w") as f:
         json.dump({"segments": [segment]}, f, indent=2)
+    # Source segments are dead after the registry commit — remove them so
+    # streaming compaction (which merges on a cadence) doesn't leak one full
+    # index copy per merge. Registry write above is the commit point: a
+    # crash before it leaves the old registry + old segments (still valid);
+    # a crash during cleanup leaves orphan dirs no reader consults.
+    for s in segs:
+        if s != segment:
+            _sh.rmtree(os.path.join(out_dir, "segments", s), ignore_errors=True)
     return meta
 
 

@@ -1206,11 +1206,18 @@ def _wand_multi(pdf: pd.DataFrame, idf: dict, avgdl: float, k: int, quantize: bo
                 lo = np.searchsorted(docs2, fd[rows_q], side="left")
                 hi = np.searchsorted(docs2, ld[rows_q], side="right")
                 # max exact contribution of q2 among docs inside each block's
-                # doc range (0 when the range holds no q2 doc)
+                # doc range (0 when the range holds no q2 doc); vectorized
+                # via reduceat over interleaved (lo, hi) pairs — even slots
+                # are the [lo, hi) maxima, odd slots are inter-pair junk.
+                # A sentinel keeps hi == len(con2) a valid reduceat index.
                 mx = np.zeros(len(rows_q))
-                for j in range(len(rows_q)):
-                    if hi[j] > lo[j]:
-                        mx[j] = con2[lo[j] : hi[j]].max()
+                nz = hi > lo
+                if nz.any():
+                    ext = np.append(con2, 0.0)
+                    idx = np.empty(2 * int(nz.sum()), np.int64)
+                    idx[0::2] = lo[nz]
+                    idx[1::2] = hi[nz]
+                    mx[nz] = np.maximum.reduceat(ext, idx)[0::2]
                 other += mx
             for q2 in remaining:
                 if q2 == q:

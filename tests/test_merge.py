@@ -95,3 +95,48 @@ def test_merge_requires_two_segments(spark, tmp_path_factory):
     build_index(spark, pages_df(spark, "tiny"), out, n_shards=1)
     with pytest.raises(ValueError, match="need >= 2"):
         merge_segments(spark, out)
+
+
+def test_merge_removes_source_segments(spark, two_seg_dir, tmp_path_factory):
+    """After the registry commit the source segment dirs are dead weight;
+    streaming compaction merges on a cadence, so leaking one index copy per
+    merge compounds. Post-merge, segments/ holds only the merged segment
+    and queries stay green."""
+    import os
+
+    from blacklab_spark.build import merge_segments
+    from blacklab_spark.query import Index
+
+    d = str(tmp_path_factory.mktemp("ix_cleanup"))
+    shutil.copytree(two_seg_dir, d, dirs_exist_ok=True)
+    multi = Index(spark, d)
+    want = hs(multi.term_hits("the"))
+    merge_segments(spark, d)
+    assert sorted(os.listdir(os.path.join(d, "segments"))) == ["merged"]
+    assert hs(Index(spark, d).term_hits("the")) == want
+
+
+def test_merge_rejects_mixed_format_or_tokenizer(spark, two_seg_dir, tmp_path_factory):
+    """Posting blocks move verbatim, so merging a segment written at an
+    older format_version (or another tokenizer) would stamp merged meta the
+    sources can't honor — e.g. _parallel_postings_ok claiming posting-backed
+    parallel fields a pre-format-9 segment never built. Both must raise."""
+    import json
+    import os
+
+    from blacklab_spark.build import merge_segments
+
+    for field, bad, msg in [
+        ("format_version", 8, "format_version"),
+        ("tokenizer_version", "older-tok", "tokenizer_version"),
+    ]:
+        d = str(tmp_path_factory.mktemp(f"ix_mixed_{field}"))
+        shutil.copytree(two_seg_dir, d, dirs_exist_ok=True)
+        mp = os.path.join(d, "segments", "seg1", "meta.json")
+        with open(mp) as f:
+            m = json.load(f)
+        m[field] = bad
+        with open(mp, "w") as f:
+            json.dump(m, f)
+        with pytest.raises(ValueError, match=msg):
+            merge_segments(spark, d)
