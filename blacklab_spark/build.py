@@ -564,12 +564,24 @@ def _encode_shard_kernel(
             mv_counts = np.concatenate(mv_counts_l)
             mv_owner = np.repeat(np.arange(n_docs_local, dtype=np.int64), mv_counts)
             mv_pos = np.concatenate(mv_p_l)
+            mv_vals = pa.concat_arrays(
+                [v.cast(flat_all.type) for v in mv_v_l if v is not None]
+            )
+            # drop extras whose owner doc has ZERO primary tokens: there is
+            # no primary-layer value at any position to gather — the clamped
+            # index would read the NEXT doc's first token (or run one past
+            # the stream end for the last doc). Malformed input, not a
+            # position.
+            keep = counts[mv_owner] > 0
+            if not keep.all():
+                idx = np.flatnonzero(keep)
+                mv_owner, mv_pos = mv_owner[idx], mv_pos[idx]
+                mv_vals = mv_vals.take(idx)
+                n_extra = len(idx)
+        if n_extra:
             main_starts = ends - counts
             mv_main_idx = main_starts[mv_owner] + np.minimum(
                 mv_pos, np.maximum(counts[mv_owner] - 1, 0)
-            )
-            mv_vals = pa.concat_arrays(
-                [v.cast(flat_all.type) for v in mv_v_l if v is not None]
             )
             flat_all = pa.concat_arrays([flat_all, mv_vals])
             owner = np.concatenate([owner, mv_owner])
@@ -965,7 +977,18 @@ def build_index(
         # read-back = lineage cut: later stages see one stable snapshot
         docs = spark_.read.parquet(f"{seg_dir}/docs")
     tick("docs")
-    sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
+    # one stats job: sum_dl + whether any position carries secondary
+    # (multi-value) values — queries must know (meta.multi_value) because
+    # mv breaks the one-token-per-position premise behind the no-dedupe
+    # fast paths (term/or/regex hits can then repeat a (doc,start,end))
+    if "mv" in docs.columns:
+        _st = docs.agg(
+            F.sum("doc_len").alias("dl"), F.sum(F.size("mv")).alias("nmv")
+        ).collect()[0]
+        sum_dl, has_mv = int(_st["dl"] or 0), bool(int(_st["nmv"] or 0) > 0)
+    else:
+        sum_dl = int(docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
+        has_mv = False
     tick("stats")
 
     # ---- blocks: THE one big shuffle — but of COMPACT doc rows, not exploded
@@ -1162,6 +1185,7 @@ def build_index(
         "store_offsets": store_offsets,
         "index_relations": has_relations,
         "parallel_fields": params["parallel_fields"],
+        "multi_value": has_mv,
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
         "n_terms": int(n_terms),
@@ -1428,6 +1452,7 @@ def merge_segments(
         "store_offsets": merged_params["store_offsets"],
         "index_relations": merged_params["index_relations"],
         "parallel_fields": merged_params["parallel_fields"],
+        "multi_value": any(m.get("multi_value") for m in metas),
         "n_docs": n_docs_total,
         "sum_dl": sum(int(m["sum_dl"]) for m in metas),
         "n_terms": int(n_terms),

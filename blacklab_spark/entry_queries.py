@@ -535,8 +535,11 @@ def get_mv_index(spark: SparkSession, sf_dir: str):
 
     return _cached_index(
         spark, sf_dir, "mv", "blacklab_ixmv",
+        # multi_value flag required: pre-flag cached builds must be redone
+        # so queries see meta.multi_value and apply span dedupe
         lambda m: m.get("annotated_input") is True
         and m.get("annotations") == ["word"]
+        and m.get("multi_value") is True
         and not m.get("index_relations")
         and not m.get("parallel_fields"),
         make_pages,

@@ -80,6 +80,10 @@ class Index:
         self.annotations = tuple(self.segments[0].meta.get("annotations", ["word"]))
         self.sum_dl = sum(s.meta["sum_dl"] for s in self.segments)
         self.avgdl = self.sum_dl / max(1, self.n_docs)
+        # any segment with multi-value positions voids the one-token-per-
+        # position premise: term/or/regex hit producers then dedupe spans so
+        # downstream SpanGuarantees uniqueness claims stay valid
+        self.has_mv = any(s.meta.get("multi_value", False) for s in self.segments)
 
     # ------------------------------------------------------------- helpers --
     def _check_annot(self, annot: str) -> None:
@@ -259,15 +263,18 @@ class Index:
     ) -> DataFrame:
         """Union of single-term position hits (reference: BLSpanOrQuery).
 
-        No dedupe: distinct surface terms cannot share a (doc, pos) — one
-        token per position — and resolve() dedupes query terms. This is the
-        SpanGuarantees move (SpanGuarantees.java:22-67): provable uniqueness
-        skips a real shuffle."""
+        No dedupe on single-value indexes: distinct surface terms cannot
+        share a (doc, pos) — one token per position — and resolve() dedupes
+        query terms. This is the SpanGuarantees move
+        (SpanGuarantees.java:22-67): provable uniqueness skips a real
+        shuffle. On a multi-value index (meta.multi_value) a position CAN
+        carry two matching values, so the producer dedupes here to keep the
+        uniqueness claim true for every downstream physical choice."""
         parts = []
         for seg, tids in zip(self.segments, self.resolve(terms, fold, annot, sens=sens)):
             if len(tids):
                 parts.append(_hits_explode(self._postings_for(seg, tids, True)))
-        return self._union(parts, HITS_SCHEMA)
+        return self._mv_unique(self._union(parts, HITS_SCHEMA))
 
     def regex_hits(
         self, pattern: str, fold: bool = True, annot: str = "word",
@@ -316,7 +323,7 @@ class Index:
                 "doc_ids", "tfs", "dls", "positions",
             ).join(F.broadcast(m), "term_id").withColumn("qidx", F.lit(0))
             parts.append(_hits_explode(p))
-        return self._union(parts, HITS_SCHEMA)
+        return self._mv_unique(self._union(parts, HITS_SCHEMA))
 
     def term_df(self, term: str, fold: bool = True, annot: str = "word") -> int:
         """Global document frequency from the terms dict (cost model input —
@@ -371,7 +378,7 @@ class Index:
                 "doc_ids", "tfs", "dls", "positions",
             ).join(F.broadcast(m), "term_id").withColumn("qidx", F.lit(0))
             parts.append(_hits_explode(p))
-        return self._union(parts, HITS_SCHEMA)
+        return self._mv_unique(self._union(parts, HITS_SCHEMA))
 
     def phrase_hits(self, terms: list[str], fold: bool = True) -> DataFrame:
         """Exact consecutive sequence (reference: SpanQuerySequence,
@@ -394,7 +401,7 @@ class Index:
             parts.append(
                 p.groupBy("shard").applyInPandas(_phrase_kernel(k), HITS_SCHEMA)
             )
-        return self._union(parts, HITS_SCHEMA)
+        return self._mv_unique(self._union(parts, HITS_SCHEMA))
 
     def near_hits(self, a: str, b: str, min_gap=0, max_gap=3, ordered=True, fold=True) -> DataFrame:
         """Proximity (reference: SpansSequenceWithGap semantics,
@@ -414,7 +421,7 @@ class Index:
                     _near_kernel(min_gap, max_gap, ordered), HITS_SCHEMA
                 )
             )
-        return self._union(parts, HITS_SCHEMA)
+        return self._mv_unique(self._union(parts, HITS_SCHEMA))
 
     def and_docs(self, terms: list[str], fold: bool = True) -> DataFrame:
         """Docs containing ALL terms (doc-level conjunction; reference:
@@ -636,9 +643,14 @@ class Index:
             F.col("tgt_start").alias("target_start"), F.col("tgt_end").alias("target_end"),
         ]
         if with_identity:
+            # relation identity keys on the FULL class::type plus endpoints
+            # (reference RelationInfo equality): omitting rclass would make
+            # two same-typed edges of different classes compare equal and
+            # wrongly fail the unique-relations inequality check
             cols.append(
                 F.struct(
-                    "rtype", "src_start", "src_end", "tgt_start", "tgt_end"
+                    "rclass", "rtype", "src_start", "src_end",
+                    "tgt_start", "tgt_end",
                 ).alias("rel_id")
             )
         return r.select(*cols)
@@ -915,6 +927,16 @@ class Index:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _mv_unique(self, hits: DataFrame) -> DataFrame:
+        """Span dedupe applied ONLY on multi-value indexes: a position
+        carrying secondary values can satisfy one term/regex/phrase slot
+        through two values, repeating a (doc, start, end) span. Single-value
+        indexes (the common case) skip the shuffle entirely — the no-dedupe
+        SpanGuarantees fast paths stay intact there."""
+        if not self.has_mv:
+            return hits
+        return hits.dropDuplicates(["doc_id", "start", "end"])
 
 
 # ------------------------------------------------------------ numpy kernels --

@@ -181,12 +181,15 @@ def sort_groups(
     HitGroupPropertySize / HitGroupPropertyIdentity): 'size' orders by
     group size (ties by identity), 'identity' by the group key."""
     if by == "size":
-        keys = [F.col("size"), F.col("group_key")]
+        # identity tiebreaker stays ASCENDING regardless of `descending`,
+        # mirroring window_groups' key construction — paging a group list
+        # must agree with the full sort on size ties
+        primary = F.col("size").desc() if descending else F.col("size")
+        return groups.orderBy(primary, F.col("group_key"))
     elif by == "identity":
-        keys = [F.col("group_key")]
-    else:
-        raise ValueError(f"sort_groups by must be size|identity, got {by!r}")
-    return groups.orderBy(*([k.desc() for k in keys] if descending else keys))
+        k = F.col("group_key")
+        return groups.orderBy(k.desc() if descending else k)
+    raise ValueError(f"sort_groups by must be size|identity, got {by!r}")
 
 
 def filter_groups(groups: DataFrame, min_size: int = 1) -> DataFrame:

@@ -20,6 +20,9 @@ def mv_index(spark, tmp_path_factory):
         [
             ("doc://0", ["The|DOH|ZZZ", "quick", "fox|animal"]),
             ("doc://1", ["animal", "fox"]),
+            # primary and secondary fold to the same term: one folded term
+            # query matches this position through TWO values
+            ("doc://2", ["cat|CAT", "runs"]),
         ],
         "url string, tokens array<string>",
     ).select(
@@ -68,6 +71,97 @@ def test_df_counts_positions_not_values(mv_index):
     assert mv_index.term_df("fox") == 2
     # 'animal' in doc0 (secondary) + doc1 (primary) -> df 2
     assert mv_index.term_df("animal") == 2
+
+
+def rows(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+
+
+def test_mv_flag_in_meta(mv_index):
+    # the build detected secondary values and recorded the meta flag
+    assert mv_index.has_mv is True
+    assert all(s.meta["multi_value"] for s in mv_index.segments)
+
+
+def test_no_duplicate_spans_on_mv_index(mv_index):
+    """A position can satisfy one query through two of its values; the hit
+    producers must still emit each (doc, start, end) once, or the
+    guarantees-driven no-dedupe physical paths downstream (and_spans
+    semi-join, and_not dedupe-skip) would propagate duplicates."""
+    # folded term query: 'cat' and 'CAT' are distinct surface terms (two
+    # term_ids) posting at the SAME position
+    assert rows(mv_index.term_hits("cat")) == [(2, 0, 1)]
+    # OR of distinct terms that share a position via primary + secondary
+    assert rows(mv_index.or_hits(["the", "doh"])) == [(0, 0, 1)]
+    assert rows(bcql.find(mv_index, '"the"|"doh"')) == [(0, 0, 1)]
+    # regex matching several values at one position
+    assert rows(mv_index.regex_hits(".*h.*")) == [(0, 0, 1)]
+    # phrase whose first slot matches through two fold variants
+    assert rows(mv_index.phrase_hits(["cat", "runs"])) == [(2, 0, 2)]
+    # near: same two-variant slot through the gap kernel
+    assert rows(mv_index.near_hits("cat", "runs", 0, 2)) == [(2, 0, 2)]
+
+
+def test_mv_on_doc_without_primary_tokens(spark, tmp_path_factory):
+    """A doc with ZERO primary tokens but a non-empty mv column is
+    malformed input (every 'a|b' position has a primary): its extras are
+    dropped rather than gathering the NEXT doc's input-layer values — or,
+    for the last doc in the stream, reading one past the end and crashing
+    the kernel's take()."""
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    pages = spark.createDataFrame(
+        [
+            ("doc://0", ["real", "words"], ["lem0", "lem1"], []),
+            # zero primary tokens + a ghost secondary at position 0;
+            # LAST doc in url order = the out-of-bounds case
+            ("doc://1", [], [], [(0, "ghost")]),
+        ],
+        "url string, tokens array<string>, tokens_lemma array<string>, "
+        "mv array<struct<p:int,v:string>>",
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("und").alias("lang"),
+        "tokens", "tokens_lemma", "mv",
+    )
+    out = str(tmp_path_factory.mktemp("ix_mv_ghost"))
+    build_index(
+        spark, pages, out, n_shards=1, block_size=4,
+        annotations=("word", "lemma"),
+    )
+    ix = Index(spark, out)
+    assert hs(ix.term_hits("ghost")) == set()
+    assert hs(ix.term_hits("real")) == {(0, 0, 1)}
+    # the real doc's lemma layer is untouched by the dropped extras
+    assert hs(ix.term_hits("lem1", annot="lemma")) == {(0, 1, 2)}
+
+
+def test_single_value_index_not_flagged(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    pages = spark.createDataFrame(
+        [("doc://0", "plain text here")], "url string, text string"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("und").alias("lang"),
+    )
+    out = str(tmp_path_factory.mktemp("ix_sv"))
+    build_index(spark, pages, out, n_shards=1)
+    ix = Index(spark, out)
+    assert ix.has_mv is False
+    assert ix.segments[0].meta["multi_value"] is False
 
 
 def test_compact_preserves_multivalues(spark, mv_index, tmp_path_factory):

@@ -410,6 +410,38 @@ def test_rel_not_indexed_raises(tiny_index):
         tiny_index.rel_hits("nsubj")
 
 
+def test_rel_identity_keys_on_class(spark, tmp_path):
+    """Relation identity keys on the FULL class::type + endpoints
+    (reference RelationInfo equality): two edges sharing type AND endpoints
+    but differing in class are DISTINCT witnesses, so a two-clause child
+    list can be satisfied by the pair — an identity omitting rclass would
+    wrongly reject it."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+
+    edge = (
+        "named_struct('rclass','{c}','rtype','x',"
+        "'src_start',1,'src_end',2,'tgt_start',2,'tgt_end',3)"
+    )
+    pages = pages_df(spark, "tiny").withColumn(
+        "relations",
+        F.expr(
+            "case when url like '%/0' then array("
+            + edge.format(c="ca") + ", " + edge.format(c="cb")
+            + ") else array() end"
+        ),
+    )
+    out = str(tmp_path / "ix_relclass")
+    build_index(spark, pages, out, n_shards=2, block_size=4)
+    ix = Index(spark, out)
+    # the single source span (1,2) carries two class-distinct 'x' edges
+    got = hs(bcql.find(ix, '_ -x-> _ ; -x-> _'))
+    assert got == {(0, 1, 2)}
+    # three clauses exceed the two available edges: must not match
+    assert hs(bcql.find(ix, '_ -x-> _ ; -x-> _ ; -x-> _')) == set()
+
+
 # ------------------------------------------------------------ settings prefix
 def test_settings_defann(tiny_index_annot):
     # @defann switches the layer BARE terms query (reference settingsQuery)
