@@ -878,9 +878,11 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
             return S.any_token(ix.doc_lens(), max(tp.mn, 1), tp.mx)
         inner = compile_pattern(ix, tp.clause)
         g = guarantees(tp.clause)
-        if g.fixed_len == 1 and g.unique:
-            # single-token clause: gaps-and-islands kernel — unbounded-safe,
-            # no self-joins (SpanQueryRepetition ALL-matches semantics)
+        if g.fixed_len == 1 and g.unique and not S._caps(inner):
+            # single-token CAPTURE-FREE clause: gaps-and-islands kernel —
+            # unbounded-safe, no self-joins (SpanQueryRepetition ALL-matches
+            # semantics). Clauses carrying captures take the general path,
+            # which records per-iteration capture lists.
             return S.repetition_token_runs(inner, max(tp.mn, 1), tp.mx)
         # fixed-length unique clauses chain uniquely (start determines the
         # chain), so the bounded path can skip its dedupe shuffle

@@ -202,16 +202,31 @@ def _lsh_cand(spark, sf_dir) -> DataFrame:
     )
 
 
-def _hp_buckets(spark, sf_dir) -> DataFrame:
-    """Random-hyperplane LSH buckets over the embeddings table: 6 pinned
-    md5-derived hyperplanes -> (vec_id, bucket). The shared candidate
+def hp_planes_for(n_vectors: int, target_bucket: int = 1000) -> int:
+    """Scaling rule for the hyperplane count: 2^n_planes buckets sized to
+    hold ~target_bucket vectors each, i.e. n_planes ≈ log2(N/target_bucket),
+    floored at 6 (the pinned fixture value the oracle entries verify
+    against). At 10^9 vectors this gives 20 planes (~10^6 buckets), keeping
+    the candidate join's O(Σ bucket²) bounded; a fixed 64-bucket layout
+    would blow up quadratically there."""
+    import math
+
+    if n_vectors <= 0:
+        return 6
+    return max(6, math.ceil(math.log2(max(1, n_vectors / target_bucket))))
+
+
+def _hp_buckets(spark, sf_dir, n_planes: int = 6) -> DataFrame:
+    """Random-hyperplane LSH buckets over the embeddings table: n_planes
+    pinned md5-derived hyperplanes -> (vec_id, bucket). The shared candidate
     generator for ANN probing and embedding near-dup (bucket-equi join, no
-    crossJoin anywhere)."""
+    crossJoin anywhere). n_planes defaults to the fixture constant 6 the
+    oracle entries are pinned at; size production runs with hp_planes_for(N)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
     ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
     # one range, no crossJoin (even a constant-size BNLJ trips plan audits)
-    planes = spark.range(6 * 64).select(
+    planes = spark.range(n_planes * 64).select(
         (F.col("id") / 64).cast("int").alias("p"),
         (F.col("id") % 64 + 1).cast("int").alias("i"),
     ).withColumn(
@@ -727,8 +742,19 @@ def build_queries() -> dict:
         ix = get_sens_index(s, d)
         return _ix_hits(bcql.find(ix, '"táble"%d'))
 
+    def ix_sens_di_regex(s, d):
+        """Diacritics-insensitive REGEX (the r3 residual): the pattern runs
+        JVM-side against translate(term) — the pinned accent-strip map
+        (tokenize.di_translate_args) — with case significant. 't.ble'
+        matches the 'table' and 'táble' variants, not 'Table'/'Táble'."""
+        from . import bcql
+
+        ix = get_sens_index(s, d)
+        return _ix_hits(bcql.find(ix, '"t.ble"%c'))
+
     q["ix_sens_di"] = ix_sens_di
     q["ix_sens_ci"] = ix_sens_ci
+    q["ix_sens_di_regex"] = ix_sens_di_regex
     q["ix_rel_class"] = lambda s, d: _bcql(s, d, '_ -dep::stop-> _')
 
     def ix_multi_value(s, d):
@@ -1385,6 +1411,11 @@ FROM vtoks WHERE strip_accents(tv) = 'table'
 WITH {SQL_TOKS},{SQL_SENS_TOKS}
 SELECT doc_id, pos AS start, pos + 1 AS "end"
 FROM vtoks WHERE lower(tv) = 'táble'
+"""
+    o["ix_sens_di_regex"] = f"""
+WITH {SQL_TOKS},{SQL_SENS_TOKS}
+SELECT doc_id, pos AS start, pos + 1 AS "end"
+FROM vtoks WHERE regexp_full_match(strip_accents(tv), 't.ble')
 """
     o["ix_multi_value"] = f"""
 WITH {SQL_TOKS}

@@ -294,21 +294,26 @@ class Index:
         sens selects a sensitivity variant (MatchSensitivity.java:12-17):
         'ci' matches case-insensitively via the regex engine's (?i) flag
         against the SURFACE term (diacritics must match exactly); 'di'
-        regexes are unsupported v1 (the di variant is not indexed and accent
-        folding is not expressible JVM-side) — di TERM queries work via
-        resolve()."""
+        matches the pattern against the accent-stripped surface term,
+        computed JVM-side with a pinned translate() map
+        (tokenize.di_translate_args — exact parity with
+        accent_fold_token), so no di dict column is stored."""
+        from .tokenize import di_translate_args
+
         self._check_annot(annot)
         if sens == "s":
             sens, fold = None, False
         elif sens == "i":
             sens, fold = None, True
-        if sens == "di":
-            raise ValueError(
-                "diacritics-insensitive regex matching is not supported (v1); "
-                "use a term query or full-insensitive matching"
-            )
         if sens == "ci":
             col, pattern = "term", f"(?i)(?:{pattern})"
+        elif sens == "di":
+            src, dst = di_translate_args()
+            col = F.translate(F.col("term"), src, dst)
+            # the reference desensitizes the pattern VALUE too
+            # (TextPatternRegex via optInsensitive); accent-strip leaves
+            # ASCII regex metachars untouched
+            pattern = accent_fold_token(pattern)
         else:
             col = "term_fold" if fold else "term"
         parts = []
@@ -944,19 +949,22 @@ _RX_LITERAL = re.compile(r"^[0-9A-Za-z\u00c0-\u024f]+$")
 _RX_PREFIX = re.compile(r"^([0-9A-Za-z\u00c0-\u024f]+)\.[*+]$")
 
 
-def _regex_match_col(col: str, pattern: str):
+def _regex_match_col(col, pattern: str):
     """SimplestMatcher rewrite (reference TextPatternRegex.rewriteForQuery,
     TextPatternRegex.java:73-98): REGEX -> TERM equality / PREFIX startswith
     fast paths over the sorted dict before falling back to rlike — equality
-    and prefix predicates are sargable string ops, no per-row regex engine."""
+    and prefix predicates are sargable string ops, no per-row regex engine.
+    `col` is a column name or a Column expression (e.g. the di accent-fold
+    translate)."""
+    c = F.col(col) if isinstance(col, str) else col
     if _RX_LITERAL.match(pattern):
-        return F.col(col) == pattern
+        return c == pattern
     m = _RX_PREFIX.match(pattern)
     if m:
         pre = m.group(1)
-        c = F.col(col).startswith(pre)
-        return c if pattern.endswith("*") else c & (F.length(F.col(col)) > len(pre))
-    return F.col(col).rlike(f"^(?:{pattern})$")
+        p = c.startswith(pre)
+        return p if pattern.endswith("*") else p & (F.length(c) > len(pre))
+    return c.rlike(f"^(?:{pattern})$")
 
 
 def _decode_group(pdf: pd.DataFrame, need_pos: bool):

@@ -77,26 +77,65 @@ def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> Da
     extend chains until a round adds none (one count() per extra length, the
     driver-side analog of the reference's per-doc chain walk).
 
-    Capture columns on the clause are intentionally dropped: a capture inside
-    a repetition is ambiguous (which iteration?) — the reference records
-    per-iteration match-info lists; we keep only the span. Wrap the capture
-    OUTSIDE the repetition (`A:("x"{2,3})`) to record the full span.
+    Capture groups INSIDE the clause become per-iteration LIST columns
+    (`{name}_spans`: array<struct<start,end>>, one element per iteration in
+    chain order), matching the reference's repetition match-info lists
+    (SpansRepetition.java:8-21). With captures present, a span that
+    decomposes into different chains is different match info, so dedupe
+    keys include the lists.
 
-    For single-token clauses prefer repetition_token_runs (no joins, no
-    driver loop)."""
+    For capture-free single-token clauses prefer repetition_token_runs
+    (no joins, no driver loop)."""
     assert 1 <= mn and (mx is None or mn <= mx)
-    base = h.select(*HITS_COLS)
+    caps = _caps(h)
+    names = sorted(
+        c[: -len("_start")]
+        for c in caps
+        if c.endswith("_start") and f"{c[: -len('_start')]}_end" in caps
+    )
+    span_cols = [f"{n}_spans" for n in names]
+    if names:
+        base = h.select(
+            *HITS_COLS,
+            *[
+                F.array(
+                    F.struct(
+                        F.col(f"{n}_start").cast("int").alias("start"),
+                        F.col(f"{n}_end").cast("int").alias("end"),
+                    )
+                ).alias(f"{n}_spans")
+                for n in names
+            ],
+        )
+    else:
+        base = h.select(*HITS_COLS)
+
+    def chain(a: DataFrame, b: DataFrame) -> DataFrame:
+        if not names:
+            return sequence(a, b)
+        aa, bb = a.alias("a"), b.alias("b")
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
+            F.col("b.start") == F.col("a.end")
+        )
+        return aa.join(bb, cond).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.start").alias("start"),
+            F.col("b.end").alias("end"),
+            *[F.concat(F.col(f"a.{c}"), F.col(f"b.{c}")).alias(c) for c in span_cols],
+        )
+
+    dd_keys = list(HITS_COLS) + span_cols
     if mx is not None:
         reps = [base]
         for _ in range(mx - 1):
-            reps.append(sequence(reps[-1], base))
+            reps.append(chain(reps[-1], base))
         out = reps[mn - 1]
         for r in reps[mn:mx]:
             out = out.unionByName(r)
         # dedupe=False when the caller PROVES hits unique (fixed-length
         # unique clause: the start determines the chain) — the
         # SpanGuarantees move, skipping a real shuffle
-        return out.dropDuplicates(list(HITS_COLS)) if dedupe else out
+        return out.dropDuplicates(dd_keys) if dedupe else out
     base = base.persist()
     cur = base
     k = 1
@@ -104,7 +143,7 @@ def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> Da
     while True:
         if k >= mn:
             parts.append(cur)
-        nxt = sequence(cur, base).persist()
+        nxt = chain(cur, base).persist()
         if nxt.isEmpty():
             nxt.unpersist()
             break
@@ -115,7 +154,7 @@ def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> Da
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(list(HITS_COLS))
+    return out.dropDuplicates(dd_keys)
 
 
 def repetition_token_runs(h: DataFrame, mn: int, mx: int | None) -> DataFrame:

@@ -276,6 +276,45 @@ def accent_fold_token(tok: str) -> str:
     )
 
 
+_DI_TRANSLATE: tuple[str, str] | None = None
+
+
+def di_translate_args() -> tuple[str, str]:
+    """(matching, replace) args for Spark's `translate()` reproducing
+    accent_fold_token JVM-side over dictionary terms: every BMP codepoint in
+    the tokenizer-reachable letter ranges whose NFD accent-strip is one
+    DIFFERENT char maps to it; combining marks themselves (possible in
+    annotated input tokens) are appended past the end of `replace`, which
+    translate() DELETES. Exact parity with the Python fold for all tokens
+    whose NFD decomposition is base+combining-marks (true of every accented
+    letter in these ranges); multi-char decompositions (none in practice)
+    would be the only divergence, so di regex matching needs no dict column
+    and no format bump."""
+    global _DI_TRANSLATE
+    if _DI_TRANSLATE is None:
+        import unicodedata
+
+        src, dst, deleted = [], [], []
+        ranges = [
+            (0x00C0, 0x024F),  # Latin-1 Supplement + Extended-A/B
+            (0x0370, 0x03FF),  # Greek
+            (0x0400, 0x04FF),  # Cyrillic
+            (0x1E00, 0x1FFF),  # Latin Extended Additional + Greek Extended
+        ]
+        for lo, hi in ranges:
+            for cp in range(lo, hi + 1):
+                ch = chr(cp)
+                folded = accent_fold_token(ch)
+                if folded != ch and len(folded) == 1:
+                    src.append(ch)
+                    dst.append(folded)
+        for cp in range(0x0300, 0x0370):
+            if unicodedata.combining(chr(cp)):
+                deleted.append(chr(cp))
+        _DI_TRANSLATE = ("".join(src) + "".join(deleted), "".join(dst))
+    return _DI_TRANSLATE
+
+
 def extract_text_one(html: bytes | None, text: str | None) -> str:
     """Scalar extraction for the oracle — routed through the Series impl so the
     two paths cannot diverge."""

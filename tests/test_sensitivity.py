@@ -80,9 +80,28 @@ def test_regex_ci(accent_index):
     assert pos(accent_index, '"café|zzz"%d') == {0, 1}
 
 
-def test_regex_di_unsupported(accent_index):
-    with pytest.raises(ValueError, match="diacritics-insensitive regex"):
-        bcql.find(accent_index, '"cafe|zzz"%c').collect()
+def test_regex_di(accent_index):
+    # di regex: pattern against the accent-stripped surface term (JVM-side
+    # translate map, tokenize.di_translate_args) — case significant
+    assert pos(accent_index, '"cafe|zzz"%c') == {1, 2}
+    assert pos(accent_index, '"Cafe|zzz"%c') == {0, 4}
+    assert pos(accent_index, '"CAFE|zzz"%c') == {3}
+    # an accented pattern is desensitized too (reference optInsensitive)
+    assert pos(accent_index, '"café|zzz"%c') == {1, 2}
+    assert pos(accent_index, '"pe.he"%c') == {5}
+    # prefix-rewrite path through the translated column
+    assert pos(accent_index, '"pec.*"%c') == {5}
+
+
+def test_di_translate_parity():
+    # the Spark translate() map reproduces accent_fold_token exactly over
+    # the tokenizer-reachable ranges
+    from blacklab_spark.tokenize import accent_fold_token, di_translate_args
+
+    src, dst = di_translate_args()
+    table = {ord(s): (dst[i] if i < len(dst) else None) for i, s in enumerate(src)}
+    for w in ["Café", "pêche", "ÀÉÎÕÜ", "ǘǎ", "Ёжик", "άλφα", "naïve", "plain"]:
+        assert w.translate(table) == accent_fold_token(w)
 
 
 def test_or_fast_path_respects_sens(accent_index):

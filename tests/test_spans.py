@@ -50,6 +50,56 @@ def test_repetition_includes_min_one(tiny_index):
     assert got == singles | doubles
 
 
+def test_repetition_per_iteration_captures(tiny_index):
+    """Captures inside a repetition record per-iteration span LISTS
+    (reference repetition match-info lists, SpansRepetition.java:8-21):
+    (A:"mier"){2} returns A_spans = [iter1 span, iter2 span]."""
+    mier = S.capture(tiny_index.term_hits("mier"), "A")
+    out = S.repetition(mier, 2, 2)
+    rows = {
+        (r["doc_id"], r["start"], r["end"]): [tuple(s) for s in r["A_spans"]]
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 3, 5): [(3, 4), (4, 5)],
+        (1, 4, 6): [(4, 5), (5, 6)],
+    }
+    # variable count: each emitted length carries exactly its iterations
+    out2 = S.repetition(mier, 1, 3)
+    lens = {
+        (r["doc_id"], r["start"], r["end"]): len(r["A_spans"])
+        for r in out2.collect()
+    }
+    assert lens[(1, 3, 6)] == 3 and lens[(1, 1, 2)] == 1 and lens[(1, 3, 5)] == 2
+    # unbounded path keeps the lists too
+    out3 = S.repetition(mier, 2, None)
+    rows3 = {
+        (r["doc_id"], r["start"], r["end"]): [tuple(s) for s in r["A_spans"]]
+        for r in out3.collect()
+    }
+    assert rows3[(1, 3, 6)] == [(3, 4), (4, 5), (5, 6)]
+
+
+def test_repetition_capture_via_bcql(tiny_index):
+    """End-to-end: (A:"mier"){2} through the compiler takes the general
+    repetition path (not the capture-dropping token-runs kernel) and
+    surfaces A_spans."""
+    from blacklab_spark import bcql
+
+    df = bcql.find(tiny_index, '(A:"mier"){2}')
+    assert "A_spans" in df.columns
+    rows = {
+        (r["doc_id"], r["start"], r["end"]): [tuple(s) for s in r["A_spans"]]
+        for r in df.collect()
+    }
+    assert rows == {
+        (1, 3, 5): [(3, 4), (4, 5)],
+        (1, 4, 6): [(4, 5), (5, 6)],
+    }
+    # ALL-matches span semantics unchanged vs the capture-free query
+    assert hits_set(bcql.find(tiny_index, '"mier"{2}')) == {(1, 3, 5), (1, 4, 6)}
+
+
 def test_any_token_counts(tiny_index):
     # bigrams per doc: len-1 when len>=2
     got = S.any_token(tiny_index.doc_lens(), 2, 2).count()
