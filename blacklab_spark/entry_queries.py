@@ -1334,10 +1334,13 @@ SELECT a.doc_id, a.pos AS start, a.pos + 2 AS "end"
 FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.tok = 'table' AND b.tok = 'scan'
 """
+    # transpositions count ONE edit (Lucene FuzzyQuery default, now mirrored
+    # by fuzzy_hits); at threshold 1, DuckDB's true Damerau-Levenshtein
+    # coincides exactly with the engine's OSA metric
     o["ix_fuzzy"] = f"""
 WITH {SQL_TOKS}
 SELECT doc_id, pos AS start, pos + 1 AS "end" FROM toks
-WHERE levenshtein(tok, 'tble') <= 1
+WHERE damerau_levenshtein(tok, 'tble') <= 1
 """
     o["ix_lemma_hits"] = f"""
 WITH {SQL_TOKS}

@@ -363,21 +363,39 @@ class Index:
         rows = u.collect()  # one job
         return sum(int(r["n"] or 0) for r in rows), sum(int(r["d"] or 0) for r in rows)
 
-    def fuzzy_hits(self, term: str, max_edits: int = 1, fold: bool = True) -> DataFrame:
+    def fuzzy_hits(
+        self, term: str, max_edits: int = 1, fold: bool = True,
+        prefix_length: int = 0, transpositions: bool = True,
+    ) -> DataFrame:
         """Edit-distance term match (reference: SpanFuzzyQuery,
-        engine/.../search/lucene/SpanFuzzyQuery.java:29-34): expand via
-        levenshtein over the terms dict, then union the posting lists —
-        JVM-side join like regex_hits, no driver round-trip. No dedupe:
-        matching surface terms are distinct, and distinct terms cannot share
-        a (doc, position)."""
+        engine/.../search/lucene/SpanFuzzyQuery.java:29-34, delegating to
+        Lucene FuzzyQuery): expand over the terms dict, then union the
+        posting lists — JVM-side join like regex_hits, no driver round-trip.
+
+        Lucene FuzzyQuery parity: `prefix_length` chars must match exactly
+        (a sargable startswith over the sorted dict) and the edit distance
+        applies to the remainder; `transpositions=True` (Lucene's default)
+        counts an adjacent swap as ONE edit (OSA / restricted
+        Damerau-Levenshtein, the automaton Lucene builds). The OSA check
+        runs as an Arrow-batched filter over the tiny candidate set that a
+        JVM levenshtein band (lev <= 2*max_edits >= osa-qualifying lev)
+        pre-selects — postings never see non-candidates."""
         col = "term_fold" if fold else "term"
         q = fold_token(term) if fold else term
+        pre, q_suf = q[:prefix_length], q[prefix_length:]
+        suf = F.substring(F.col(col), prefix_length + 1, 2**30) if prefix_length else F.col(col)
+        # lev(osa<=k pair) <= 2k: each transposition costs <=2 plain edits
+        band = 2 * max_edits if transpositions else max_edits
+        cond = F.levenshtein(suf, F.lit(q_suf)) <= band
+        if prefix_length:
+            cond = F.col(col).startswith(pre) & cond
         parts = []
         for seg in self.segments:
-            m = seg.terms.filter(
-                (F.col("annot") == "word")
-                & (F.levenshtein(F.col(col), F.lit(q)) <= max_edits)
-            ).select("term_id").dropDuplicates(["term_id"])
+            m = seg.terms.filter((F.col("annot") == "word") & cond)
+            if transpositions and max_edits > 0:
+                okf = _osa_filter_udf(q_suf, max_edits, prefix_length)
+                m = m.filter(okf(F.col(col)))
+            m = m.select("term_id").dropDuplicates(["term_id"])
             p = seg.postings.select(
                 "shard", "term_id", "doc_count", "max_tf", "min_dl",
                 "doc_ids", "tfs", "dls", "positions",
@@ -947,6 +965,43 @@ class Index:
 # ------------------------------------------------------------ numpy kernels --
 _RX_LITERAL = re.compile(r"^[0-9A-Za-z\u00c0-\u024f]+$")
 _RX_PREFIX = re.compile(r"^([0-9A-Za-z\u00c0-\u024f]+)\.[*+]$")
+
+
+def osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment (restricted Damerau-Levenshtein) distance —
+    the metric of Lucene's transpositions=true fuzzy automaton: one edit per
+    adjacent swap, no edits inside a swapped pair. Returns cap+1 early when
+    the length gap alone exceeds cap."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and ai == b[j - 2] and a[i - 2] == b[j - 1]:
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _osa_filter_udf(q_suf: str, max_edits: int, prefix_length: int):
+    """Arrow-batched boolean filter: OSA(term_suffix, query_suffix) <=
+    max_edits. Runs only on the JVM levenshtein band's survivors — a
+    dict-scale trickle, never postings."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def ok(terms: pd.Series) -> pd.Series:
+        suf = terms.str.slice(prefix_length) if prefix_length else terms
+        return suf.map(lambda t: osa_distance(t, q_suf, max_edits) <= max_edits)
+
+    return ok
 
 
 def _regex_match_col(col, pattern: str):

@@ -770,6 +770,206 @@ def pages_from_chat_dir(
     return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
 
 
+def pages_from_sketch_wpl(
+    spark: SparkSession, path: str, lang: str = "und"
+) -> DataFrame:
+    """Sketch Engine WPL (word-per-line) corpora (reference format config:
+    engine/src/main/resources/formats/sketch-wpl.blf.yaml; legacy
+    DocIndexerXmlSketch): tab-separated token lines `word<TAB>pos<TAB>lemma`
+    (the config's valuePath 1/2/3), interleaved with inline tag lines.
+
+    - `<doc attr="...">` starts a document (documentPath: doc); its
+      attributes ride as a whole-doc `doc` tag span — the queryable
+      equivalent of the reference's automatic attribute->metadata indexing
+      (a `lang` attribute additionally fills the pages lang column).
+    - ALL other inline tags encountered are indexed as tag spans with their
+      opening attributes (inlineTags: true); `<s>` spans also populate the
+      sentence layer.
+    - `<g/>` glue tags (glueTags: true) mark no-space joins for text
+      reconstruction; they carry no token and are consumed.
+    A file with no `<doc>` element is one document."""
+    import re as _re0
+
+    from .tokenize import _ATTR_RE
+
+    tag_re = _re0.compile(r"^<(/?)([A-Za-z_][-A-Za-z0-9_]*)([^>]*?)(/?)>\s*$")
+    attr_re = _re0.compile(_ATTR_RE)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                docs: list[dict] = []
+                cur: dict | None = None
+                stacks: dict[str, list[tuple[int, dict]]] = {}
+                has_doc_tag = "<doc" in (content or "")
+
+                def open_doc(attrs: dict) -> None:
+                    nonlocal cur, stacks
+                    cur = {
+                        "toks": [], "lem": [], "pos": [],
+                        "tags": [], "attrs": attrs,
+                    }
+                    stacks = {}
+                    docs.append(cur)
+
+                def close_doc() -> None:
+                    nonlocal cur
+                    if cur is not None and cur["toks"]:
+                        cur["tags"].insert(
+                            0, ("doc", 0, len(cur["toks"]), cur["attrs"])
+                        )
+                    cur = None
+
+                if not has_doc_tag:
+                    open_doc({})
+                for line in (content or "").splitlines():
+                    line = line.rstrip("\r")
+                    if not line.strip():
+                        continue
+                    m = tag_re.match(line.strip())
+                    if m:
+                        closing, name, rawattrs, selfclose = m.groups()
+                        name = name.lower()
+                        if name == "g":
+                            continue  # glue: no token, no span
+                        attrs = {k: v[1:-1] for k, v in attr_re.findall(rawattrs)}
+                        if name == "doc":
+                            if closing:
+                                close_doc()
+                            else:
+                                close_doc()
+                                open_doc(attrs)
+                            continue
+                        if cur is None:
+                            continue
+                        if closing:
+                            st = stacks.get(name)
+                            if st:
+                                s, a0 = st.pop()
+                                if len(cur["toks"]) > s:
+                                    cur["tags"].append(
+                                        (name, s, len(cur["toks"]), a0)
+                                    )
+                        elif not selfclose:
+                            stacks.setdefault(name, []).append(
+                                (len(cur["toks"]), attrs)
+                            )
+                        continue
+                    if cur is None:
+                        continue  # token line outside any <doc>
+                    f = line.split("\t")
+                    cur["toks"].append(f[0])
+                    cur["pos"].append(f[1] if len(f) > 1 and f[1] else "X")
+                    cur["lem"].append(f[2] if len(f) > 2 and f[2] else f[0])
+                close_doc()
+                for i, d in enumerate(docs):
+                    if not d["toks"]:
+                        continue
+                    sents = sorted(
+                        [s, e] for (n, s, e, _a) in d["tags"] if n == "s"
+                    )
+                    rows.append(
+                        {
+                            "url": f"{fname}#doc{i}" if has_doc_tag else fname,
+                            "warc_ts": None, "html": None, "text": None,
+                            "lang": d["attrs"].get("lang", lang),
+                            "tokens": d["toks"],
+                            "tokens_lemma": d["lem"],
+                            "tokens_pos": d["pos"],
+                            "sents": sents or [[0, len(d["toks"])]],
+                            "relations": [],
+                            "tags": d["tags"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations", "tags",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_TAGGED_PAGES_SCHEMA
+    )
+
+
+CMDI_SCHEMA = "url string, fields map<string,string>"
+
+
+def cmdi_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of CMDI metadata files (reference format config:
+    engine/src/main/resources/formats/cmdi.blf.yaml; companion fetcher
+    MetadataFetcherSonarCmdi): one row per /CMD/Components document
+    (documentPath), `fields` holding every leaf element with text content
+    keyed by local name (the config's forEachPath .//*[not(*) and text()]
+    with namePath local-name()), namespaces ignored. Repeated leaves
+    concatenate with '; ' in document order (the reference's multi-valued
+    metadata fields). CMDI is metadata-only (store: false) — join the
+    result onto content pages with enrich_pages_with_cmdi."""
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                try:
+                    root = ET.fromstring(content or "<CMD/>")
+                except ET.ParseError:
+                    continue
+                comps = [
+                    el for el in root if _local_name(el.tag) == "Components"
+                ] or ([root] if _local_name(root.tag) == "Components" else [])
+                for i, comp in enumerate(comps):
+                    fields: dict[str, str] = {}
+                    for el in comp.iter():
+                        if len(el) == 0 and el.text and el.text.strip():
+                            k = _local_name(el.tag)
+                            v = el.text.strip()
+                            fields[k] = f"{fields[k]}; {v}" if k in fields else v
+                    url = f"{fname}#cmd{i}" if len(comps) > 1 else fname
+                    rows.append({"url": url, "fields": fields})
+            yield pd.DataFrame(rows, columns=["url", "fields"])
+
+    return _wholefile_reader(spark, path).mapInPandas(parse, schema=CMDI_SCHEMA)
+
+
+def enrich_pages_with_cmdi(
+    pages: DataFrame, cmdi: DataFrame, key: str = "url",
+    fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """Attach CMDI metadata to content pages before indexing — the
+    reference's MetadataFetcher role: each content document's CMDI record
+    supplies metadata fields. `key` is a column present in BOTH frames
+    (prepare it on either side); `fields` maps a pages column to the CMDI
+    field name feeding it (v1: only 'lang' is representable in the pages
+    shape, same rule as the XML readers). Pages without a CMDI record keep
+    their original values (left join + coalesce) — broadcast the metadata
+    side when it is dimension-sized."""
+    fields = fields or {"lang": "Language"}
+    bad = set(fields) - {"lang"}
+    if bad:
+        raise ValueError(
+            f"metadata targets {sorted(bad)} not representable in the pages "
+            "shape (supported: lang)"
+        )
+    sel = [F.col(key).alias("_cmdi_key")] + [
+        F.col("fields").getItem(src).alias(f"_cmdi_{dst}")
+        for dst, src in fields.items()
+    ]
+    m = cmdi.select(*sel)
+    out = pages.join(m, pages[key] == m["_cmdi_key"], "left").drop("_cmdi_key")
+    for dst in fields:
+        out = out.withColumn(dst, F.coalesce(f"_cmdi_{dst}", dst)).drop(f"_cmdi_{dst}")
+    return out
+
+
 def pages_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's synthetic `documents` table -> pages (doc:// urls keep
     doc_id recoverable as the dense rank)."""
