@@ -897,6 +897,98 @@ def pages_from_sketch_wpl(
     )
 
 
+def pages_from_tabular_dir(
+    spark: SparkSession, path: str, fmt: str = "tsv",
+    column_names: bool = True, word="word", lemma="lemma", pos="pos",
+    lang: str = "und",
+) -> DataFrame:
+    """Token-per-line tabular corpora (reference fileType: tabular —
+    formats/tsv.blf.yaml: named columns word/lemma/pos; tsv-frog.blf.yaml:
+    1-based column indexes 2/3/5, columnNames false; csv.blf.yaml: EXCEL
+    dialect with quoting). One annotated document per FILE — the reference
+    notes tabular files hold a single annotated field and no metadata.
+    word/lemma/pos select columns by header NAME (column_names=True) or
+    1-based INDEX (the config's numeric valuePath). Blank lines separate
+    sentences.
+
+    Distinct from pages_from_csv, which maps one DOCUMENT per row."""
+    if fmt not in ("tsv", "csv"):
+        raise ValueError(f"fmt must be tsv|csv, got {fmt!r}")
+
+    def parse(batches):
+        import csv as _csv
+        import io
+
+        import pandas as pd
+
+        delim = "\t" if fmt == "tsv" else ","
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                rdr = _csv.reader(
+                    io.StringIO(content or ""), delimiter=delim,
+                    quotechar='"', escapechar="\\",
+                )
+                idx = {"word": word, "lemma": lemma, "pos": pos}
+                if column_names:
+                    try:
+                        hdr = next(rdr)
+                    except StopIteration:
+                        hdr = []
+                    pos_of = {h.strip(): i for i, h in enumerate(hdr)}
+                    idx = {
+                        k: pos_of.get(str(v)) for k, v in idx.items()
+                    }
+                else:
+                    idx = {k: int(v) - 1 for k, v in idx.items()}
+                if idx["word"] is None:
+                    continue  # header lacks the main annotation column
+                toks, lem, ps, sents = [], [], [], []
+                sent_start = 0
+
+                def close_sentence():
+                    nonlocal sent_start
+                    if len(toks) > sent_start:
+                        sents.append([sent_start, len(toks)])
+                    sent_start = len(toks)
+
+                def cell(f, i, default):
+                    return f[i] if i is not None and i < len(f) and f[i] else default
+
+                for f in rdr:
+                    if not f or not any(x.strip() for x in f):
+                        close_sentence()
+                        continue
+                    w = cell(f, idx["word"], None)
+                    if w is None:
+                        continue
+                    toks.append(w)
+                    lem.append(cell(f, idx["lemma"], w))
+                    ps.append(cell(f, idx["pos"], "X"))
+                close_sentence()
+                if not toks:
+                    continue
+                rows.append(
+                    {
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": lang, "tokens": toks,
+                        "tokens_lemma": lem, "tokens_pos": ps,
+                        "sents": sents, "relations": [],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_PAGES_SCHEMA
+    )
+
+
 CMDI_SCHEMA = "url string, fields map<string,string>"
 
 

@@ -1,0 +1,71 @@
+"""Micro-benchmark for the _wand_multi per-block bound computation (r3
+verdict item 2): the old per-block Python loop vs the vectorized
+np.maximum.reduceat now in query.py:~1210. Synthetic shapes modeled on a
+100x-scale shard: n_blocks block doc-ranges bounded against a decoded
+term's (docs, contribs) arrays. Prints one JSON line with both timings.
+
+Run: python scripts/micro_wand.py [n_blocks] [n_docs]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def loop_bounds(con2, lo, hi):
+    """The r3 implementation (query.py:1211-1213 before the fix)."""
+    mx = np.zeros(len(lo))
+    for j in range(len(lo)):
+        if hi[j] > lo[j]:
+            mx[j] = con2[lo[j]:hi[j]].max()
+    return mx
+
+
+def reduceat_bounds(con2, lo, hi):
+    """The vectorized replacement (verbatim shape from query.py)."""
+    mx = np.zeros(len(lo))
+    nz = hi > lo
+    if nz.any():
+        ext = np.append(con2, 0.0)
+        idx = np.empty(2 * int(nz.sum()), np.int64)
+        idx[0::2] = lo[nz]
+        idx[1::2] = hi[nz]
+        mx[nz] = np.maximum.reduceat(ext, idx)[0::2]
+    return mx
+
+
+def main() -> None:
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    rng = np.random.default_rng(7)
+    # decoded term: sorted doc ids + positive contributions
+    docs2 = np.sort(rng.choice(n_docs * 4, size=n_docs, replace=False))
+    con2 = rng.random(n_docs) * 3.0
+    # block doc ranges: sorted starts, width ~ docs-per-block
+    fd = np.sort(rng.integers(0, n_docs * 4, size=n_blocks))
+    ld = fd + rng.integers(1, 512, size=n_blocks)
+    lo = np.searchsorted(docs2, fd, side="left")
+    hi = np.searchsorted(docs2, ld, side="right")
+
+    t0 = time.perf_counter()
+    a = reduceat_bounds(con2, lo, hi)
+    t_vec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    b = loop_bounds(con2, lo, hi)
+    t_loop = time.perf_counter() - t0
+
+    assert np.allclose(a, b), "vectorized bounds diverge from the loop"
+    print(json.dumps({
+        "n_blocks": n_blocks,
+        "n_docs": n_docs,
+        "loop_sec": round(t_loop, 4),
+        "reduceat_sec": round(t_vec, 4),
+        "speedup": round(t_loop / t_vec, 1) if t_vec > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,57 @@ def test_enrich_pages_with_cmdi(spark, tmp_path_factory):
     assert got == {"u1": "nld", "u2": "und"}
     with pytest.raises(ValueError, match="not representable"):
         enrich_pages_with_cmdi(pages, meta, key="doc_key", fields={"title": "Name"})
+
+
+TSV_NAMED = """word\tlemma\tpos
+The\tthe\tDET
+cat\tcat\tNOUN
+
+sleeps\tsleep\tVERB
+"""
+
+FROG = """1\tDe\tde\t[de]\tLID(bep)\t0.99
+2\tkat\tkat\t[kat]\tN(soort)\t0.98
+
+1\tslaapt\tslapen\t[slaap]\tWW(pv)\t0.97
+"""
+
+
+def test_tabular_tsv_named_columns(spark, tmp_path_factory):
+    from blacklab_spark.sources import pages_from_tabular_dir
+
+    d = tmp_path_factory.mktemp("tsv_in")
+    (d / "doc.tsv").write_text(TSV_NAMED)
+    rows = pages_from_tabular_dir(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert list(r["tokens"]) == ["The", "cat", "sleeps"]
+    assert list(r["tokens_lemma"]) == ["the", "cat", "sleep"]
+    assert list(r["tokens_pos"]) == ["DET", "NOUN", "VERB"]
+    # blank line separates sentences
+    assert [list(s) for s in r["sents"]] == [[0, 2], [2, 3]]
+
+
+def test_tabular_frog_indexes(spark, tmp_path_factory):
+    # tsv-frog.blf.yaml: no header, 1-based valuePath word=2 lemma=3 pos=5
+    from blacklab_spark.sources import pages_from_tabular_dir
+
+    d = tmp_path_factory.mktemp("frog_in")
+    (d / "doc.tsv").write_text(FROG)
+    rows = pages_from_tabular_dir(
+        spark, str(d), column_names=False, word=2, lemma=3, pos=5
+    ).collect()
+    r = rows[0]
+    assert list(r["tokens"]) == ["De", "kat", "slaapt"]
+    assert list(r["tokens_lemma"]) == ["de", "kat", "slapen"]
+    assert list(r["tokens_pos"]) == ["LID(bep)", "N(soort)", "WW(pv)"]
+    assert [list(s) for s in r["sents"]] == [[0, 2], [2, 3]]
+
+
+def test_tabular_csv_quoted(spark, tmp_path_factory):
+    from blacklab_spark.sources import pages_from_tabular_dir
+
+    d = tmp_path_factory.mktemp("csv_in")
+    (d / "doc.csv").write_text('word,lemma,pos\n"hello, world",hello,UH\n')
+    r = pages_from_tabular_dir(spark, str(d), fmt="csv").collect()[0]
+    assert list(r["tokens"]) == ["hello, world"]
