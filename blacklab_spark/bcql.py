@@ -878,12 +878,20 @@ def compile_pattern(ix: Index, tp: TP) -> DataFrame:
             return S.any_token(ix.doc_lens(), max(tp.mn, 1), tp.mx)
         inner = compile_pattern(ix, tp.clause)
         g = guarantees(tp.clause)
-        if g.fixed_len == 1 and g.unique and not S._caps(inner):
-            # single-token CAPTURE-FREE clause: gaps-and-islands kernel —
+        if (
+            g.fixed_len is not None
+            and g.fixed_len >= 1
+            and g.unique
+            and not S._caps(inner)
+        ):
+            # fixed-length unique CAPTURE-FREE clause (single token OR a
+            # fixed phrase): gaps-and-islands kernel with step=fixed_len —
             # unbounded-safe, no self-joins (SpanQueryRepetition ALL-matches
             # semantics). Clauses carrying captures take the general path,
             # which records per-iteration capture lists.
-            return S.repetition_token_runs(inner, max(tp.mn, 1), tp.mx)
+            return S.repetition_token_runs(
+                inner, max(tp.mn, 1), tp.mx, step=g.fixed_len
+            )
         # fixed-length unique clauses chain uniquely (start determines the
         # chain), so the bounded path can skip its dedupe shuffle
         dedupe = not (g.fixed_len is not None and g.unique)

@@ -73,9 +73,12 @@ def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int | None =
 def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> DataFrame:
     """h{mn,mx}: every run of mn..mx consecutive self-matches (all lengths;
     mx=None means unbounded, reference SpanQueryRepetition.java:17-25 has no
-    cap). Bounded: iterated positional self-joins. Unbounded: fixpoint loop —
-    extend chains until a round adds none (one count() per extra length, the
-    driver-side analog of the reference's per-doc chain walk).
+    cap). Bounded: iterated positional self-joins. Unbounded: prefix-doubling
+    fixpoint — round k materializes all chains of up to 2^k base hits, so a
+    maximal run of L clause matches costs O(log L) Spark jobs, not O(L).
+    Each chain of m hits is produced exactly once (its exact-2^(k-1)-hit
+    prefix + remainder decomposition is unique), so doubling adds no
+    duplicate work over the linear walk.
 
     Capture groups INSIDE the clause become per-iteration LIST columns
     (`{name}_spans`: array<struct<start,end>>, one element per iteration in
@@ -111,16 +114,22 @@ def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> Da
         base = h.select(*HITS_COLS)
 
     def chain(a: DataFrame, b: DataFrame) -> DataFrame:
-        if not names:
+        if not names and "_cnt" not in a.columns:
             return sequence(a, b)
         aa, bb = a.alias("a"), b.alias("b")
         cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
             F.col("b.start") == F.col("a.end")
         )
+        cnt = (
+            [(F.col("a._cnt") + F.col("b._cnt")).alias("_cnt")]
+            if "_cnt" in a.columns
+            else []
+        )
         return aa.join(bb, cond).select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("a.start").alias("start"),
             F.col("b.end").alias("end"),
+            *cnt,
             *[F.concat(F.col(f"a.{c}"), F.col(f"b.{c}")).alias(c) for c in span_cols],
         )
 
@@ -136,58 +145,75 @@ def repetition(h: DataFrame, mn: int, mx: int | None, dedupe: bool = True) -> Da
         # unique clause: the start determines the chain) — the
         # SpanGuarantees move, skipping a real shuffle
         return out.dropDuplicates(dd_keys) if dedupe else out
-    base = base.persist()
-    cur = base
+    # Unbounded: prefix-doubling. `exact` holds chains of exactly 2^k base
+    # hits, `parts` together hold every chain of <= 2^k hits (with its hit
+    # count in _cnt). New chains of (2^k, 2^{k+1}] hits = exact ++ (any
+    # shorter-or-equal chain) — a unique decomposition, so each chain
+    # materializes once. O(log max_run) isEmpty jobs.
+    base = base.withColumn("_cnt", F.lit(1)).persist()
+    exact = base
+    parts = [base]
     k = 1
-    parts = []
     while True:
-        if k >= mn:
-            parts.append(cur)
-        nxt = chain(cur, base).persist()
-        if nxt.isEmpty():
-            nxt.unpersist()
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        new = chain(exact, allc).persist()
+        if new.isEmpty():
+            new.unpersist()
             break
-        cur = nxt
-        k += 1
-        if k > 100_000:  # runaway guard (longest possible run << doc length)
+        parts.append(new)
+        exact = chain(exact, exact).persist()
+        k *= 2
+        if k > 1 << 40:  # runaway guard (longest possible run << doc length)
             raise RuntimeError("repetition fixpoint did not converge")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    out = out.filter(F.col("_cnt") >= mn).drop("_cnt")
     return out.dropDuplicates(dd_keys)
 
 
-def repetition_token_runs(h: DataFrame, mn: int, mx: int | None) -> DataFrame:
-    """h{mn,mx} for SINGLE-TOKEN clauses, unbounded-safe and join-free:
-    gaps-and-islands — group consecutive hit positions per doc into maximal
-    runs, then emit every sub-span with length in [mn, mx] (ALL-matches
-    semantics, SpanQueryRepetition.java:17-25) by exploding (length, offset).
-    One window over (doc_id)-partitioned data + generate — no self-joins, no
-    driver loop, no length cap."""
+def repetition_token_runs(
+    h: DataFrame, mn: int, mx: int | None, step: int = 1
+) -> DataFrame:
+    """h{mn,mx} for FIXED-LENGTH (length=step) capture-free clauses,
+    unbounded-safe and join-free: gaps-and-islands — group chainable hits
+    per doc into maximal runs, then emit every sub-chain with hit count in
+    [mn, mx] (ALL-matches semantics, SpanQueryRepetition.java:17-25) by
+    exploding (count, offset). One window + generate — no self-joins, no
+    driver loop, no length cap.
+
+    For step > 1 (multi-token fixed-length clauses, e.g. a 2-token phrase),
+    two hits chain iff their starts differ by exactly `step`, so a chain
+    stays inside one start-residue class mod step: the window partitions by
+    (doc_id, start % step) and the island key is start - step*row_number —
+    overlapping hits in OTHER residue classes can't break a run. Requires
+    hits unique per (doc_id, start) (the caller proves g.unique)."""
     from pyspark.sql import Window
 
-    assert 1 <= mn and (mx is None or mn <= mx)
-    w = Window.partitionBy("doc_id").orderBy("start")
+    assert 1 <= mn and (mx is None or mn <= mx) and step >= 1
+    res = (F.pmod(F.col("start"), F.lit(step))).alias("_res")
+    w = Window.partitionBy("doc_id", "_res").orderBy("start")
     runs = (
-        h.select("doc_id", "start")
-        .withColumn("_isl", F.col("start") - F.row_number().over(w))
-        .groupBy("doc_id", "_isl")
-        .agg(F.min("start").alias("rs"), (F.max("start") + 1).alias("re"))
-        .withColumn("_len", F.col("re") - F.col("rs"))
-        .filter(F.col("_len") >= mn)
+        h.select("doc_id", "start", res)
+        .withColumn("_isl", F.col("start") - F.lit(step) * F.row_number().over(w))
+        .groupBy("doc_id", "_res", "_isl")
+        .agg(F.min("start").alias("rs"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= mn)
     )
-    max_l = F.col("_len") if mx is None else F.least(F.col("_len"), F.lit(mx))
+    max_l = F.col("_n") if mx is None else F.least(F.col("_n"), F.lit(mx))
     lens = runs.select(
-        "doc_id", "rs", "_len", F.explode(F.sequence(F.lit(mn), max_l)).alias("l")
+        "doc_id", "rs", "_n", F.explode(F.sequence(F.lit(mn), max_l)).alias("l")
     )
     offs = lens.select(
         "doc_id", "l", "rs",
-        F.explode(F.sequence(F.lit(0), F.col("_len") - F.col("l"))).alias("o"),
+        F.explode(F.sequence(F.lit(0), F.col("_n") - F.col("l"))).alias("o"),
     )
     return offs.select(
         "doc_id",
-        (F.col("rs") + F.col("o")).cast("int").alias("start"),
-        (F.col("rs") + F.col("o") + F.col("l")).cast("int").alias("end"),
+        (F.col("rs") + F.col("o") * step).cast("int").alias("start"),
+        (F.col("rs") + (F.col("o") + F.col("l")) * step).cast("int").alias("end"),
     )
 
 

@@ -204,3 +204,76 @@ def test_within_sentence(tiny_index):
 def test_unknown_tag_raises(tiny_index):
     with pytest.raises(ValueError):
         tiny_index.tag_hits("u")
+
+
+def _brute_chains(hits, mn, mx):
+    """Independent oracle for repetition: DFS over explicit adjacency."""
+    hs = list(hits)
+    out = set()
+
+    def ext(d, s0, e, k):
+        if k >= mn and (mx is None or k <= mx):
+            out.add((d, s0, e))
+        if mx is not None and k >= mx:
+            return
+        for d2, s2, e2 in hs:
+            if d2 == d and s2 == e:
+                ext(d, s0, e2, k + 1)
+
+    for d, s, e in hs:
+        ext(d, s, e, 1)
+    return out
+
+
+def test_repetition_multitoken_fixed_runs_kernel(tiny_index):
+    """('aap' 'aap'){n,} — a FIXED-LENGTH multi-token clause — must agree
+    with the brute-force chain oracle. The compiler routes this to the
+    step-w gaps-and-islands kernel (no self-joins, no driver fixpoint);
+    overlapping phrase hits in different start-residue classes mod 2 must
+    not break each other's runs."""
+    from blacklab_spark import bcql
+
+    aap = tiny_index.term_hits("aap")
+    pair_hits = hits_set(S.sequence(aap, aap))
+    for mn, mx in [(2, 2), (2, None), (1, 3), (3, None)]:
+        q = f'("aap" "aap"){{{mn},{mx if mx is not None else ""}}}'
+        got = hits_set(bcql.find(tiny_index, q))
+        assert got == _brute_chains(pair_hits, mn, mx), (mn, mx)
+
+
+def test_repetition_token_runs_step_residue_classes(spark):
+    """Direct kernel test: dense overlapping fixed-length-2 hits at starts
+    0,1,2 — only the step-2-apart pair (0,2) chains; the start-1 hit in the
+    other residue class must not split that run. Plan is join-free."""
+    h = spark.createDataFrame(
+        [(0, 0, 2), (0, 1, 3), (0, 2, 4)], "doc_id long, start int, end int"
+    )
+    out = S.repetition_token_runs(h, 2, None, step=2)
+    assert hits_set(out) == {(0, 0, 4)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    # step=1 fallback still the old single-token behavior
+    h1 = spark.createDataFrame(
+        [(0, 3, 4), (0, 4, 5), (0, 5, 6), (0, 9, 10)],
+        "doc_id long, start int, end int",
+    )
+    assert hits_set(S.repetition_token_runs(h1, 2, None)) == {
+        (0, 3, 5), (0, 4, 6), (0, 3, 6),
+    }
+
+
+def test_repetition_doubling_long_run(spark):
+    """Unbounded repetition over a 40-hit run with captures exercises the
+    prefix-doubling fixpoint (O(log L) rounds): all 820 sub-chains, each
+    carrying exactly per-iteration capture spans in chain order."""
+    rows = [(0, i, i + 1, i, i + 1) for i in range(40)]
+    h = spark.createDataFrame(
+        rows, "doc_id long, start int, end int, A_start int, A_end int"
+    )
+    out = S.repetition(h, 1, None).collect()
+    assert len(out) == 40 * 41 // 2
+    by_span = {(r["doc_id"], r["start"], r["end"]): r["A_spans"] for r in out}
+    assert [tuple(s) for s in by_span[(0, 0, 40)]] == [
+        (i, i + 1) for i in range(40)
+    ]
+    assert [tuple(s) for s in by_span[(0, 17, 20)]] == [(17, 18), (18, 19), (19, 20)]
