@@ -50,6 +50,8 @@ HEADLINE = [
     "dd_simhash",
     "sim_cosine_topk",
     "txt_quality",
+    "txt_pii_scrub",
+    "txt_filter_pipeline",
     "ev_sessionize",
 ]
 

@@ -1165,6 +1165,79 @@ def build_queries() -> dict:
 
     q["txt_fingerprint"] = txt_fingerprint
 
+    def txt_pii_scrub(s, d):
+        """PII scrubbing (training-data pipeline): regex redaction of
+        emails / IPv4 addresses with per-doc match counts and the hash of
+        the redacted text. The synthetic corpus carries no PII, so a
+        deterministic per-doc suffix is appended BEFORE scrubbing so the
+        redaction paths actually fire and the oracle hash discriminates a
+        broken pattern. Built-in regexp functions only — JVM-side,
+        whole-stage codegen, no shuffle (one narrow map over docs)."""
+        doc = s.read.parquet(f"{d}/documents.parquet").filter(F.col("doc_id") < 200)
+        email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ip = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+        t = doc.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ).alias("t"),
+        )
+        red = F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"), ip, "<IP>"
+        )
+        return t.select(
+            "doc_id",
+            F.regexp_count("t", F.lit(email)).cast("long").alias("n_email"),
+            F.regexp_count("t", F.lit(ip)).cast("long").alias("n_ip"),
+            F.md5(red).alias("scrub_md5"),
+        )
+
+    q["txt_pii_scrub"] = txt_pii_scrub
+
+    def txt_filter_pipeline(s, d):
+        """C4-style quality filter + exact-dup drop (training-data
+        pipeline): keep docs with >= 20 tokens, mean token length in
+        [2, 10], stopword ratio >= 0.01, then drop exact text duplicates
+        keeping the lowest doc_id. One hash-agg for stats + one window
+        over md5(text) — both doc_id/hash-partitioned, no driver work."""
+        stats = (
+            _toks(s, d)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tok"),
+                F.round(F.avg(F.length("tok")), 6).alias("avg_len"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("tok").isin(*TOPK_STOP), 1.0).otherwise(0.0)
+                    )
+                    / F.count("*"),
+                    6,
+                ).alias("stop_ratio"),
+            )
+        )
+        doc = s.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        w = Window.partitionBy("h").orderBy("doc_id")
+        first = doc.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).select("doc_id")
+        return (
+            stats.join(first, "doc_id")
+            .filter(
+                (F.col("n_tok") >= 20)
+                & (F.col("avg_len") >= 2.0)
+                & (F.col("avg_len") <= 10.0)
+                & (F.col("stop_ratio") >= 0.01)
+            )
+            .select("doc_id", "n_tok", "avg_len", "stop_ratio")
+        )
+
+    q["txt_filter_pipeline"] = txt_filter_pipeline
+
     # ---------------- events ----------------
     def ev_window_counts(s, d):
         e = s.read.parquet(f"{d}/events.parquet")
@@ -1679,6 +1752,39 @@ sh5 AS (
 SELECT doc_id, min(md5(s)) AS fp FROM sh5 WHERE doc_id < 100 GROUP BY 1
 """
 
+    o["txt_pii_scrub"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS scrub_md5
+FROM t
+"""
+    stop_list_f = ", ".join(f"'{t}'" for t in TOPK_STOP)
+    o["txt_filter_pipeline"] = f"""
+WITH {SQL_TOKS},
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+    round(avg(CAST(length(tok) AS DOUBLE)), 6) AS avg_len,
+    round(sum(CASE WHEN tok IN ({stop_list_f}) THEN 1.0 ELSE 0.0 END) / count(*), 6) AS stop_ratio
+  FROM toks GROUP BY 1
+),
+first AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.n_tok, s.avg_len, s.stop_ratio
+FROM stats s JOIN first f ON s.doc_id = f.doc_id
+WHERE s.n_tok >= 20 AND s.avg_len BETWEEN 2.0 AND 10.0 AND s.stop_ratio >= 0.01
+"""
     o["ev_window_counts"] = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv

@@ -55,15 +55,10 @@ def pages_from_csv(
     return _normalize(df, **cols)
 
 
-def pages_from_text_dir(spark: SparkSession, path: str, lang: str = "und") -> DataFrame:
+def pages_from_text_dir(spark: SparkSession, path, lang: str = "und") -> DataFrame:
     """Directory of plain-text files, one doc per file (reference:
     DocIndexerPlainText): file path becomes the url."""
-    df = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(path)
-        .withColumn("url", F.input_file_name())
-    )
+    df = _wholefile_reader(spark, path)
     return df.select(
         F.col("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -173,10 +168,7 @@ def pages_from_conllu(spark: SparkSession, path: str, lang: str = "und") -> Data
                 ],
             )
 
-    raw = (
-        spark.read.format("text").option("wholetext", "true").load(path)
-        .withColumn("url", F.input_file_name())
-    )
+    raw = _wholefile_reader(spark, path)
     return raw.mapInPandas(parse, schema=ANNOTATED_PAGES_SCHEMA)
 
 
@@ -252,12 +244,7 @@ def pages_from_xml_dir(
     doc_tag = _re0.escape(doc_tag) if doc_tag else None
     lang_tag = _re0.escape(lang_tag) if lang_tag else None
 
-    raw = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(path)
-        .withColumn("url", F.input_file_name())
-    )
+    raw = _wholefile_reader(spark, path)
 
     def parse(batches):
         import pandas as pd
@@ -349,12 +336,7 @@ def pages_from_xml_xpath(
     inline = tuple(fmt.get("inlineTags") or ())
     lang_path = fmt.get("metadata", {}).get("lang")
 
-    raw = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(path)
-        .withColumn("url", F.input_file_name())
-    )
+    raw = _wholefile_reader(spark, path)
 
     def parse(batches):
         import re as _re
@@ -439,7 +421,13 @@ ANNOTATED_TAGGED_PAGES_SCHEMA = (
 )
 
 
-def _wholefile_reader(spark: SparkSession, path: str) -> DataFrame:
+def _wholefile_reader(spark: SparkSession, path) -> DataFrame:
+    """Whole files as (url, value) rows. `path` may also be an existing
+    (url, value) DataFrame — e.g. the output of a convert-and-tag
+    preprocess pipeline (preprocess.py) — which passes through unchanged,
+    so every pages_from_*_dir reader composes with preprocessing."""
+    if isinstance(path, DataFrame):
+        return path
     return (
         spark.read.format("text")
         .option("wholetext", "true")
@@ -688,6 +676,127 @@ def pages_from_naf_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def pages_from_folia_dir(
+    spark: SparkSession, path: str, lang: str = "und"
+) -> DataFrame:
+    """Directory of FoLiA files (reference format config:
+    engine/src/main/resources/formats/folia.blf.yaml; legacy
+    DocIndexerFolia): one doc per file. `<w>` elements in document order
+    supply tokens — word = folia:t text, lemma = folia:lemma/@class,
+    pos = folia:pos/@class (the config's annotation valuePaths);
+    `<s>` elements close sentence spans and `<s>`/`<p>`/`<head>` become
+    inline-tag spans (config inlineTags .//s, .//p), so building with
+    index_tags=("s","p","head") yields queryable spans. Standoff layers
+    resolve `wref` ids against the w @xml:id -> position map (the config's
+    tokenIdPath): `<entity>` becomes an 'entity' tag span carrying its
+    class, `<dependency>` hd/dep wrefs become relations (rclass 'dep',
+    rtype = @class). lang comes from native metadata
+    `<meta id="language">` when present."""
+    NS = "{http://ilk.uvt.nl/folia}"
+    XMLID = "{http://www.w3.org/XML/1998/namespace}id"
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["url"], pdf["value"]):
+                root = ET.fromstring(content or f"<FoLiA xmlns='{NS[1:-1]}'/>")
+                if root.tag != f"{NS}FoLiA":
+                    found = root.find(f".//{NS}FoLiA")
+                    if found is not None:
+                        root = found
+                toks: list[str] = []
+                lem: list[str] = []
+                pos: list[str] = []
+                id2pos: dict[str, int] = {}
+                sents: list[list[int]] = []
+                tags: list[tuple] = []
+
+                def walk(el):
+                    name = el.tag.rsplit("}", 1)[-1]
+                    if name == "w":
+                        wid = el.get(XMLID)
+                        if wid:
+                            id2pos[wid] = len(toks)
+                        t = (el.findtext(f"{NS}t") or "").strip()
+                        le = el.find(f"{NS}lemma")
+                        po = el.find(f"{NS}pos")
+                        toks.append(t)
+                        lem.append(
+                            (le.get("class") if le is not None else None) or t
+                        )
+                        pos.append(
+                            (po.get("class") if po is not None else None) or "X"
+                        )
+                        return  # morphology etc. inside <w> add no tokens
+                    start = len(toks)
+                    for child in el:
+                        walk(child)
+                    if len(toks) > start:
+                        if name == "s":
+                            sents.append([start, len(toks)])
+                            tags.append((name, start, len(toks), {}))
+                        elif name in ("p", "head"):
+                            tags.append((name, start, len(toks), {}))
+
+                walk(root)
+
+                def wref_span(el):
+                    ps = [
+                        id2pos[w.get("id")]
+                        for w in el.iter(f"{NS}wref")
+                        if w.get("id") in id2pos
+                    ]
+                    return (min(ps), max(ps) + 1) if ps else None
+
+                for ent in root.iter(f"{NS}entity"):
+                    span = wref_span(ent)
+                    if span:
+                        tags.append(
+                            ("entity", span[0], span[1],
+                             {"class": ent.get("class") or ""})
+                        )
+                rels = []
+                for dep in root.iter(f"{NS}dependency"):
+                    hd, dp = dep.find(f"{NS}hd"), dep.find(f"{NS}dep")
+                    s = wref_span(hd) if hd is not None else None
+                    t = wref_span(dp) if dp is not None else None
+                    if s and t:
+                        rels.append(
+                            ("dep", dep.get("class") or "dep",
+                             s[0], s[1], t[0], t[1])
+                        )
+                lv = None
+                for meta in root.iter(f"{NS}meta"):
+                    if meta.get("id") == "language":
+                        lv = (meta.text or "").strip()
+                        break
+                rows.append(
+                    {
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": lv or lang, "tokens": toks,
+                        "tokens_lemma": lem, "tokens_pos": pos,
+                        "sents": sents or ([[0, len(toks)]] if toks else []),
+                        "relations": rels, "tags": tags,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "tokens",
+                    "tokens_lemma", "tokens_pos", "sents", "relations",
+                    "tags",
+                ],
+            )
+
+    return _wholefile_reader(spark, path).mapInPandas(
+        parse, schema=ANNOTATED_TAGGED_PAGES_SCHEMA
+    )
+
+
 def pages_from_chat_dir(
     spark: SparkSession, path: str, lang: str = "und"
 ) -> DataFrame:
@@ -703,12 +812,7 @@ def pages_from_chat_dir(
     - CHAT inline codes are minimally cleaned: bracketed `[...]` event/
       error codes, `&=`-prefixed events, and scoping `<`/`>` markers are
       stripped (full CHAT disambiguation ⏭)."""
-    raw = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(path)
-        .withColumn("url", F.input_file_name())
-    )
+    raw = _wholefile_reader(spark, path)
 
     def parse(batches):
         import re as _re
