@@ -102,3 +102,63 @@ def test_wand_three_terms_exact():
     ow = np.lexsort((d_w, -s_w))[:10]
     assert list(d_w[ow]) == list(d_full[order])
     np.testing.assert_allclose(s_w[ow], s_full[order], rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("k", [5, 10, 50])
+def test_single_term_chunked_blockmax_exact(quantize, k):
+    """Single-term _score_kernel (chunked bound-ordered decode) is exact vs
+    exhaustive scoring."""
+    from blacklab_spark.query import _score_kernel
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    dls = rng.integers(30, 600, size=n).astype(np.int64)
+    docs = np.arange(n, dtype=np.int64)
+    tfs = rng.integers(1, 9, size=n).astype(np.int64)
+    pdf = pd.DataFrame(make_blocks(0, 0, docs, tfs, dls))
+    idf = {0: float(np.log(1 + (n - n + 0.5) / (n + 0.5)))}
+    avgdl = float(dls.mean())
+
+    qx, dc, tf, dl = _decode_group(pdf, False)
+    d_full, s_full = _score_arrays(qx, dc, tf, dl, idf, avgdl, quantize)
+    order = np.lexsort((d_full, -s_full))[:k]
+    exp = list(zip(d_full[order], np.round(s_full[order], 12)))
+
+    out = _score_kernel(idf, avgdl, k, quantize)(pdf)
+    oo = np.lexsort((out["doc_id"].to_numpy(), -out["score"].to_numpy()))[:k]
+    got = list(
+        zip(
+            out["doc_id"].to_numpy()[oo],
+            np.round(out["score"].to_numpy()[oo], 12),
+        )
+    )
+    assert got == exp
+
+
+def test_single_term_chunked_blockmax_skips(monkeypatch):
+    """With a skewed tf distribution the chunked walk must stop before
+    decoding every block (bound-desc order + kth cutoff)."""
+    import blacklab_spark.query as Q
+
+    rng = np.random.default_rng(11)
+    n = 6400  # 100 blocks of 64
+    dls = np.full(n, 100, dtype=np.int64)
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[:64] = 50  # one hot block dominates
+    pdf = pd.DataFrame(make_blocks(0, 0, docs, tfs, dls))
+    idf = {0: 1.0}
+
+    calls = {"rows": 0}
+    real = Q._decode_group
+
+    def counting(rows, need_pos):
+        calls["rows"] += len(rows)
+        return real(rows, need_pos)
+
+    monkeypatch.setattr(Q, "_decode_group", counting)
+    out = Q._score_kernel(idf, 100.0, 5, False)(pdf)
+    assert len(out) == 5
+    assert set(out["doc_id"]) <= set(range(64))
+    assert calls["rows"] < len(pdf), f"decoded all {calls['rows']} blocks"
