@@ -1577,13 +1577,14 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPAnd):
         return " & ".join(_wrap(p) for p in tp.clauses)
     if isinstance(tp, TPRepetition):
+        c = _wrap(tp.clause, quantified=True)
         if tp.mx is None:
             if tp.mn == 0:
-                return f"{_wrap(tp.clause)}*"
+                return f"{c}*"
             if tp.mn == 1:
-                return f"{_wrap(tp.clause)}+"
-            return f"{_wrap(tp.clause)}{{{tp.mn},}}"
-        return f"{_wrap(tp.clause)}{{{tp.mn},{tp.mx}}}"
+                return f"{c}+"
+            return f"{c}{{{tp.mn},}}"
+        return f"{c}{{{tp.mn},{tp.mx}}}"
     if isinstance(tp, TPCapture):
         return f"{tp.name}:{_wrap(tp.clause)}"
     if isinstance(tp, TPTags):
@@ -1654,8 +1655,18 @@ def _cexpr_str(c) -> str:
     return str(c)  # int literal
 
 
-def _wrap(tp: TP) -> str:
+def _wrap(tp: TP, quantified: bool = False) -> str:
+    """Parenthesize where the grammar demands it. `quantified=True` when a
+    repetition quantifier follows: a clause that already ENDS in a
+    quantifier (a repetition, or []{n,m}) must be parenthesized or the
+    serialization `[]{1,2}*` fails to re-parse (no stacked quantifiers in
+    the grammar, cql.jj repetitionAmount)."""
     s = to_cql(tp)
     if isinstance(tp, (TPSequence, TPOr, TPAnd, TPPosFilter, TPRelation, TPAlignment)):
+        return f"({s})"
+    if quantified and not (
+        isinstance(tp, (TPTerm, TPRegex, TPTags, TPNotTerm))
+        or (isinstance(tp, TPAnyToken) and tp.mn == tp.mx == 1)
+    ):
         return f"({s})"
     return s
