@@ -1399,7 +1399,10 @@ def _score_kernel(idf: dict, avgdl: float, k: int, quantize: bool):
                 ci += chunk
                 chunk = 32
                 if n_seen >= k:
-                    take = take[bound[take] > kth]  # bound sorted desc
+                    # keep ties (>=): a block bounding exactly kth can hold a
+                    # doc tying the kth score with a smaller doc_id (the
+                    # global tie-break), same rule as _wand_multi's theta
+                    take = take[bound[take] >= kth]
                     if len(take) == 0:
                         break
                 rows = pdf.iloc[take]
@@ -1428,8 +1431,57 @@ def _score_kernel_filtered(idf: dict, avgdl: float, k: int, quantize: bool):
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
             return pd.DataFrame(columns=["doc_id", "score"])
-        qx, dc, tf, dl = _decode_group(left, False)
         allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+        # single-term: the block-max walk stays EXACT under a doc filter —
+        # a block's bound is an upper bound over ALL its docs, hence over
+        # the allowed subset too. Two prunes the unfiltered path can't get:
+        # drop blocks whose [first_doc, last_doc] range contains no allowed
+        # doc at all (doc-sorted blocks, one searchsorted), then the same
+        # chunked bound-descending walk with the kth cutoff.
+        if len(idf) == 1 and left["term_id"].nunique() == 1:
+            q = next(iter(idf))
+            fd = left["first_doc"].to_numpy(np.int64)
+            ld = left["last_doc"].to_numpy(np.int64)
+            nonempty = np.searchsorted(allowed, ld, side="right") > np.searchsorted(
+                allowed, fd, side="left"
+            )
+            pdf = left[nonempty]
+            if len(pdf) == 0:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            mt = pdf["max_tf"].to_numpy(np.float64)
+            ml_i = pdf["min_dl"].to_numpy(np.int64)
+            if quantize:
+                ml_i = quantize_dl(ml_i)
+            ml = ml_i.astype(np.float64)
+            bound = idf[q] * (K1 + 1) * mt / (mt + K1 * (1 - B + B * ml / avgdl))
+            order = np.argsort(-bound)
+            best_docs, best_scores = [], []
+            kth = -np.inf
+            n_seen = 0
+            ci, chunk = 0, 4
+            while ci < len(order):
+                take = order[ci : ci + chunk]
+                ci += chunk
+                chunk = 32
+                if n_seen >= k:
+                    take = take[bound[take] >= kth]  # keep ties (doc_id break)
+                    if len(take) == 0:
+                        break
+                qx, dc, tf, dl = _decode_group(pdf.iloc[take], False)
+                m = np.isin(dc, allowed)
+                d, s = _score_arrays(qx[m], dc[m], tf[m], dl[m], idf, avgdl, quantize)
+                best_docs.append(d)
+                best_scores.append(s)
+                n_seen += len(d)
+                if n_seen >= k:
+                    allsc = np.concatenate(best_scores)
+                    kth = np.partition(allsc, -k)[-k] if len(allsc) >= k else -np.inf
+            if not best_docs:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            return _local_topk(
+                np.concatenate(best_docs), np.concatenate(best_scores), k
+            )
+        qx, dc, tf, dl = _decode_group(left, False)
         mask = np.isin(dc, allowed)
         d, s = _score_arrays(qx[mask], dc[mask], tf[mask], dl[mask], idf, avgdl, quantize)
         return _local_topk(d, s, k)

@@ -162,3 +162,80 @@ def test_single_term_chunked_blockmax_skips(monkeypatch):
     assert len(out) == 5
     assert set(out["doc_id"]) <= set(range(64))
     assert calls["rows"] < len(pdf), f"decoded all {calls['rows']} blocks"
+
+
+def test_single_term_all_ties_exact_docid_break():
+    """Degenerate corpus where EVERY doc ties (same tf, same dl): the
+    chunked walk must keep bound==kth blocks (>= cutoff) so the global
+    (score desc, doc_id asc) tie-break returns the k smallest doc ids."""
+    from blacklab_spark.query import _score_kernel
+
+    n = 640
+    dls = np.full(n, 100, dtype=np.int64)
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    pdf = pd.DataFrame(make_blocks(0, 0, docs, tfs, dls))
+    # shuffle block rows so bound-tie ordering can't accidentally be doc order
+    pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = _score_kernel({0: 1.0}, 100.0, 10, False)(pdf)
+    got = sorted(out["doc_id"].tolist())
+    assert got == list(range(10))
+
+
+def test_filtered_single_term_chunked_exact():
+    """Filtered single-term kernel (cogroup): block-range prefilter + the
+    chunked bound walk must equal exhaustive filtered scoring, ties
+    included."""
+    from blacklab_spark.query import _score_arrays, _score_kernel_filtered
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    dls = rng.integers(30, 500, size=n).astype(np.int64)
+    docs = np.arange(n, dtype=np.int64)
+    tfs = rng.integers(1, 8, size=n).astype(np.int64)
+    pdf = pd.DataFrame(make_blocks(0, 0, docs, tfs, dls))
+    idf = {0: 1.3}
+    avgdl = float(dls.mean())
+    allowed = np.sort(rng.choice(n, size=700, replace=False)).astype(np.int64)
+    right = pd.DataFrame({"doc_id": allowed})
+
+    for quantize in (False, True):
+        for k in (5, 25):
+            out = _score_kernel_filtered(idf, avgdl, k, quantize)(pdf, right)
+            qx, dc, tf, dl = _decode_group(pdf, False)
+            m = np.isin(dc, allowed)
+            d_full, s_full = _score_arrays(
+                qx[m], dc[m], tf[m], dl[m], idf, avgdl, quantize
+            )
+            order = np.lexsort((d_full, -s_full))[:k]
+            exp = list(zip(d_full[order], np.round(s_full[order], 12)))
+            oo = np.lexsort((out["doc_id"].to_numpy(), -out["score"].to_numpy()))[:k]
+            got = list(
+                zip(out["doc_id"].to_numpy()[oo], np.round(out["score"].to_numpy()[oo], 12))
+            )
+            assert got == exp, (quantize, k)
+
+
+def test_filtered_single_term_prefilters_blocks(monkeypatch):
+    """A tight filter (one allowed doc) must prune almost every block
+    BEFORE decode via the [first_doc, last_doc] range check."""
+    import blacklab_spark.query as Q
+
+    n = 6400  # 100 blocks
+    dls = np.full(n, 100, dtype=np.int64)
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    pdf = pd.DataFrame(make_blocks(0, 0, docs, tfs, dls))
+    right = pd.DataFrame({"doc_id": np.array([1234], dtype=np.int64)})
+
+    calls = {"rows": 0}
+    real = Q._decode_group
+
+    def counting(rows, need_pos):
+        calls["rows"] += len(rows)
+        return real(rows, need_pos)
+
+    monkeypatch.setattr(Q, "_decode_group", counting)
+    out = Q._score_kernel_filtered({0: 1.0}, 100.0, 10, False)(pdf, right)
+    assert out["doc_id"].tolist() == [1234]
+    assert calls["rows"] == 1, f"decoded {calls['rows']} blocks, expected 1"
