@@ -1563,6 +1563,8 @@ def to_cql(tp: TP) -> str:
     if isinstance(tp, TPAnyToken):
         if tp.mn == tp.mx == 1:
             return "[]"
+        if tp.mx is None:  # unbounded: parse normalizes to []{n,} form
+            return f"[]{{{tp.mn},}}"
         return f"[]{{{tp.mn},{tp.mx}}}"
     if isinstance(tp, TPNotTerm):
         inner = tp.inner

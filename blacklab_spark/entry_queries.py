@@ -624,6 +624,10 @@ def build_queries() -> dict:
     q["ix_topk_single"] = lambda s, d: _ix_topk(s, d, ["table"], 10)
     q["ix_topk_multi"] = lambda s, d: _ix_topk(s, d, ["table", "vector", "merge"], 10)
     q["ix_topk_filtered"] = lambda s, d: _ix_topk(s, d, ["table"], 10, where_src="src3")
+    # multi-term + metadata filter: exercises the filtered WAND path
+    q["ix_topk_multi_filtered"] = lambda s, d: _ix_topk(
+        s, d, ["table", "vector", "merge"], 10, where_src="src3"
+    )
     q["ix_kwic"] = lambda s, d: get_index(s, d).kwic(
         get_index(s, d).phrase_hits(["fast", "sort"]), context=5
     ).select(F.col("doc_id").cast("long"), F.col("start").cast("int"),
@@ -1351,6 +1355,9 @@ WHERE a.tok = 'table' GROUP BY 1
     o["ix_topk_single"] = _sql_topk(["table"], 10)
     o["ix_topk_multi"] = _sql_topk(["table", "vector", "merge"], 10)
     o["ix_topk_filtered"] = _sql_topk(["table"], 10, where="source = 'src3'")
+    o["ix_topk_multi_filtered"] = _sql_topk(
+        ["table", "vector", "merge"], 10, where="source = 'src3'"
+    )
     o["ix_kwic"] = f"""
 WITH {SQL_TOKS},
 tarr AS (SELECT doc_id, list(tok ORDER BY pos) AS arr FROM toks GROUP BY doc_id),

@@ -1212,7 +1212,14 @@ def _term_contribs(qidx, doc, tf, dl, idf: dict, avgdl: float, quantize: bool):
     return out
 
 
-def _wand_multi(pdf: pd.DataFrame, idf: dict, avgdl: float, k: int, quantize: bool):
+def _wand_multi(
+    pdf: pd.DataFrame,
+    idf: dict,
+    avgdl: float,
+    k: int,
+    quantize: bool,
+    allowed: np.ndarray | None = None,
+):
     """Multi-term block-max WAND (BASELINE.json names it; reference analog:
     the lazy bounded fetch in HitsFromQuery.java:155-236 + per-block max
     impact stats stored at build). Exact top-k with block skipping:
@@ -1230,7 +1237,24 @@ def _wand_multi(pdf: pd.DataFrame, idf: dict, avgdl: float, k: int, quantize: bo
        score + slack >= theta get their skipped blocks decoded (exact).
 
     Returns (docs, scores, n_blocks, n_decoded). Correctness does not depend
-    on the bounds being tight — loose bounds only decode more."""
+    on the bounds being tight — loose bounds only decode more.
+
+    `allowed` (sorted doc ids) restricts the RESULT to a doc filter while
+    keeping the walk exact: blocks whose doc range holds no allowed doc are
+    dropped before anything decodes, and theta/scores compute over allowed
+    docs only (a disallowed high-scorer must not raise the skip threshold).
+    Block bounds stay unmasked — an upper bound over all docs of a block
+    upper-bounds its allowed subset."""
+    if allowed is not None and len(pdf):
+        fd0 = pdf["first_doc"].to_numpy(np.int64)
+        ld0 = pdf["last_doc"].to_numpy(np.int64)
+        has = np.searchsorted(allowed, ld0, side="right") > np.searchsorted(
+            allowed, fd0, side="left"
+        )
+        pdf = pdf[has]
+        if len(pdf) == 0:
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.float64), 0, 0
     qidx = pdf["qidx"].to_numpy(np.int64)
     tids = pdf["term_id"].to_numpy(np.int64)
     mt = pdf["max_tf"].to_numpy(np.float64)
@@ -1264,6 +1288,9 @@ def _wand_multi(pdf: pd.DataFrame, idf: dict, avgdl: float, k: int, quantize: bo
         ds = np.concatenate([a[1] for a in acc])
         ts = np.concatenate([a[2] for a in acc])
         ls = np.concatenate([a[3] for a in acc])
+        if allowed is not None:
+            m = np.isin(ds, allowed)
+            qs, ds, ts, ls = qs[m], ds[m], ts[m], ls[m]
         return _score_arrays(qs, ds, ts, ls, idf, avgdl, quantize)
 
     d0, s0 = score_acc()
@@ -1481,6 +1508,11 @@ def _score_kernel_filtered(idf: dict, avgdl: float, k: int, quantize: bool):
             return _local_topk(
                 np.concatenate(best_docs), np.concatenate(best_scores), k
             )
+        if len(idf) > 1:
+            # multi-term + filter: the WAND walk with the allowed set —
+            # range-pruned blocks, theta over allowed docs only
+            d, s, _, _ = _wand_multi(left, idf, avgdl, k, quantize, allowed=allowed)
+            return _local_topk(d, s, k)
         qx, dc, tf, dl = _decode_group(left, False)
         mask = np.isin(dc, allowed)
         d, s = _score_arrays(qx[mask], dc[mask], tf[mask], dl[mask], idf, avgdl, quantize)

@@ -100,3 +100,13 @@ def test_cql_roundtrip_normalization_fixpoint(tp):
     cql2 = to_cql(tp1)
     tp2 = parse(cql2)
     assert tp1 == tp2, f"{cql!r} -> {tp1} but {cql2!r} -> {tp2}"
+
+
+def test_unbounded_anytoken_serializes_parseable():
+    """TPAnyToken(mx=None) must serialize to the grammar's {n,} form (was
+    '[]{1,None}', which failed to re-parse)."""
+    for mn in (0, 1, 2):
+        tp = TPAnyToken(mn, None)
+        cql = to_cql(tp)
+        tp1 = parse(cql)
+        assert to_cql(parse(to_cql(tp1))) == to_cql(tp1)

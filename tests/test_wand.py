@@ -239,3 +239,38 @@ def test_filtered_single_term_prefilters_blocks(monkeypatch):
     out = Q._score_kernel_filtered({0: 1.0}, 100.0, 10, False)(pdf, right)
     assert out["doc_id"].tolist() == [1234]
     assert calls["rows"] == 1, f"decoded {calls['rows']} blocks, expected 1"
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_wand_filtered_matches_exhaustive(quantize):
+    """WAND with an allowed-docs filter: exact vs exhaustive filtered
+    scoring; theta must come from allowed docs only (a disallowed
+    high-scorer must not suppress allowed candidates)."""
+    pdf, idf, avgdl = _corpus()
+    rng = np.random.default_rng(5)
+    allowed = np.sort(rng.choice(2000, size=300, replace=False)).astype(np.int64)
+    for k in (5, 20):
+        qx, dc, tf, dl = _decode_group(pdf, False)
+        m = np.isin(dc, allowed)
+        d_full, s_full = _score_arrays(
+            qx[m], dc[m], tf[m], dl[m], idf, avgdl, quantize
+        )
+        order = np.lexsort((d_full, -s_full))[:k]
+        exp = list(zip(d_full[order], np.round(s_full[order], 12)))
+        d_w, s_w, _, _ = _wand_multi(pdf, idf, avgdl, k, quantize, allowed=allowed)
+        ow = np.lexsort((d_w, -s_w))[:k]
+        got = list(zip(d_w[ow], np.round(s_w[ow], 12)))
+        assert got == exp, (quantize, k)
+
+
+def test_wand_filtered_prunes_blocks():
+    """A tight allowed set must drop common-term blocks before decode via
+    the range prefilter."""
+    pdf, idf, avgdl = _corpus()
+    allowed = np.array([100, 101], dtype=np.int64)
+    d_w, s_w, n_blocks, n_dec = _wand_multi(
+        pdf, idf, avgdl, 5, False, allowed=allowed
+    )
+    # 2000 common docs / BLOCK=64 -> 32 blocks; only ~1 overlaps [100, 101]
+    assert n_blocks <= 3, f"range prefilter kept {n_blocks} blocks"
+    assert set(d_w) <= {100, 101}
