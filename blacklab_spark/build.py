@@ -1233,7 +1233,10 @@ def add_segment(spark, pages: DataFrame, out_dir: str, segment: str, **kw) -> di
 
 
 def merge_segments(
-    spark: SparkSession, out_dir: str, segment: str = "merged"
+    spark: SparkSession,
+    out_dir: str,
+    segment: str = "merged",
+    segments: list[str] | None = None,
 ) -> dict:
     """Posting-LEVEL segment merge (reference:
     BlackLab40PostingsWriter.merge, codec/BlackLab40PostingsWriter.java:
@@ -1249,7 +1252,13 @@ def merge_segments(
 
     Result is query-identical to the multi-segment index and to a one-shot
     rebuild: per-(shard, term) block sets union, and every consumer keys
-    blocks by (annot, term_id), never by row order."""
+    blocks by (annot, term_id), never by row order.
+
+    `segments` restricts the merge to a SUBSET of the registry (tiered /
+    leveled merge policies, streaming.py): only those segments fold into
+    the new one; the rest stay untouched in the registry. Doc-id
+    allocation stays safe under any subset: add_segment's next base is the
+    SUM of registry n_docs, which a subset merge preserves exactly."""
     t0 = time.time()
     stage_s: dict[str, float] = {}
     _last = [t0]
@@ -1261,7 +1270,16 @@ def merge_segments(
 
     reg_path = os.path.join(out_dir, "segments.json")
     with open(reg_path) as f:
-        segs = json.load(f)["segments"]
+        all_segs = json.load(f)["segments"]
+    if segments is None:
+        segs = list(all_segs)
+    else:
+        missing = [x for x in segments if x not in all_segs]
+        if missing:
+            raise ValueError(f"merge_segments: unknown segments {missing}")
+        segs = [x for x in all_segs if x in set(segments)]
+    if segment in all_segs:
+        raise ValueError(f"merge_segments: target name {segment!r} already registered")
     metas, params = [], []
     for s in segs:
         with open(f"{out_dir}/segments/{s}/meta.json") as mf:
@@ -1468,8 +1486,10 @@ def merge_segments(
     }
     with open(f"{seg_dir}/meta.json", "w") as f:
         json.dump(meta, f, indent=2)
+    merged_set = set(segs)
+    new_reg = [x for x in all_segs if x not in merged_set] + [segment]
     with open(reg_path, "w") as f:
-        json.dump({"segments": [segment]}, f, indent=2)
+        json.dump({"segments": new_reg}, f, indent=2)
     # Source segments are dead after the registry commit — remove them so
     # streaming compaction (which merges on a cadence) doesn't leak one full
     # index copy per merge. Registry write above is the commit point: a

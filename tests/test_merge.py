@@ -140,3 +140,59 @@ def test_merge_rejects_mixed_format_or_tokenizer(spark, two_seg_dir, tmp_path_fa
             json.dump(m, f)
         with pytest.raises(ValueError, match=msg):
             merge_segments(spark, d)
+
+
+def test_subset_merge_and_tiered_policy(spark, tmp_path):
+    """merge_segments(segments=[...]) folds ONLY the named segments (the
+    rest stay registered and on disk); tiered_compact merges full size
+    levels and leaves lone big segments untouched. Queries stay identical
+    throughout."""
+    import json
+    from pathlib import Path
+
+    from blacklab_spark.build import add_segment, build_index, merge_segments
+    from blacklab_spark.fixtures import pages_df
+    from blacklab_spark.query import Index
+    from blacklab_spark.streaming import tiered_compact
+
+    out = str(tmp_path / "ix")
+    pages = pages_df(spark, "tiny")
+    rows = pages.collect()
+
+    def seg_pages(sl):
+        return spark.createDataFrame([rows[i] for i in sl], pages.schema)
+
+    build_index(spark, seg_pages([0, 1]), out, n_shards=1, segment="s0")
+    add_segment(spark, seg_pages([2]), out, "s1", n_shards=1)
+    add_segment(spark, seg_pages([3]), out, "s2", n_shards=1)
+    add_segment(spark, seg_pages([4, 5]), out, "s3", n_shards=1)
+    before = Index(spark, out).count_hits("aap")
+
+    # subset merge: fold s1+s2 only
+    merge_segments(spark, out, segment="mid", segments=["s1", "s2"])
+    reg = json.load(open(f"{out}/segments.json"))["segments"]
+    assert reg == ["s0", "s3", "mid"]
+    assert not (Path(out) / "segments" / "s1").exists()
+    assert (Path(out) / "segments" / "s0").exists()
+    ix = Index(spark, out)
+    assert ix.count_hits("aap") == before and ix.n_docs == 6
+
+    # unknown subset / name collision raise
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown segments"):
+        merge_segments(spark, out, segments=["nope", "s0"])
+    with pytest.raises(ValueError, match="already registered"):
+        merge_segments(spark, out, segment="mid")
+
+    # tiered: 3 tiny segments (s0, s3, mid each 1-2 docs = same level)
+    # merge at factor 3; the result is one segment, queries unchanged
+    metas = tiered_compact(spark, out, merge_factor=3, tag="t")
+    assert len(metas) >= 1
+    reg2 = json.load(open(f"{out}/segments.json"))["segments"]
+    assert len(reg2) < 3
+    ix2 = Index(spark, out)
+    assert ix2.count_hits("aap") == before and ix2.n_docs == 6
+
+    # a lone level never merges: second pass is a no-op
+    assert tiered_compact(spark, out, merge_factor=3, tag="u") == []
