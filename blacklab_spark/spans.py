@@ -61,7 +61,15 @@ def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int | None =
             & (F.col("b.start") >= F.col("a.end") + gap_min)
             & (F.col("b.start") <= F.col("a.end") + gap_max)
         )
-    cap_cols = [F.col(f"a.{c}") for c in _caps(a)] + [F.col(f"b.{c}") for c in _caps(b)]
+    # Duplicate capture names (`A:"x" A:"y"`): the reference keeps ONE
+    # match-info slot per name and the later capture overwrites
+    # (HitQueryContext.registerMatchInfo, HitQueryContext.java:88-100) —
+    # so for names on both sides, b (the later clause) wins; emitting both
+    # would produce ambiguous duplicate columns.
+    caps_b = _caps(b)
+    cap_cols = [
+        F.col(f"a.{c}").alias(c) for c in _caps(a) if c not in set(caps_b)
+    ] + [F.col(f"b.{c}").alias(c) for c in caps_b]
     return aa.join(bb, cond).select(
         F.col("a.doc_id").alias("doc_id"),
         F.col("a.start").alias("start"),

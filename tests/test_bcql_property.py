@@ -83,13 +83,13 @@ trees = st.recursive(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(trees)
 def test_dict_roundtrip_exact(tp):
     assert from_dict(to_dict(tp)) == tp
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(trees)
 def test_cql_roundtrip_normalization_fixpoint(tp):
     """to_cql(parse(to_cql(tp))) reproduces the SAME pattern: after one

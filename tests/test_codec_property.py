@@ -21,14 +21,14 @@ from blacklab_spark.codec import (
 nonneg = st.integers(min_value=0, max_value=2**62)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.lists(nonneg, max_size=300))
 def test_varint_roundtrip(vals):
     v = np.array(vals, dtype=np.int64)
     assert np.array_equal(varint_decode(varint_encode(v)), v)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.lists(nonneg, max_size=300))
 def test_varint_lengths_slice(vals):
     """Per-value lengths partition the bulk stream: slicing at the reported
@@ -44,14 +44,14 @@ def test_varint_lengths_slice(vals):
         off += int(ln)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
 def test_delta_roundtrip_sorted(vals):
     v = np.sort(np.array(vals, dtype=np.int64))
     assert np.array_equal(delta_decode(delta_encode(v)), v)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.lists(
@@ -77,7 +77,7 @@ def test_delta_segmented_roundtrip(segs):
     assert np.array_equal(enc, enc2)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(
