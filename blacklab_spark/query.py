@@ -1362,19 +1362,26 @@ def _wand_multi(
         theta2 = (
             np.partition(scores_c, -k)[-k] if len(scores_c) >= k else -np.inf
         )
-        slack = np.zeros(len(docs_c))
-        for r in skipped_rows:
-            lo = np.searchsorted(docs_c, fd[r], side="left")
-            hi = np.searchsorted(docs_c, ld[r], side="right")
-            slack[lo:hi] += ub[r]
+        # vectorized over the whole skipped set (can be ~all blocks at scale:
+        # skipping most blocks is the point of WAND) — searchsorted per array,
+        # then a diff-array (+ub at lo, -ub at hi, cumsum) instead of a
+        # per-block Python slice-add
+        skipped = np.asarray(skipped_rows, dtype=np.int64)
+        lo = np.searchsorted(docs_c, fd[skipped], side="left")
+        hi = np.searchsorted(docs_c, ld[skipped], side="right")
+        nd1 = len(docs_c) + 1
+        diff = np.bincount(lo, weights=ub[skipped], minlength=nd1) - np.bincount(
+            hi, weights=ub[skipped], minlength=nd1
+        )
+        slack = np.cumsum(diff[:-1])
         cand = scores_c + slack >= theta2
         if cand.any():
             cd = docs_c[cand]
-            need = [
-                r for r in skipped_rows
-                if np.searchsorted(cd, fd[r], "left") < np.searchsorted(cd, ld[r], "right")
+            need = skipped[
+                np.searchsorted(cd, fd[skipped], "left")
+                < np.searchsorted(cd, ld[skipped], "right")
             ]
-            if need:
+            if len(need):
                 m = np.zeros(n_blocks, dtype=bool)
                 m[need] = True
                 decode_mask |= m

@@ -58,12 +58,55 @@ def main() -> None:
     t_loop = time.perf_counter() - t0
 
     assert np.allclose(a, b), "vectorized bounds diverge from the loop"
+
+    # --- VERIFY-phase slack/need (r4 verdict item 4): all blocks skipped ---
+    docs_c = docs2  # candidate doc set from decoded blocks
+    scores_c = con2
+    ub = rng.random(n_blocks) * 2.0
+    skipped = np.arange(n_blocks, dtype=np.int64)
+
+    t0 = time.perf_counter()
+    slack_l = np.zeros(len(docs_c))
+    for r in skipped:  # the r4 implementation (query.py:1365-1369 pre-fix)
+        l = np.searchsorted(docs_c, fd[r], side="left")
+        h = np.searchsorted(docs_c, ld[r], side="right")
+        slack_l[l:h] += ub[r]
+    cand_l = scores_c + slack_l >= 1.0
+    cd = docs_c[cand_l]
+    need_l = [
+        r for r in skipped
+        if np.searchsorted(cd, fd[r], "left") < np.searchsorted(cd, ld[r], "right")
+    ]
+    t_vloop = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lo2 = np.searchsorted(docs_c, fd[skipped], side="left")
+    hi2 = np.searchsorted(docs_c, ld[skipped], side="right")
+    nd1 = len(docs_c) + 1
+    diff = np.bincount(lo2, weights=ub[skipped], minlength=nd1) - np.bincount(
+        hi2, weights=ub[skipped], minlength=nd1
+    )
+    slack_v = np.cumsum(diff[:-1])
+    cand_v = scores_c + slack_v >= 1.0
+    cdv = docs_c[cand_v]
+    need_v = skipped[
+        np.searchsorted(cdv, fd[skipped], "left")
+        < np.searchsorted(cdv, ld[skipped], "right")
+    ]
+    t_vvec = time.perf_counter() - t0
+
+    assert np.allclose(slack_l, slack_v), "diff-array slack diverges"
+    assert np.array_equal(np.asarray(need_l), need_v), "need set diverges"
+
     print(json.dumps({
         "n_blocks": n_blocks,
         "n_docs": n_docs,
         "loop_sec": round(t_loop, 4),
         "reduceat_sec": round(t_vec, 4),
         "speedup": round(t_loop / t_vec, 1) if t_vec > 0 else None,
+        "verify_loop_sec": round(t_vloop, 4),
+        "verify_vec_sec": round(t_vvec, 4),
+        "verify_speedup": round(t_vloop / t_vvec, 1) if t_vvec > 0 else None,
     }))
 
 
