@@ -54,7 +54,10 @@ from .tokenize import (
 )
 
 DEFAULT_BLOCK = 128
-FORMAT_VERSION = 10  # bumped on any docs/terms/postings schema change
+# bumped on any docs/terms/postings/meta schema change; 11 = `multi_value`
+# meta key REQUIRED (a pre-flag v10 mv index would silently skip the span
+# dedupe — ADVICE r4). Readers still fall back conservatively when absent.
+FORMAT_VERSION = 11
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -599,6 +602,24 @@ def _encode_shard_kernel(
             for a in input_layers:
                 in_flat[a] = in_flat[a].take(pre)
             total = len(flat_all)
+        # ---- position-increment gaps (reference AnnotationWriter.addValue
+        # (value, increment), AnnotationWriter.java:238-267): an EMPTY-STRING
+        # token in annotated input is the gap sentinel — it occupies a
+        # forward-index position and counts in doc_len (so following tokens
+        # keep their shifted positions, and adjacency across the hole fails
+        # exactly like the reference's increment > 1), but posts NOTHING in
+        # any layer. `[]`/doc-length n-grams still cover hole positions.
+        gap_mask = pc.fill_null(pc.equal(flat_all, ""), False).to_numpy(
+            zero_copy_only=False
+        )
+        if gap_mask.any():
+            keep_idx = np.flatnonzero(~gap_mask)
+            flat_all = flat_all.take(pa.array(keep_idx))
+            owner = owner[keep_idx]
+            pos = pos[keep_idx]
+            for a in input_layers:
+                in_flat[a] = in_flat[a].take(pa.array(keep_idx))
+            total = len(flat_all)
         enc = pc.dictionary_encode(flat_all)
         word_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         word_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
@@ -864,8 +885,19 @@ def build_index(
     index_tags: tuple[str, ...] = (),
     store_offsets: bool = False,
     index_relations: bool = False,
+    dict_threshold: int = 20_000_000,
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
+
+    dict_threshold: docs above which the dictionary is built via the
+    distributed two-rank flow instead of the one-task kernel (the path a
+    100-TB build takes first). Overridable so tests force the large path at
+    fixture scale and assert both paths produce identical dictionaries.
+
+    Annotated input (`tokens` column): an empty-string token is the
+    position-GAP sentinel (reference AnnotationWriter.addValue(value,
+    increment), AnnotationWriter.java:238-267) — it occupies a forward-index
+    position and counts in doc_len but posts nothing in any layer.
 
     resume=True: stages whose parquet committed under identical build params
     (docs / blocks / terms / postings) are reused, not recomputed — the
@@ -1074,7 +1106,7 @@ def build_index(
             .groupBy("annot", F.col("term").alias("term_fold"))
             .agg(F.sum("doc_count").alias("overcount"))
         )
-        if n_docs <= 20_000_000:
+        if n_docs <= dict_threshold:
             # SMALL-DICT PATH (the common case; vocab grows ~ sqrt(tokens)):
             # finish the whole dictionary in ONE single-task job — exactly the
             # reference's per-segment single-threaded terms sort
@@ -1237,6 +1269,7 @@ def merge_segments(
     out_dir: str,
     segment: str = "merged",
     segments: list[str] | None = None,
+    dict_threshold: int = 20_000_000,
 ) -> dict:
     """Posting-LEVEL segment merge (reference:
     BlackLab40PostingsWriter.merge, codec/BlackLab40PostingsWriter.java:
@@ -1359,7 +1392,7 @@ def merge_segments(
         "fold_cf long, fold_df long, term_id long, sort_pos_s long, sort_pos_i long"
     )
     n_docs_total = sum(int(m["n_docs"]) for m in metas)
-    if n_docs_total <= 20_000_000:
+    if n_docs_total <= dict_threshold:
         # small-dict path: one single-task rank kernel (same shape as the
         # build's _dict_kernel, stats pre-merged here)
         def rank_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1498,6 +1531,12 @@ def merge_segments(
     for s in segs:
         if s != segment:
             _sh.rmtree(os.path.join(out_dir, "segments", s), ignore_errors=True)
+    # live in-process readers still hold lazy DataFrames over the removed
+    # paths — reload them (ADVICE r4). Cross-process readers must re-open
+    # the index after compaction.
+    from .query import invalidate_open_indexes
+
+    invalidate_open_indexes(out_dir)
     return meta
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import weakref
 from dataclasses import dataclass
 
 import numpy as np
@@ -53,12 +54,42 @@ class Segment:
     terms: DataFrame
 
 
+# live Index instances per index dir — segment merges delete source segment
+# dirs after the registry commit, so in-process readers must reload or their
+# lazy DataFrames point at removed parquet paths (ADVICE r4). Weak refs: the
+# registry never keeps an Index alive.
+_OPEN_INDEXES: "weakref.WeakSet[Index]" = weakref.WeakSet()
+
+
+def invalidate_open_indexes(out_dir: str) -> int:
+    """Reload every live in-process Index over `out_dir` (called by
+    build.merge_segments after it removes merged-away source segments).
+    Cross-PROCESS readers must re-open the index after compaction — that
+    contract is documented on merge_segments."""
+    n = 0
+    for ix in list(_OPEN_INDEXES):
+        if os.path.abspath(ix.dir) == os.path.abspath(out_dir):
+            ix.reload()
+            n += 1
+    return n
+
+
 class Index:
     """Open a built index (possibly multiple delta segments) for querying."""
 
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
         self.dir = out_dir
+        self._load()
+        _OPEN_INDEXES.add(self)
+
+    def reload(self) -> None:
+        """Re-read the segment registry (after a merge/compaction replaced
+        segments underneath this reader)."""
+        self._load()
+
+    def _load(self) -> None:
+        spark, out_dir = self.spark, self.dir
         with open(os.path.join(out_dir, "segments.json")) as f:
             seg_names = json.load(f)["segments"]
         self.segments: list[Segment] = []
@@ -83,7 +114,15 @@ class Index:
         # any segment with multi-value positions voids the one-token-per-
         # position premise: term/or/regex hit producers then dedupe spans so
         # downstream SpanGuarantees uniqueness claims stay valid
-        self.has_mv = any(s.meta.get("multi_value", False) for s in self.segments)
+        # CONSERVATIVE fallback when the key is absent (pre-v11 segment,
+        # ADVICE r4): assume multi-value, always dedupe — an extra shuffle
+        # on stale indexes, never silent duplicate hits
+        self.has_mv = any(
+            s.meta.get(
+                "multi_value", s.meta.get("format_version", 0) < 11
+            )
+            for s in self.segments
+        )
 
     # ------------------------------------------------------------- helpers --
     def _check_annot(self, annot: str) -> None:

@@ -98,7 +98,6 @@ def tiered_compact(
 
     Returns the list of merge metas performed (possibly empty)."""
     import json as _json
-    import math as _math
     import os as _os
 
     from .build import merge_segments as _merge
@@ -114,7 +113,12 @@ def tiered_compact(
                 _os.path.join(out_dir, "segments", s, "meta.json")
             ) as mf:
                 nd = int(_json.load(mf)["n_docs"])
-            lvl = int(_math.log(max(nd, 1), merge_factor))
+            # integer level computation — float log lands one level off on
+            # exact powers of merge_factor (e.g. log(16,4)=1.999..., ADVICE r4)
+            lvl, v = 0, max(nd, 1)
+            while v >= merge_factor:
+                v //= merge_factor
+                lvl += 1
             levels.setdefault(lvl, []).append((s, nd))
         full = [
             (lvl, members)

@@ -129,6 +129,22 @@ def _sessionize_fn(
         t, v = ts_list[i], float(val_list[i])
         if start_us is None:
             start_us, last_us, n, sv = t, t, 1, v
+        elif t < start_us:
+            # late-but-above-watermark event from a LATER micro-batch landing
+            # BEFORE the open session (in-batch events are sorted, so this is
+            # cross-batch only). Within the gap: extend the session start
+            # backwards (ADVICE r4 — previously only last_us moved, so
+            # emitted sessions diverged from the batch oracle). Beyond the
+            # gap: it is its own, already-superseded session — emit closed.
+            # Residual divergence vs a batch oracle: a late event can't
+            # re-open/bridge a session that already CLOSED before it arrived;
+            # the watermark bounds how late that can happen (PLANS.md).
+            if (start_us - t) / 1e6 > SESSION_GAP_S:
+                closed.append((t, t, 1, v))
+            else:
+                start_us = t
+                n += 1
+                sv += v
         elif (t - last_us) / 1e6 > SESSION_GAP_S:
             closed.append((start_us, last_us, n, sv))
             start_us, last_us, n, sv = t, t, 1, v

@@ -308,6 +308,11 @@ def di_translate_args() -> tuple[str, str]:
                 if folded != ch and len(folded) == 1:
                     src.append(ch)
                     dst.append(folded)
+                elif len(folded) == 0:
+                    # combining marks INSIDE the scanned ranges (e.g.
+                    # Cyrillic U+0483-U+0487) fold to '' — delete them too,
+                    # or translate() diverges from accent_fold_token
+                    deleted.append(ch)
         for cp in range(0x0300, 0x0370):
             if unicodedata.combining(chr(cp)):
                 deleted.append(chr(cp))

@@ -196,3 +196,21 @@ def test_subset_merge_and_tiered_policy(spark, tmp_path):
 
     # a lone level never merges: second pass is a no-op
     assert tiered_compact(spark, out, merge_factor=3, tag="u") == []
+
+
+def test_merge_invalidates_open_readers(spark, two_seg_dir, tmp_path_factory):
+    """merge_segments deletes the source segment dirs — a live Index opened
+    BEFORE the merge must keep working (ADVICE r4: previously its lazy
+    DataFrames pointed at removed parquet paths and failed on next action)."""
+    from blacklab_spark.build import merge_segments
+    from blacklab_spark.query import Index
+
+    d = str(tmp_path_factory.mktemp("ix_live_reader"))
+    shutil.copytree(two_seg_dir, d, dirs_exist_ok=True)
+    live = Index(spark, d)
+    want = hs(live.term_hits("the"))
+    live.term_hits("the").count()  # materialize a plan over the old segments
+    merge_segments(spark, d)
+    # the SAME instance, post-merge: reloaded over the merged segment
+    assert len(live.segments) == 1
+    assert hs(live.term_hits("the")) == want

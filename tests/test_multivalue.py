@@ -177,3 +177,41 @@ def test_compact_preserves_multivalues(spark, mv_index, tmp_path_factory):
     ix2 = Index(spark, out)
     assert hs(ix2.term_hits("zzz")) == {(0, 0, 1)}
     assert hs(ix2.term_hits("animal")) == {(0, 2, 3), (1, 0, 1)}
+
+
+def test_stale_meta_without_mv_flag_falls_back_conservative(
+    spark, tmp_path_factory
+):
+    """A pre-v11 segment meta lacking the `multi_value` key must load with
+    has_mv=True (always dedupe — an extra shuffle, never silent duplicate
+    hits; ADVICE r4), while a v11 meta trusts its explicit flag."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.query import Index
+
+    pages = spark.createDataFrame(
+        [("doc://0", "plain text here")], "url string, text string"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("und").alias("lang"),
+    )
+    out = str(tmp_path_factory.mktemp("ix_stale_meta"))
+    build_index(spark, pages, out, n_shards=1)
+    mpath = os.path.join(out, "segments", "seg0", "meta.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    assert meta["format_version"] >= 11 and meta["multi_value"] is False
+    assert Index(spark, out).has_mv is False  # explicit v11 flag trusted
+    # simulate a stale pre-flag index: drop the key, claim v10
+    del meta["multi_value"]
+    meta["format_version"] = 10
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    assert Index(spark, out).has_mv is True  # conservative fallback

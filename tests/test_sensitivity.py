@@ -100,8 +100,22 @@ def test_di_translate_parity():
 
     src, dst = di_translate_args()
     table = {ord(s): (dst[i] if i < len(dst) else None) for i, s in enumerate(src)}
-    for w in ["Café", "pêche", "ÀÉÎÕÜ", "ǘǎ", "Ёжик", "άλφα", "naïve", "plain"]:
+    # includes combining marks INSIDE the scanned ranges (ADVICE r4: Cyrillic
+    # U+0483 titlo folds to '' and must be deleted, not passed through)
+    for w in [
+        "Café", "pêche", "ÀÉÎÕÜ", "ǘǎ", "Ёжик", "άλφα", "naïve", "plain",
+        "сло҃во", "а҆б́в",
+    ]:
         assert w.translate(table) == accent_fold_token(w)
+
+    # exhaustive single-char parity over every scanned-range codepoint whose
+    # fold is length <= 1 (multi-char decompositions documented divergence)
+    for lo, hi in [(0x00C0, 0x024F), (0x0370, 0x03FF), (0x0400, 0x04FF), (0x1E00, 0x1FFF)]:
+        for cp in range(lo, hi + 1):
+            ch = chr(cp)
+            folded = accent_fold_token(ch)
+            if len(folded) <= 1:
+                assert ch.translate(table) == folded, hex(cp)
 
 
 def test_or_fast_path_respects_sens(accent_index):

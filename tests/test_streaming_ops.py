@@ -143,3 +143,80 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     # spot-check session integrity: ends never precede starts, counts > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_sessionize_late_out_of_order_cross_batch(spark, tmp_path_factory):
+    """Late-but-above-watermark events arriving in a LATER micro-batch
+    (ADVICE r4 / verdict #8): one lands just before the open session's start
+    (must extend session_start backwards), one lands far before it (must
+    become its own closed session). maxFilesPerTrigger=1 forces one file per
+    micro-batch so the late rows genuinely cross a batch boundary."""
+    import os
+    from datetime import datetime
+
+    from blacklab_spark.streaming_ops import stream_sessionize
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    mk = lambda i, ts: (i, T(ts), 1, "e", 1.0, "{}")  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sd = tmp_path_factory.mktemp("late_stream")
+    # batch 1: open session 10:00-10:01
+    spark.createDataFrame(
+        [mk(1, "2026-01-01 10:00:00"), mk(2, "2026-01-01 10:01:00")], schema
+    ).coalesce(1).write.parquet(str(sd / "b1"))
+    # batch 2: 09:59 (within gap -> extends start), 08:00 (beyond gap -> own
+    # closed session), 2031 sentinel (closes the open session in-batch)
+    spark.createDataFrame(
+        [
+            mk(3, "2026-01-01 09:59:00"),
+            mk(4, "2026-01-01 08:00:00"),
+            mk(5, "2031-01-01 00:00:00"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(sd / "b2"))
+    import shutil
+    from pathlib import Path
+
+    flat = tmp_path_factory.mktemp("late_flat")
+    for i, sub in enumerate(("b1", "b2")):
+        for p in Path(sd / sub).glob("*.parquet"):
+            dst = flat / f"part{i}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (1000000000 + i * 100, 1000000000 + i * 100))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    # 10h watermark keeps both late events above the watermark after batch 1
+    st = stream_sessionize(src, watermark="10 hours")
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_late")))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+        if r["session_start"].year < 2030
+    ]
+    got = {
+        (
+            r["session_start"].isoformat(sep=" "),
+            r["session_end"].isoformat(sep=" "),
+            r["n_events"],
+        )
+        for r in rows
+    }
+    assert got == {
+        ("2026-01-01 08:00:00", "2026-01-01 08:00:00", 1),
+        ("2026-01-01 09:59:00", "2026-01-01 10:01:00", 3),
+    }, got
