@@ -1,0 +1,578 @@
+"""BlackLab Server analog: HTTP search API + search cache.
+
+The reference exposes every search operation over HTTP with a result cache
+(server/ + wslib/ modules; request flow SURVEY.md §3.2:
+RequestHandlerHits -> WebserviceRequestHandler.opHits,
+wslib/.../results/WebserviceRequestHandler.java:105-122; cache:
+BlsCache, doc/technical/blacklab-internals.md:163-193 — "dedupe identical
+searches, async Futures, memory-based eviction"). This module is the
+PySpark-side equivalent, stdlib-only (http.server + threading):
+
+- `SearchCache` — BlsCache analog: identical in-flight searches share ONE
+  execution (per-key completion events), finished payloads are kept under
+  an LRU + max-age policy, and every entry is a BOUNDED window (never a
+  full hit set), so cache memory is O(entries * window), not data-scale.
+- `BlackLabServer` — endpoints mirroring the reference's URL surface
+  (wslib/.../WebserviceOperation.java names):
+    GET /blacklab-server                       server info
+    GET /blacklab-server/<corpus>              corpus info
+    GET /blacklab-server/<corpus>/hits         patt, first, number, sort,
+                                               group, filter, sample,
+                                               wordsaroundhit, waitfortotal
+    GET /blacklab-server/<corpus>/docs         patt/filter -> per-doc counts
+    GET /blacklab-server/<corpus>/docs/<pid>   docInfo (+ contents=true)
+    GET /blacklab-server/<corpus>/termfreq     annotation, sensitive, number
+    GET /blacklab-server/cache-info            cache stats (debug endpoint)
+
+Response JSON follows the reference's shapes (summary / hits+docInfos /
+hitGroups / docs), so a BLS client maps 1:1 onto this API.
+
+Distribution discipline: every request collects ONLY its requested window
+(`number` capped at MAX_WINDOW); totals come from Spark-side count()s. The
+heavy lifting (sort, group, filter, KWIC) stays in DataFrame plans —
+results.py / query.py operators — so a request over a 100-TB index ships
+`number` rows to the driver, nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import functions as F
+
+from . import bcql, results
+from .query import Index
+
+MAX_WINDOW = 1000  # BLS `maxretrieve` analog: rows shipped per request
+DEFAULT_NUMBER = 20  # BLS default window size
+
+
+# --------------------------------------------------------------------------
+# SearchCache — BlsCache analog (blacklab-internals.md:163-193)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _CacheEntry:
+    done: threading.Event = field(default_factory=threading.Event)
+    payload: dict | None = None
+    error: Exception | None = None
+    created: float = 0.0
+    last_access: float = 0.0
+    compute_ms: int = 0
+
+
+class SearchCache:
+    """Dedupe + memoize completed searches.
+
+    Identical concurrent requests block on the FIRST request's entry instead
+    of re-running the Spark job (the reference's "identical searches share a
+    future"). Completed entries evict LRU past `max_entries` or past
+    `max_age_s` — the memory-based eviction analog; every payload is a
+    bounded window, so entry size is O(MAX_WINDOW)."""
+
+    def __init__(self, max_entries: int = 128, max_age_s: float = 3600.0):
+        self.max_entries = max_entries
+        self.max_age_s = max_age_s
+        self._lock = threading.Lock()
+        self._entries: dict[tuple, _CacheEntry] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key: tuple, compute) -> dict:
+        with self._lock:
+            ent = self._entries.get(key)
+            if ent is not None and ent.done.is_set():
+                age = time.time() - ent.created
+                if age > self.max_age_s or ent.error is not None:
+                    del self._entries[key]
+                    ent = None
+            if ent is not None:
+                self.hits += 1
+                ent.last_access = time.time()
+                owner = False
+            else:
+                self.misses += 1
+                ent = _CacheEntry(created=time.time(), last_access=time.time())
+                self._entries[key] = ent
+                owner = True
+                self._evict_locked()
+        if owner:
+            t0 = time.time()
+            try:
+                ent.payload = compute()
+                ent.compute_ms = int((time.time() - t0) * 1000)
+            except Exception as e:  # surfaced to every waiter
+                ent.error = e
+            finally:
+                ent.done.set()
+        else:
+            ent.done.wait()
+        if ent.error is not None:
+            raise ent.error
+        return ent.payload
+
+    def _evict_locked(self) -> None:
+        while len(self._entries) > self.max_entries:
+            victim = min(
+                (k for k, e in self._entries.items() if e.done.is_set()),
+                key=lambda k: self._entries[k].last_access,
+                default=None,
+            )
+            if victim is None:  # everything in flight: let it ride
+                return
+            del self._entries[victim]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+
+    def info(self) -> dict:
+        with self._lock:
+            return {
+                "numberOfSearches": len(self._entries),
+                "hits": self.hits,
+                "misses": self.misses,
+                "maxEntries": self.max_entries,
+                "maxAgeSec": self.max_age_s,
+                "searches": [
+                    {
+                        "ageSec": round(time.time() - e.created, 1),
+                        "computeMs": e.compute_ms,
+                        "done": e.done.is_set(),
+                    }
+                    for e in self._entries.values()
+                ],
+            }
+
+
+# --------------------------------------------------------------------------
+# request execution (WebserviceRequestHandler.opHits / opDocs analogs)
+# --------------------------------------------------------------------------
+
+_META_EXCLUDE = {
+    "shard", "text", "tokens", "tokens_fold", "tokens_lemma", "tokens_pos",
+    "sents", "tags", "tok_offs", "mv", "relations",
+}
+
+
+def _meta_cols(ix: Index) -> list[str]:
+    return [
+        c for c, _t in ix.docs.dtypes
+        if c not in _META_EXCLUDE and c != "doc_id"
+    ]
+
+
+def _doc_infos(ix: Index, doc_ids: list[int]) -> dict:
+    if not doc_ids:
+        return {}
+    cols = _meta_cols(ix)
+    rows = (
+        ix.docs.filter(F.col("doc_id").isin(list(set(doc_ids))))
+        .select("doc_id", *cols)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        d = {c: r[c] for c in cols}
+        pid = d.pop("url", str(r["doc_id"]))
+        d["lengthInTokens"] = d.pop("doc_len", None)
+        if d.get("warc_ts") is not None:
+            d["warc_ts"] = str(d["warc_ts"])
+        out[str(r["doc_id"])] = {"pid": pid, **d}
+    return out
+
+
+def _parse_sort(ix: Index, hits, sort: str, context: int):
+    """BLS sort values -> results.sort_hits props. Supports the reference's
+    common forms: hit/match, left/before, right/after, field:<name>,
+    capture:<name>, doc; '-' prefix = descending; comma list = multi-key
+    (HitPropertyMultiple)."""
+    desc = sort.startswith("-")
+    if desc:
+        sort = sort[1:]
+    prop_map = {
+        "hit": "match", "match": "match", "left": "before",
+        "before": "before", "right": "after", "after": "after",
+        "doc": "doc", "position": "position",
+    }
+    props = []
+    for p in sort.split(","):
+        p = p.strip()
+        if p.startswith("field:"):
+            props.append("metadata:" + p.split(":", 1)[1])
+        elif p.startswith("capture:") or p.startswith("metadata:"):
+            props.append(p)
+        elif p in prop_map:
+            props.append(prop_map[p])
+        else:
+            raise ValueError(f"unknown sort property: {p!r}")
+    return results.sort_hits(ix, hits, by=props, context=context, descending=desc)
+
+
+def _hits_base(ix: Index, params: dict):
+    patt = params.get("patt")
+    if not patt:
+        raise ValueError("missing required parameter: patt")
+    hits = bcql.find(ix, patt)
+    if params.get("filter"):
+        hits = results.filter_hits_by_metadata(ix, hits, params["filter"])
+    if params.get("sample"):
+        hits = results.sample_hits(
+            hits,
+            fraction=float(params["sample"]) / 100.0,
+            seed=int(params.get("sampleseed", 42)),
+        )
+    elif params.get("samplenum"):
+        hits = results.sample_hits(
+            hits, n=int(params["samplenum"]),
+            seed=int(params.get("sampleseed", 42)),
+        )
+    return hits
+
+
+def op_hits(ix: Index, params: dict) -> dict:
+    """GET /<corpus>/hits (WebserviceRequestHandler.opHits:105-122 —
+    grouped? else windowed hit list + docInfos)."""
+    t0 = time.time()
+    first = max(0, int(params.get("first", 0)))
+    number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
+    context = min(50, max(0, int(params.get("wordsaroundhit", 5))))
+    hits = _hits_base(ix, params)
+
+    group = params.get("group")
+    if group:
+        return _op_hits_grouped(ix, params, hits, group, t0)
+
+    total = hits.count()
+    n_docs = hits.select("doc_id").distinct().count()
+    if params.get("sort"):
+        shits = _parse_sort(ix, hits, params["sort"], context)
+    else:
+        shits = hits.orderBy("doc_id", "start", "end")
+    # the window ships to the driver in SORT order (orderBy().limit() =
+    # TakeOrderedAndProject — bounded rows, ordered output); KWIC text is
+    # fetched for exactly those rows via one tiny (broadcastable) join and
+    # merged driver-side so the response order stays the sort order
+    rows = shits.limit(first + number).collect()[first:]
+    cap_cols = [
+        c for c in shits.columns
+        if c.endswith("_start") and f"{c[:-6]}_end" in shits.columns
+    ]
+    keydf = ix.spark.createDataFrame(
+        [(r["doc_id"], r["start"], r["end"]) for r in rows],
+        "doc_id long, start int, end int",
+    )
+    kwmap = {
+        (k["doc_id"], k["start"], k["end"]): k
+        for k in ix.kwic(keydf, context=context).collect()
+    } if rows else {}
+    hit_rows = []
+    for r in rows:
+        k = kwmap.get((r["doc_id"], r["start"], r["end"]))
+        h = {
+            "docPid": str(r["doc_id"]),
+            "start": r["start"],
+            "end": r["end"],
+            "left": {"word": k["left"].split(" ") if k and k["left"] else []},
+            "match": {"word": k["match"].split(" ") if k and k["match"] else []},
+            "right": {"word": k["right"].split(" ") if k and k["right"] else []},
+        }
+        caps = {}
+        for c in cap_cols:
+            name = c[: -len("_start")]
+            if r[c] is not None:
+                caps[name] = {"start": r[c], "end": r[f"{name}_end"]}
+        if caps:
+            h["captureGroups"] = caps
+        hit_rows.append(h)
+    return {
+        "summary": _summary(params, first, number, len(hit_rows), total, n_docs, t0),
+        "hits": hit_rows,
+        "docInfos": _doc_infos(ix, [r["doc_id"] for r in rows]),
+    }
+
+
+def _op_hits_grouped(ix: Index, params: dict, hits, group: str, t0: float) -> dict:
+    """group= values: hit/match text, wordleft/wordright context,
+    capture:<name>, field:<name>, decade:<field> (HitProperty names,
+    reference wslib request parsing)."""
+    first = max(0, int(params.get("first", 0)))
+    number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
+    if group in ("hit", "match"):
+        g = results.group_hits_by_text(ix, hits, part="match").select(
+            "group_key", "size"
+        )
+    elif group in ("wordleft", "before"):
+        g = results.group_hits_by_text(ix, hits, part="before", context=1).select(
+            "group_key", "size"
+        )
+    elif group in ("wordright", "after"):
+        g = results.group_hits_by_text(ix, hits, part="after", context=1).select(
+            "group_key", "size"
+        )
+    elif group.startswith("capture:"):
+        g = results.group_hits_by_capture(ix, hits, group.split(":", 1)[1])
+    elif group.startswith("field:"):
+        fld = group.split(":", 1)[1]
+        g = results.group_hits_by_metadata(ix, hits, fld).select(
+            F.col(fld).cast("string").alias("group_key"), "size"
+        )
+    elif group.startswith("decade:"):
+        g = results.group_hits_by_decade(ix, hits, group.split(":", 1)[1]).select(
+            F.col("decade").cast("string").alias("group_key"), "size"
+        )
+    else:
+        raise ValueError(f"unknown group property: {group!r}")
+    n_groups = g.count()
+    rows = results.window_groups(g, first, number).collect()
+    return {
+        "summary": {
+            **_summary(params, first, number, len(rows), None, None, t0),
+            "numberOfGroups": n_groups,
+        },
+        "hitGroups": [
+            {"identity": r["group_key"], "size": r["size"]} for r in rows
+        ],
+    }
+
+
+def op_docs(ix: Index, params: dict) -> dict:
+    """GET /<corpus>/docs — per-document results (DocResults): with patt,
+    docs containing hits + counts; with filter only, metadata-matching docs."""
+    t0 = time.time()
+    first = max(0, int(params.get("first", 0)))
+    number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
+    if params.get("patt"):
+        hits = _hits_base(ix, params)
+        d = results.doc_results(hits)
+    else:
+        d = ix.docs.select("doc_id")
+        if params.get("filter"):
+            d = d.join(
+                ix.docs.filter(F.expr(params["filter"])).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        d = d.withColumn("n_hits", F.lit(None).cast("long"))
+    total = d.count()
+    rows = (
+        d.orderBy(F.col("n_hits").desc_nulls_last(), "doc_id")
+        .limit(first + number)
+        .collect()[first:]
+    )
+    infos = _doc_infos(ix, [r["doc_id"] for r in rows])
+    return {
+        "summary": _summary(params, first, number, len(rows), total, total, t0),
+        "docs": [
+            {
+                "docPid": str(r["doc_id"]),
+                "numberOfHits": r["n_hits"],
+                "docInfo": infos.get(str(r["doc_id"]), {}),
+            }
+            for r in rows
+        ],
+    }
+
+
+def op_doc_info(ix: Index, doc_pid: str, params: dict) -> dict:
+    """GET /<corpus>/docs/<pid> — one docInfo, optional stored contents
+    (opDocInfo/opDocContents)."""
+    sel = ix.docs.filter(
+        (F.col("doc_id").cast("string") == doc_pid) | (F.col("url") == doc_pid)
+    )
+    row = sel.select("doc_id").limit(1).collect()
+    if not row:
+        raise KeyError(doc_pid)
+    doc_id = row[0]["doc_id"]
+    info = _doc_infos(ix, [doc_id])[str(doc_id)]
+    out = {"docPid": str(doc_id), "docInfo": info}
+    if params.get("contents") in ("true", "1", "yes"):
+        txt = sel.select("text").limit(1).collect()[0]["text"]
+        out["contents"] = txt
+    return out
+
+
+def op_termfreq(ix: Index, params: dict) -> dict:
+    """GET /<corpus>/termfreq (opTermFreq)."""
+    t0 = time.time()
+    number = min(MAX_WINDOW, max(1, int(params.get("number", DEFAULT_NUMBER))))
+    annot = params.get("annotation", "word")
+    fold = params.get("sensitive", "false").lower() not in ("true", "1", "yes")
+    tf = ix.term_freqs(fold=fold, annot=annot)
+    rows = tf.orderBy(F.col("cf").desc(), "term").limit(number).collect()
+    return {
+        "summary": _summary(params, 0, number, len(rows), None, None, t0),
+        "termFreq": {r["term"]: r["cf"] for r in rows},
+    }
+
+
+def _summary(params, first, number, actual, total, n_docs, t0) -> dict:
+    s = {
+        "searchParam": {
+            k: v for k, v in params.items() if k not in ("outputformat",)
+        },
+        "searchTime": int((time.time() - t0) * 1000),
+        "windowFirstResult": first,
+        "requestedWindowSize": number,
+        "actualWindowSize": actual,
+        "stillCounting": False,
+    }
+    if total is not None:
+        s["numberOfHits"] = total
+        s["windowHasPrevious"] = first > 0
+        s["windowHasNext"] = first + actual < total
+    if n_docs is not None:
+        s["numberOfDocs"] = n_docs
+    return s
+
+
+# --------------------------------------------------------------------------
+# HTTP layer
+# --------------------------------------------------------------------------
+
+
+class BlackLabServer:
+    """Serve one or more open Index objects over HTTP (stdlib only)."""
+
+    def __init__(
+        self,
+        corpora: dict[str, Index],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        cache: SearchCache | None = None,
+    ):
+        self.corpora = corpora
+        self.cache = cache or SearchCache()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence default stderr logging
+                pass
+
+            def do_GET(self):
+                try:
+                    status, payload = outer._route(self.path)
+                except ValueError as e:
+                    status, payload = 400, {"error": {"code": "BAD_REQUEST", "message": str(e)}}
+                except KeyError as e:
+                    status, payload = 404, {"error": {"code": "NOT_FOUND", "message": str(e)}}
+                except Exception as e:  # surfaced, never a hung socket
+                    status, payload = 500, {"error": {"code": "INTERNAL_ERROR", "message": repr(e)}}
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ---- routing ----
+    def _route(self, path: str) -> tuple[int, dict]:
+        u = urlparse(path)
+        params = {k: v[0] for k, v in parse_qs(u.query).items()}
+        parts = [unquote(p) for p in u.path.strip("/").split("/") if p]
+        if parts and parts[0] == "blacklab-server":
+            parts = parts[1:]
+        if not parts:
+            return 200, self._server_info()
+        if parts[0] == "cache-info":
+            return 200, self.cache.info()
+        if parts[0] == "cache-clear":
+            self.cache.clear()
+            return 200, {"status": "cleared"}
+        corpus = parts[0]
+        if corpus not in self.corpora:
+            raise KeyError(f"corpus {corpus!r}")
+        ix = self.corpora[corpus]
+        rest = parts[1:]
+        if not rest:
+            return 200, self._corpus_info(corpus, ix)
+        op = rest[0]
+        if op == "hits":
+            key = (corpus, "hits", tuple(sorted(params.items())))
+            return 200, self.cache.get_or_compute(key, lambda: op_hits(ix, params))
+        if op == "docs" and len(rest) == 1:
+            key = (corpus, "docs", tuple(sorted(params.items())))
+            return 200, self.cache.get_or_compute(key, lambda: op_docs(ix, params))
+        if op == "docs" and len(rest) == 2:
+            return 200, op_doc_info(ix, rest[1], params)
+        if op == "termfreq":
+            key = (corpus, "termfreq", tuple(sorted(params.items())))
+            return 200, self.cache.get_or_compute(key, lambda: op_termfreq(ix, params))
+        raise KeyError(f"operation {op!r}")
+
+    def _server_info(self) -> dict:
+        return {
+            "apiVersion": "4.0-pyspark",
+            "indices": {
+                name: {
+                    "documentCount": ix.n_docs,
+                    "status": "available",
+                }
+                for name, ix in self.corpora.items()
+            },
+            "cacheSizeBytesTarget": None,
+        }
+
+    def _corpus_info(self, name: str, ix: Index) -> dict:
+        return {
+            "indexName": name,
+            "documentCount": ix.n_docs,
+            "tokenCount": ix.sum_dl,
+            "annotatedFields": {
+                "contents": {"annotations": list(ix.annotations)}
+            },
+            "metadataFields": _meta_cols(ix),
+            "status": "available",
+        }
+
+    # ---- lifecycle ----
+    def start(self) -> "BlackLabServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """`python -m blacklab_spark.server <index_dir> [--name corpus] [--port N]`"""
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="BlackLab-analog search server")
+    ap.add_argument("index_dir")
+    ap.add_argument("--name", default="corpus")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+    spark = get_spark(args.master, app_name="blacklab_server")
+    srv = BlackLabServer(
+        {args.name: Index(spark, args.index_dir)}, port=args.port
+    ).start()
+    print(f"serving on http://127.0.0.1:{srv.port}/blacklab-server")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
