@@ -19,10 +19,22 @@ PySpark-side equivalent, stdlib-only (http.server + threading):
     GET /blacklab-server/<corpus>/hits         patt, first, number, sort,
                                                group, filter, sample,
                                                wordsaroundhit, waitfortotal
-    GET /blacklab-server/<corpus>/docs         patt/filter -> per-doc counts
+    GET /blacklab-server/<corpus>/docs         patt/filter -> per-doc counts,
+                                               group= -> docGroups
     GET /blacklab-server/<corpus>/docs/<pid>   docInfo (+ contents=true)
+    GET /blacklab-server/<corpus>/docs/<pid>/snippet   hitstart/hitend or
+                                               wordstart/wordend context
     GET /blacklab-server/<corpus>/termfreq     annotation, sensitive, number
+    GET /blacklab-server/<corpus>/autocomplete/<field>[/<annotation>]?term=
+    GET /blacklab-server/<corpus>/fields/<name>  field info + value freqs
+    GET /blacklab-server/<corpus>/relations    relation classes/types + spans
+    GET /blacklab-server/<corpus>/status       index status
+    GET /blacklab-server/input-formats         reader registry
+    GET /blacklab-server/parse-pattern?patt=   parse-only (CQL + JSON IR)
     GET /blacklab-server/cache-info            cache stats (debug endpoint)
+
+`/hits?calc=colloc` returns collocations (tokenFrequencies);
+`outputformat=csv` on /hits and /docs returns CSV (WriteCsv analog).
 
 Response JSON follows the reference's shapes (summary / hits+docInfos /
 hitGroups / docs), so a BLS client maps 1:1 onto this API.
@@ -245,6 +257,20 @@ def op_hits(ix: Index, params: dict) -> dict:
     context = min(50, max(0, int(params.get("wordsaroundhit", 5))))
     hits = _hits_base(ix, params)
 
+    if params.get("calc") in ("colloc", "collocations"):
+        # collocations request rides the hits URL in the reference too
+        # (WebserviceRequestHandler.opHits: isCalculateCollocations branch)
+        tf = results.collocations(
+            ix, hits, context=context,
+            fold=params.get("sensitive", "false").lower()
+            not in ("true", "1", "yes"),
+        )
+        rows = tf.orderBy(F.col("n").desc(), "term").limit(number).collect()
+        return {
+            "summary": _summary(params, 0, number, len(rows), None, None, t0),
+            "tokenFrequencies": {r["term"]: r["n"] for r in rows},
+        }
+
     group = params.get("group")
     if group:
         return _op_hits_grouped(ix, params, hits, group, t0)
@@ -359,6 +385,9 @@ def op_docs(ix: Index, params: dict) -> dict:
                 "doc_id", "left_semi",
             )
         d = d.withColumn("n_hits", F.lit(None).cast("long"))
+    group = params.get("group")
+    if group:
+        return _op_docs_grouped(ix, params, d, group, t0)
     total = d.count()
     rows = (
         d.orderBy(F.col("n_hits").desc_nulls_last(), "doc_id")
@@ -411,6 +440,313 @@ def op_termfreq(ix: Index, params: dict) -> dict:
     }
 
 
+def _op_docs_grouped(ix: Index, params: dict, d, group: str, t0: float) -> dict:
+    """GET /<corpus>/docs?group= — grouped per-document results
+    (RequestHandlerDocsGrouped; DocProperty field/decade groupings)."""
+    first = max(0, int(params.get("first", 0)))
+    number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
+    if group.startswith("field:"):
+        key = F.col(group.split(":", 1)[1]).cast("string")
+    elif group.startswith("decade:"):
+        key = (
+            (F.year(F.col(group.split(":", 1)[1])) / 10).cast("int") * 10
+        ).cast("string")
+    else:
+        raise ValueError(f"unknown docs group property: {group!r}")
+    g = (
+        d.join(ix.docs.select("doc_id", *_meta_cols(ix)), "doc_id")
+        .groupBy(key.alias("group_key"))
+        .agg(F.count("*").alias("size"), F.sum("n_hits").alias("n_hits"))
+    )
+    n_groups = g.count()
+    rows = (
+        g.orderBy(F.col("size").desc(), "group_key")
+        .limit(first + number)
+        .collect()[first:]
+    )
+    return {
+        "summary": {
+            **_summary(params, first, number, len(rows), None, None, t0),
+            "numberOfGroups": n_groups,
+        },
+        "docGroups": [
+            {
+                "identity": r["group_key"],
+                "size": r["size"],
+                "numberOfHits": r["n_hits"],
+            }
+            for r in rows
+        ],
+    }
+
+
+AUTOCOMPLETE_MAX = 30  # ResultAutocomplete.MAX_VALUES
+
+
+def op_autocomplete(ix: Index, parts: list[str], params: dict) -> list:
+    """GET /<corpus>/autocomplete/<field>?term= — metadata-field values, or
+    /<corpus>/autocomplete/<annotatedField>/<annotation>?term= — dictionary
+    terms by prefix (RequestHandlerAutocomplete; ResultAutocomplete:
+    insensitive variant preferred, MAX_VALUES=30, plain JSON list)."""
+    term = params.get("term")
+    if not term:
+        raise ValueError("Bad URL. Pass a parameter 'term' to autocomplete.")
+    if not parts:
+        raise ValueError(
+            "Bad URL. Specify a field name and optionally an annotation "
+            "to autocomplete."
+        )
+    field = parts[0]
+    if field == "contents":
+        if len(parts) < 2:
+            raise ValueError(
+                "Also specify an annotation to autocomplete for annotated "
+                f"field: {field}"
+            )
+        annot = parts[1]
+        ix._check_annot(annot)
+        # insensitive matching over the dictionary's folded form — the
+        # reference prefers the INSENSITIVE sensitivity variant when present
+        rows = (
+            ix.terms_df.filter(F.col("annot") == annot)
+            .filter(F.col("term_fold").startswith(term.lower()))
+            .select(F.col("term_fold").alias("v"))
+            .distinct()
+            .orderBy("v")
+            .limit(AUTOCOMPLETE_MAX)
+            .collect()
+        )
+        return [r["v"] for r in rows]
+    if field not in _meta_cols(ix):
+        raise KeyError(f"field {field!r}")
+    rows = (
+        ix.docs.select(F.col(field).cast("string").alias("v"))
+        .filter(F.col("v").startswith(term))
+        .distinct()
+        .orderBy("v")
+        .limit(AUTOCOMPLETE_MAX)
+        .collect()
+    )
+    return [r["v"] for r in rows]
+
+
+def op_field_info(ix: Index, name: str, params: dict) -> dict:
+    """GET /<corpus>/fields/<name> (RequestHandlerFieldInfo /
+    WebserviceRequestHandler.opFieldInfo): annotated field -> annotation
+    inventory; metadata field -> type + value frequency list with
+    valueListComplete (ResultMetadataField / TruncatableFreqList)."""
+    if name == "contents":
+        return {
+            "fieldName": "contents",
+            "isAnnotatedField": True,
+            "mainAnnotation": "word",
+            "annotations": {
+                a: {
+                    "hasForwardIndex": True,
+                    "sensitivity": "SENSITIVE_AND_INSENSITIVE",
+                }
+                for a in ix.annotations
+            },
+            "tokenCount": ix.sum_dl,
+            "documentCount": ix.n_docs,
+        }
+    cols = dict(ix.docs.dtypes)
+    if name not in _meta_cols(ix):
+        raise KeyError(f"field {name!r}")
+    limit = min(MAX_WINDOW, max(1, int(params.get("limitvalues", 200))))
+    rows = (
+        ix.docs.groupBy(F.col(name).cast("string").alias("v"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "v")
+        .limit(limit + 1)
+        .collect()
+    )
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    return {
+        "fieldName": name,
+        "isAnnotatedField": False,
+        "type": cols[name],
+        "fieldValues": {r["v"]: r["n"] for r in rows},
+        "valueListComplete": not truncated,
+    }
+
+
+def op_parse_pattern(params: dict) -> dict:
+    """GET /parse-pattern?patt= (RequestHandlerParsePattern /
+    WebserviceRequestHandler.opParsePattern:301-331): parse only, return the
+    canonical CQL serialization + the JSON TextPattern structure."""
+    patt = params.get("patt")
+    if not patt:
+        raise ValueError("missing required parameter: patt")
+    out = {"params": {"patt": patt, "pattlang": "bcql"}, "parsed": {}}
+    try:
+        tp = bcql.parse(patt)
+        out["parsed"]["bcql"] = bcql.to_cql(tp)
+        out["parsed"]["json"] = bcql.to_dict(tp)
+    except Exception as e:
+        out["parsed"]["error"] = str(e)
+    return out
+
+
+def op_relations(ix: Index, params: dict) -> dict:
+    """GET /<corpus>/relations (RequestHandlerRelations /
+    WebserviceRequestHandler.opRelations:333+): relation classes -> types ->
+    counts, plus inline tags as the special spans class with attribute
+    value-frequency lists (RelationUtil.CLASS_INLINE_TAG)."""
+    limit = min(MAX_WINDOW, max(1, int(params.get("limitvalues", 200))))
+    out: dict = {}
+    # inline tags = the spans class; attrs -> TruncatableFreqList analog
+    tag_rows = (
+        ix.docs.select(F.explode("tags").alias("t"))
+        .groupBy(F.col("t.name").alias("name"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if tag_rows:
+        attr_rows = (
+            ix.docs.select(F.explode("tags").alias("t"))
+            .select("t.name", F.explode("t.attrs").alias("attr", "value"))
+            .groupBy("name", "attr", "value")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "value")
+            .limit(limit + 1)
+            .collect()
+        )
+        attrs_by_tag: dict = {}
+        for r in attr_rows[:limit]:
+            attrs_by_tag.setdefault(r["name"], {}).setdefault(
+                r["attr"], {"values": {}, "valueListComplete": True}
+            )["values"][r["value"]] = r["n"]
+        if len(attr_rows) > limit:
+            for per_tag in attrs_by_tag.values():
+                for a in per_tag.values():
+                    a["valueListComplete"] = False
+        out["spans"] = {
+            r["name"]: {
+                "count": r["n"],
+                **(
+                    {"attributes": attrs_by_tag[r["name"]]}
+                    if r["name"] in attrs_by_tag
+                    else {}
+                ),
+            }
+            for r in tag_rows
+        }
+    classes: dict = {}
+    try:
+        rel_rows = (
+            ix.rel_spans(include_alignments=True)
+            .groupBy("rclass", "rtype")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    except ValueError:  # no relations indexed
+        rel_rows = []
+    for r in rel_rows:
+        classes.setdefault(r["rclass"], {})[r["rtype"]] = {"count": r["n"]}
+    out["relations"] = classes
+    return out
+
+
+def op_doc_snippet(ix: Index, doc_pid: str, params: dict) -> dict:
+    """GET /<corpus>/docs/<pid>/snippet?hitstart=&hitend=&wordsaroundhit=
+    (RequestHandlerDocSnippet / opDocSnippet): token context around an
+    arbitrary hit position in one document."""
+    if "hitstart" in params:
+        start = int(params["hitstart"])
+        end = int(params.get("hitend", start + 1))
+        context = min(50, max(0, int(params.get("wordsaroundhit", 5))))
+    elif "wordstart" in params:
+        # whole-range form: no context words, the range IS the match
+        start = int(params["wordstart"])
+        end = int(params.get("wordend", start + 1))
+        context = 0
+    else:
+        raise ValueError("specify hitstart/hitend or wordstart/wordend")
+    if end <= start or start < 0:
+        raise ValueError("invalid snippet range")
+    sel = ix.docs.filter(
+        (F.col("doc_id").cast("string") == doc_pid) | (F.col("url") == doc_pid)
+    )
+    row = sel.select("doc_id").limit(1).collect()
+    if not row:
+        raise KeyError(doc_pid)
+    doc_id = row[0]["doc_id"]
+    sn = ix.snippet(doc_id, start, end, context=context)
+    if not sn:
+        raise KeyError(f"snippet range out of document: {doc_pid}")
+    return {
+        "docPid": doc_pid,
+        "start": start,
+        "end": end,
+        "left": {"word": sn["left"].split(" ") if sn["left"] else []},
+        "match": {"word": sn["match"].split(" ") if sn["match"] else []},
+        "right": {"word": sn["right"].split(" ") if sn["right"] else []},
+    }
+
+
+def op_list_input_formats() -> dict:
+    """GET /input-formats (RequestHandlerListInputFormats /
+    ResponseStreamer.listFormatsResponse shape)."""
+    from .sources import INPUT_FORMATS
+
+    return {
+        "user": {"loggedIn": False, "canCreateIndex": False},
+        "supportedInputFormats": {
+            name: {
+                "displayName": f["displayName"],
+                "description": f["description"],
+                "helpUrl": "",
+                "configurationBased": f["configurationBased"],
+                "isVisible": True,
+            }
+            for name, f in INPUT_FORMATS.items()
+        },
+    }
+
+
+def _csv_escape(v) -> str:
+    s = "" if v is None else str(v)
+    if any(ch in s for ch in ',"\n'):
+        s = '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def to_csv(payload: dict) -> str:
+    """CSV rendering of a hits/docs/groups payload (RequestHandlerHitsCsv /
+    RequestHandlerDocsCsv, WriteCsv.hitsResponse shape: context columns +
+    doc pid)."""
+    lines = []
+    if "hits" in payload:
+        lines.append("docPid,start,end,left_context,match,right_context")
+        for h in payload["hits"]:
+            lines.append(",".join(_csv_escape(v) for v in (
+                h["docPid"], h["start"], h["end"],
+                " ".join(h["left"]["word"]),
+                " ".join(h["match"]["word"]),
+                " ".join(h["right"]["word"]),
+            )))
+    elif "hitGroups" in payload:
+        lines.append("identity,size")
+        for g in payload["hitGroups"]:
+            lines.append(f'{_csv_escape(g["identity"])},{g["size"]}')
+    elif "docGroups" in payload:
+        lines.append("identity,size,numberOfHits")
+        for g in payload["docGroups"]:
+            lines.append(
+                f'{_csv_escape(g["identity"])},{g["size"]},'
+                f'{_csv_escape(g["numberOfHits"])}'
+            )
+    elif "docs" in payload:
+        lines.append("docPid,numberOfHits")
+        for d in payload["docs"]:
+            lines.append(f'{_csv_escape(d["docPid"])},{_csv_escape(d["numberOfHits"])}')
+    else:
+        raise ValueError("csv output is supported for hits and docs results")
+    return "\n".join(lines) + "\n"
+
+
 def _summary(params, first, number, actual, total, n_docs, t0) -> dict:
     s = {
         "searchParam": {
@@ -455,6 +791,7 @@ class BlackLabServer:
                 pass
 
             def do_GET(self):
+                ctype = "application/json"
                 try:
                     status, payload = outer._route(self.path)
                 except ValueError as e:
@@ -463,9 +800,13 @@ class BlackLabServer:
                     status, payload = 404, {"error": {"code": "NOT_FOUND", "message": str(e)}}
                 except Exception as e:  # surfaced, never a hung socket
                     status, payload = 500, {"error": {"code": "INTERNAL_ERROR", "message": repr(e)}}
-                body = json.dumps(payload, default=str).encode()
+                if isinstance(payload, str):  # pre-rendered (csv)
+                    ctype = "text/csv"
+                    body = payload.encode()
+                else:
+                    body = json.dumps(payload, default=str).encode()
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -488,6 +829,10 @@ class BlackLabServer:
         if parts[0] == "cache-clear":
             self.cache.clear()
             return 200, {"status": "cleared"}
+        if parts[0] == "input-formats":
+            return 200, op_list_input_formats()
+        if parts[0] == "parse-pattern":
+            return 200, op_parse_pattern(params)
         corpus = parts[0]
         if corpus not in self.corpora:
             raise KeyError(f"corpus {corpus!r}")
@@ -496,17 +841,38 @@ class BlackLabServer:
         if not rest:
             return 200, self._corpus_info(corpus, ix)
         op = rest[0]
+        csv_out = params.get("outputformat") == "csv"
         if op == "hits":
             key = (corpus, "hits", tuple(sorted(params.items())))
-            return 200, self.cache.get_or_compute(key, lambda: op_hits(ix, params))
+            payload = self.cache.get_or_compute(key, lambda: op_hits(ix, params))
+            return 200, (to_csv(payload) if csv_out else payload)
         if op == "docs" and len(rest) == 1:
             key = (corpus, "docs", tuple(sorted(params.items())))
-            return 200, self.cache.get_or_compute(key, lambda: op_docs(ix, params))
+            payload = self.cache.get_or_compute(key, lambda: op_docs(ix, params))
+            return 200, (to_csv(payload) if csv_out else payload)
         if op == "docs" and len(rest) == 2:
             return 200, op_doc_info(ix, rest[1], params)
+        if op == "docs" and len(rest) == 3 and rest[2] == "snippet":
+            return 200, op_doc_snippet(ix, rest[1], params)
         if op == "termfreq":
             key = (corpus, "termfreq", tuple(sorted(params.items())))
             return 200, self.cache.get_or_compute(key, lambda: op_termfreq(ix, params))
+        if op == "autocomplete":
+            return 200, op_autocomplete(ix, rest[1:], params)
+        if op == "fields" and len(rest) == 2:
+            return 200, op_field_info(ix, rest[1], params)
+        if op == "relations":
+            key = (corpus, "relations", tuple(sorted(params.items())))
+            return 200, self.cache.get_or_compute(key, lambda: op_relations(ix, params))
+        if op == "status":
+            return 200, {
+                "indexName": corpus,
+                "status": "available",
+                "documentCount": ix.n_docs,
+                "tokenCount": ix.sum_dl,
+            }
+        if op == "parse-pattern":
+            return 200, op_parse_pattern(params)
         raise KeyError(f"operation {op!r}")
 
     def _server_info(self) -> dict:

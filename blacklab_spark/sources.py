@@ -1177,3 +1177,108 @@ def pages_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.col("source").alias("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Input-format registry (reference: DocumentFormats + formats/ resource dir,
+# served by RequestHandlerListInputFormats / ResultListInputFormats)
+# ---------------------------------------------------------------------------
+
+INPUT_FORMATS: dict[str, dict] = {
+    "parquet": {
+        "displayName": "Parquet pages table",
+        "description": "Columnar pages table (url, warc_ts, html, text, lang)",
+        "configurationBased": False,
+        "reader": pages_from_parquet,
+    },
+    "jsonl": {
+        "displayName": "JSON Lines",
+        "description": "One JSON document per line",
+        "configurationBased": False,
+        "reader": pages_from_jsonl,
+    },
+    "csv": {
+        "displayName": "CSV pages table",
+        "description": "Delimited pages table with header",
+        "configurationBased": False,
+        "reader": pages_from_csv,
+    },
+    "text": {
+        "displayName": "Plain text directory",
+        "description": "One document per *.txt file",
+        "configurationBased": False,
+        "reader": pages_from_text_dir,
+    },
+    "conllu": {
+        "displayName": "CoNLL-U",
+        "description": "Tokenized + tagged + dependency relations (reference formats/conll-u.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_conllu,
+    },
+    "xml-config": {
+        "displayName": "Configured XML",
+        "description": "XML via a format-config mapping (reference *.blf.yaml element/attribute config)",
+        "configurationBased": True,
+        "reader": pages_from_xml_dir,
+    },
+    "xml-xpath": {
+        "displayName": "XPath XML",
+        "description": "XML via XPath expressions per annotation (reference DocIndexerXPath)",
+        "configurationBased": True,
+        "reader": pages_from_xml_xpath,
+    },
+    "eaf": {
+        "displayName": "ELAN",
+        "description": "ELAN annotation format (reference formats/eaf.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_eaf_dir,
+    },
+    "tcf": {
+        "displayName": "TCF",
+        "description": "WebLicht Text Corpus Format (reference formats/tcf.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_tcf_dir,
+    },
+    "naf": {
+        "displayName": "NAF",
+        "description": "NLP Annotation Format (reference formats/naf.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_naf_dir,
+    },
+    "folia": {
+        "displayName": "FoLiA",
+        "description": "Format for Linguistic Annotation (reference formats/folia.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_folia_dir,
+    },
+    "chat": {
+        "displayName": "CHAT",
+        "description": "CHILDES CHAT transcripts (reference formats/chat.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_chat_dir,
+    },
+    "sketch-wpl": {
+        "displayName": "Sketch Engine WPL",
+        "description": "Word-per-line vertical format (reference formats/sketch-wpl.blf.yaml)",
+        "configurationBased": False,
+        "reader": pages_from_sketch_wpl,
+    },
+    "tsv": {
+        "displayName": "Tabular TSV",
+        "description": "Token-per-line TSV (reference formats/tsv.blf.yaml)",
+        "configurationBased": True,
+        "reader": pages_from_tabular_dir,
+    },
+    "tsv-frog": {
+        "displayName": "Frog TSV",
+        "description": "Frog tagger token-per-line output (reference formats/tsv-frog.blf.yaml)",
+        "configurationBased": True,
+        "reader": pages_from_tabular_dir,
+    },
+    "cmdi": {
+        "displayName": "CMDI metadata",
+        "description": "Linked CMDI metadata enrichment (reference formats/cmdi.blf.yaml)",
+        "configurationBased": False,
+        "reader": cmdi_metadata,
+    },
+}

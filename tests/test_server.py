@@ -200,3 +200,176 @@ def test_cache_lru_eviction():
     m0 = cache.misses
     cache.get_or_compute((0,), lambda: {"i": 0})
     assert cache.misses == m0 + 1
+
+
+# ---------------------------------------------------------------------------
+# round-5 endpoint surface: autocomplete / fields / parse-pattern / relations
+# / snippet / input-formats / status / colloc / docs-grouped / csv
+# ---------------------------------------------------------------------------
+
+
+def get_raw(srv, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=120
+    ) as r:
+        return r.status, r.headers.get("Content-Type"), r.read().decode()
+
+
+def test_autocomplete_annotation(srv, tiny_index):
+    st, terms = get(srv, "/blacklab-server/tiny/autocomplete/contents/word?term=th")
+    assert st == 200
+    assert isinstance(terms, list) and terms
+    assert all(t.startswith("th") for t in terms)
+    assert terms == sorted(terms) and len(terms) <= 30
+    # parity with the dictionary: every folded dict term with the prefix
+    from pyspark.sql import functions as F
+
+    want = {
+        r["term_fold"]
+        for r in tiny_index.terms_df.filter(
+            (F.col("annot") == "word") & F.col("term_fold").startswith("th")
+        ).collect()
+    }
+    assert set(terms) == set(sorted(want)[:30])
+
+
+def test_autocomplete_metadata_and_errors(srv):
+    st, vals = get(srv, "/blacklab-server/tiny/autocomplete/lang?term=e")
+    assert st == 200 and all(v.startswith("e") for v in vals)
+    # annotated field without annotation -> 400 (reference BadRequest)
+    st, _ = get(srv, "/blacklab-server/tiny/autocomplete/contents?term=th")
+    assert st == 400
+    # missing term param -> 400
+    st, _ = get(srv, "/blacklab-server/tiny/autocomplete/lang")
+    assert st == 400
+    st, _ = get(srv, "/blacklab-server/tiny/autocomplete/nosuchfield?term=x")
+    assert st == 404
+
+
+def test_field_info_metadata(srv, tiny_index):
+    st, body = get(srv, "/blacklab-server/tiny/fields/lang")
+    assert st == 200
+    assert body["isAnnotatedField"] is False
+    assert body["valueListComplete"] is True
+    assert sum(body["fieldValues"].values()) == tiny_index.n_docs
+
+
+def test_field_info_annotated_and_missing(srv, tiny_index):
+    st, body = get(srv, "/blacklab-server/tiny/fields/contents")
+    assert st == 200 and body["isAnnotatedField"] is True
+    assert set(body["annotations"]) == set(tiny_index.annotations)
+    st, _ = get(srv, "/blacklab-server/tiny/fields/nosuch")
+    assert st == 404
+
+
+def test_parse_pattern(srv):
+    st, body = get(srv, "/blacklab-server/parse-pattern?patt=%22the%22%20%5Bpos%3D%22N.%2A%22%5D")
+    assert st == 200
+    assert body["params"]["pattlang"] == "bcql"
+    assert "json" in body["parsed"] and "bcql" in body["parsed"]
+    # the serialized CQL reparses to the same IR (reference parse-pattern
+    # round-trip property)
+    tp = bcql.parse(body["parsed"]["bcql"])
+    # normalize through json (tuples -> lists) like the HTTP layer did
+    assert json.loads(json.dumps(bcql.to_dict(tp), default=str)) == body["parsed"]["json"]
+    # unparseable pattern -> error entry, not a 500
+    st, body = get(srv, "/blacklab-server/parse-pattern?patt=%22unclosed")
+    assert st == 200 and "error" in body["parsed"]
+
+
+def test_relations_endpoint(srv):
+    st, body = get(srv, "/blacklab-server/tiny/relations")
+    assert st == 200
+    assert "relations" in body and isinstance(body["relations"], dict)
+
+
+def test_doc_snippet(srv, tiny_index):
+    row = tiny_index.docs.select("doc_id", "tokens").limit(1).collect()[0]
+    pid = str(row["doc_id"])
+    st, body = get(
+        srv,
+        f"/blacklab-server/tiny/docs/{pid}/snippet?hitstart=1&hitend=2&wordsaroundhit=1",
+    )
+    assert st == 200
+    assert body["match"]["word"] == [row["tokens"][1]]
+    assert body["left"]["word"] == [row["tokens"][0]]
+    # wordstart/wordend form: the range is the match, no context
+    st, body = get(
+        srv, f"/blacklab-server/tiny/docs/{pid}/snippet?wordstart=0&wordend=2"
+    )
+    assert st == 200
+    assert body["match"]["word"] == list(row["tokens"][:2])
+    assert body["left"]["word"] == []
+    st, _ = get(srv, f"/blacklab-server/tiny/docs/{pid}/snippet")
+    assert st == 400
+
+
+def test_input_formats(srv):
+    st, body = get(srv, "/blacklab-server/input-formats")
+    assert st == 200
+    fmts = body["supportedInputFormats"]
+    for name in ("conllu", "folia", "sketch-wpl", "tsv", "chat", "parquet"):
+        assert name in fmts and fmts[name]["description"]
+
+
+def test_corpus_status(srv, tiny_index):
+    st, body = get(srv, "/blacklab-server/tiny/status")
+    assert st == 200
+    assert body["status"] == "available"
+    assert body["documentCount"] == tiny_index.n_docs
+    assert body["tokenCount"] == tiny_index.sum_dl
+
+
+def test_hits_collocations(srv, tiny_index):
+    from blacklab_spark import results
+
+    st, body = get(
+        srv,
+        '/blacklab-server/tiny/hits?patt=%22the%22&calc=colloc&wordsaroundhit=2&number=5',
+    )
+    assert st == 200
+    tf = body["tokenFrequencies"]
+    assert tf and len(tf) <= 5
+    hits = bcql.find(tiny_index, '"the"')
+    want = {
+        r["term"]: r["n"]
+        for r in results.collocations(tiny_index, hits, context=2).collect()
+    }
+    for term, n in tf.items():
+        assert want[term] == n
+    assert list(tf.values()) == sorted(tf.values(), reverse=True)
+
+
+def test_docs_grouped_by_field(srv, tiny_index):
+    st, body = get(
+        srv, "/blacklab-server/tiny/docs?patt=%22the%22&group=field:lang"
+    )
+    assert st == 200
+    groups = body["docGroups"]
+    assert groups and body["summary"]["numberOfGroups"] == len(groups)
+    from blacklab_spark import results
+
+    hits = bcql.find(tiny_index, '"the"')
+    want_docs = results.doc_results(hits).count()
+    assert sum(g["size"] for g in groups) == want_docs
+    st, _ = get(srv, "/blacklab-server/tiny/docs?patt=%22the%22&group=bogus")
+    assert st == 400
+
+
+def test_hits_csv_output(srv):
+    st, ctype, text = get_raw(
+        srv, '/blacklab-server/tiny/hits?patt=%22the%22&number=3&outputformat=csv'
+    )
+    assert st == 200 and ctype == "text/csv"
+    lines = text.strip().split("\n")
+    assert lines[0] == "docPid,start,end,left_context,match,right_context"
+    assert len(lines) == 4
+    assert all(line.split(",")[4].lower().find("the") >= 0 for line in lines[1:])
+
+
+def test_docs_csv_output(srv):
+    st, ctype, text = get_raw(
+        srv, '/blacklab-server/tiny/docs?patt=%22the%22&outputformat=csv'
+    )
+    assert st == 200 and ctype == "text/csv"
+    assert text.startswith("docPid,numberOfHits\n")
