@@ -875,6 +875,70 @@ def build_queries() -> dict:
 
     q["mm_frames"] = mm_frames
 
+    def mm_decode_bmp(s, d):
+        """REAL image decode round-trip: a deterministic uncompressed BMP is
+        encoded per doc_id (w=4+id%13, h=3+id%7, constant fill id%256), then
+        decoded by the pure-numpy BMP decoder (multimodal.decode_bmp) inside
+        an Arrow-batched mapInPandas. The oracle recomputes the closed-form
+        dims + mean pixel in SQL, so a decoder bug = a value-hash mismatch."""
+        import pandas as pd
+
+        from . import multimodal as M
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                yield pd.DataFrame({
+                    "doc_id": ids,
+                    "payload": [
+                        M.encode_bmp(4 + int(i) % 13, 3 + int(i) % 7, int(i) % 256)
+                        for i in ids
+                    ],
+                })
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.image_features(wp).select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+
+    q["mm_decode_bmp"] = mm_decode_bmp
+
+    def mm_audio_wav(s, d):
+        """REAL PCM-WAV decode round-trip: constant-signal WAVs with
+        deterministic rate/frames/channels/amplitude per doc_id, decoded by
+        multimodal.decode_wav (stdlib wave + numpy RMS); oracle recomputes
+        every field in SQL (constant signal -> RMS == amplitude exactly)."""
+        import pandas as pd
+
+        from . import multimodal as M
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                yield pd.DataFrame({
+                    "doc_id": ids,
+                    "payload": [
+                        M.encode_wav(
+                            8000 + int(i) % 3 * 4000, 100 + int(i) % 50,
+                            1 + int(i) % 2, 500 + int(i) % 100,
+                        )
+                        for i in ids
+                    ],
+                })
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.audio_metadata(wp).select(
+            "doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms",
+            F.round("rms", 6).alias("rms"),
+        )
+
+    q["mm_audio_wav"] = mm_audio_wav
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -1275,6 +1339,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "mm_decode_bmp", "mm_audio_wav",  # new in r5: real-codec round-trips
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
     # cut from the r4 sample (checked r1-r3 at best)
     "ft_termfreq_top20", "ft_facet_source", "ft_window", "ft_sample",
@@ -1590,6 +1655,25 @@ FROM documents WHERE doc_id < 200
 SELECT doc_id, CAST(f.fi AS INT) AS frame_id, md5(text || CAST(f.fi AS VARCHAR)) AS frame_hash
 FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f
 WHERE doc_id < 100 AND f.fi < 1 + ({_H16}) % 4
+"""
+    # REAL-codec round-trips: synth params are closed-form in doc_id, so the
+    # oracle recomputes what a CORRECT decoder must report
+    o["mm_decode_bmp"] = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_px
+FROM documents
+"""
+    o["mm_audio_wav"] = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(100 + doc_id % 50 AS INT) AS n_frames,
+       CAST(((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
+       ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
+FROM documents
 """
     o["dd_emb_neardup"] = f"""
 WITH {SQL_HP},
