@@ -49,6 +49,7 @@ results.py / query.py operators — so a request over a 100-TB index ships
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -143,6 +144,14 @@ class SearchCache:
     def clear(self) -> None:
         with self._lock:
             self._entries.clear()
+
+    def clear_corpus(self, corpus: str) -> None:
+        """Drop every cached search for one corpus — required after an
+        add-to-index/delete so stale windows never serve (the reference
+        invalidates BlsCache entries when the index version changes)."""
+        with self._lock:
+            for k in [k for k in self._entries if k and k[0] == corpus]:
+                del self._entries[k]
 
     def info(self) -> dict:
         with self._lock:
@@ -773,7 +782,20 @@ def _summary(params, first, number, actual, total, n_docs, t0) -> dict:
 
 
 class BlackLabServer:
-    """Serve one or more open Index objects over HTTP (stdlib only)."""
+    """Serve one or more open Index objects over HTTP (stdlib only).
+
+    With `writable_root` set, the index-management surface is enabled
+    (user corpora — RequestHandlerCreateIndex / AddToIndex / DeleteIndex):
+        POST   /blacklab-server?name=<corpus>        create empty corpus
+        POST   /blacklab-server/<corpus>/docs        body = JSONL documents
+                                                     ({url?, text, lang?} per
+                                                     line) -> one new delta
+                                                     segment + tiered compact
+        DELETE /blacklab-server/<corpus>             delete a created corpus
+    Adds reuse the batch build's add_segment path (segment-per-request, the
+    reference's IndexerImpl incremental add) and run the TieredMergePolicy
+    analog so segment fan-out stays bounded; only corpora created through
+    the API can be deleted."""
 
     def __init__(
         self,
@@ -781,9 +803,17 @@ class BlackLabServer:
         host: str = "127.0.0.1",
         port: int = 0,
         cache: SearchCache | None = None,
+        writable_root: str | None = None,
+        spark=None,
     ):
-        self.corpora = corpora
+        self.corpora: dict[str, Index | None] = dict(corpora)
         self.cache = cache or SearchCache()
+        self.writable_root = writable_root
+        self._created: set[str] = set()
+        self._spark = spark or (
+            next(iter(corpora.values())).spark if corpora else None
+        )
+        self._mgmt_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -810,6 +840,32 @@ class BlackLabServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _mgmt(self, fn):
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    data = self.rfile.read(n) if n else b""
+                    status, payload = fn(self.path, data)
+                except ValueError as e:
+                    status, payload = 400, {"error": {"code": "BAD_REQUEST", "message": str(e)}}
+                except KeyError as e:
+                    status, payload = 404, {"error": {"code": "NOT_FOUND", "message": str(e)}}
+                except PermissionError as e:
+                    status, payload = 403, {"error": {"code": "FORBIDDEN", "message": str(e)}}
+                except Exception as e:
+                    status, payload = 500, {"error": {"code": "INTERNAL_ERROR", "message": repr(e)}}
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                self._mgmt(outer._route_post)
+
+            def do_DELETE(self):
+                self._mgmt(outer._route_delete)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -838,6 +894,15 @@ class BlackLabServer:
             raise KeyError(f"corpus {corpus!r}")
         ix = self.corpora[corpus]
         rest = parts[1:]
+        if ix is None:  # created but no documents added yet
+            if not rest or rest[0] == "status":
+                return 200, {
+                    "indexName": corpus,
+                    "status": "empty",
+                    "documentCount": 0,
+                    "tokenCount": 0,
+                }
+            raise ValueError(f"corpus {corpus!r} is empty; add documents first")
         if not rest:
             return 200, self._corpus_info(corpus, ix)
         op = rest[0]
@@ -880,13 +945,140 @@ class BlackLabServer:
             "apiVersion": "4.0-pyspark",
             "indices": {
                 name: {
-                    "documentCount": ix.n_docs,
-                    "status": "available",
+                    "documentCount": ix.n_docs if ix is not None else 0,
+                    "status": "available" if ix is not None else "empty",
                 }
                 for name, ix in self.corpora.items()
             },
             "cacheSizeBytesTarget": None,
         }
+
+    # ---- index management (user corpora) ----
+    _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}$")
+
+    def _require_writable(self) -> str:
+        if not self.writable_root or self._spark is None:
+            raise PermissionError(
+                "index management is disabled (server started without a "
+                "writable_root)"
+            )
+        return self.writable_root
+
+    def _route_post(self, path: str, data: bytes) -> tuple[int, dict]:
+        import os
+
+        u = urlparse(path)
+        params = {k: v[0] for k, v in parse_qs(u.query).items()}
+        parts = [unquote(p) for p in u.path.strip("/").split("/") if p]
+        if parts and parts[0] == "blacklab-server":
+            parts = parts[1:]
+        root = self._require_writable()
+        if not parts:  # POST /blacklab-server?name=  -> create corpus
+            name = params.get("name")
+            if not name:
+                raise ValueError("You didn't specify the required name parameter.")
+            if not self._NAME_RE.match(name):
+                raise ValueError(f"illegal index name: {name!r}")
+            with self._mgmt_lock:
+                if name in self.corpora:
+                    raise ValueError(f"corpus {name!r} already exists")
+                os.makedirs(os.path.join(root, name), exist_ok=True)
+                self.corpora[name] = None
+                self._created.add(name)
+            return 201, {"status": "SUCCESS", "message": "Index created succesfully."}
+        if len(parts) == 2 and parts[1] == "docs":  # add documents
+            corpus = parts[0]
+            if corpus not in self.corpora:
+                raise KeyError(f"corpus {corpus!r}")
+            if corpus not in self._created:
+                raise PermissionError(
+                    "documents can only be added to corpora created through "
+                    "this API"
+                )
+            n_added = self._add_documents(corpus, data, params)
+            return 200, {
+                "status": "SUCCESS",
+                "message": f"Data added to index: {n_added} documents.",
+                "documentsAdded": n_added,
+            }
+        raise KeyError(f"POST {u.path}")
+
+    def _add_documents(self, corpus: str, data: bytes, params: dict) -> int:
+        """Body = JSONL documents ({text, url?, lang?} per line). One request
+        -> ONE delta segment via the batch build's add_segment (the
+        reference's IndexerImpl incremental add), then a tiered-compaction
+        pass so segment count stays O(log adds). The add is bounded by the
+        HTTP body; the heavy build work runs as normal Spark jobs."""
+        import os
+
+        from pyspark.sql import functions as SF
+
+        from .build import add_segment
+        from .streaming import tiered_compact
+
+        lines = [ln for ln in data.decode("utf-8", "replace").splitlines() if ln.strip()]
+        if not lines:
+            raise ValueError("empty request body; send JSONL documents")
+        rows = []
+        for i, ln in enumerate(lines):
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"bad JSONL at line {i}: {e}") from None
+            if not isinstance(d, dict) or not d.get("text"):
+                raise ValueError(f"line {i}: each document needs a 'text' field")
+            rows.append((
+                str(d.get("url") or f"doc://{corpus}/{i}"),
+                str(d["text"]),
+                str(d.get("lang") or "und"),
+            ))
+        out_dir = os.path.join(self._require_writable(), corpus)
+        with self._mgmt_lock:
+            pages = self._spark.createDataFrame(
+                rows, "url string, text string, lang string"
+            ).select(
+                "url",
+                SF.lit(None).cast("timestamp").alias("warc_ts"),
+                SF.lit(None).cast("binary").alias("html"),
+                "text",
+                "lang",
+            )
+            # next free add-N segment name (merges may have consumed earlier ones)
+            seg_dir = os.path.join(out_dir, "segments")
+            n = 0
+            while os.path.exists(os.path.join(seg_dir, f"add-{n}")):
+                n += 1
+            n_shards = int(params.get("nshards", 4))
+            add_segment(self._spark, pages, out_dir, f"add-{n}", n_shards=n_shards)
+            tiered_compact(self._spark, out_dir, tag=f"add{n}")
+            self.corpora[corpus] = Index(self._spark, out_dir)
+            self.cache.clear_corpus(corpus)
+        return len(rows)
+
+    def _route_delete(self, path: str, data: bytes) -> tuple[int, dict]:
+        import os
+        import shutil
+
+        u = urlparse(path)
+        parts = [unquote(p) for p in u.path.strip("/").split("/") if p]
+        if parts and parts[0] == "blacklab-server":
+            parts = parts[1:]
+        root = self._require_writable()
+        if len(parts) != 1:
+            raise KeyError(f"DELETE {u.path}")
+        corpus = parts[0]
+        if corpus not in self.corpora:
+            raise KeyError(f"corpus {corpus!r}")
+        if corpus not in self._created:
+            raise PermissionError(
+                "only corpora created through this API can be deleted"
+            )
+        with self._mgmt_lock:
+            del self.corpora[corpus]
+            self._created.discard(corpus)
+            self.cache.clear_corpus(corpus)
+            shutil.rmtree(os.path.join(root, corpus), ignore_errors=True)
+        return 200, {"status": "SUCCESS", "message": "Index deleted succesfully."}
 
     def _corpus_info(self, name: str, ix: Index) -> dict:
         return {

@@ -373,3 +373,96 @@ def test_docs_csv_output(srv):
     )
     assert st == 200 and ctype == "text/csv"
     assert text.startswith("docPid,numberOfHits\n")
+
+
+# ---------------------------------------------------------------------------
+# index management: create / add-to-index / delete (user corpora)
+# ---------------------------------------------------------------------------
+
+
+def req(srv, method, path, body=None):
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body, method=method
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=300) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def wsrv(spark, tmp_path):
+    from blacklab_spark.server import BlackLabServer
+
+    s = BlackLabServer({}, port=0, writable_root=str(tmp_path), spark=spark).start()
+    yield s
+    s.stop()
+
+
+def jsonl(docs):
+    return "\n".join(json.dumps(d) for d in docs).encode()
+
+
+def test_create_add_query_lifecycle(wsrv):
+    st, body = req(wsrv, "POST", "/blacklab-server?name=mine")
+    assert st == 201 and body["status"] == "SUCCESS"
+    # empty corpus: listed, status empty, queries rejected with 400
+    st, info = req(wsrv, "GET", "/blacklab-server")
+    assert info["indices"]["mine"]["status"] == "empty"
+    st, stat = req(wsrv, "GET", "/blacklab-server/mine/status")
+    assert st == 200 and stat["documentCount"] == 0
+    st, _ = req(wsrv, "GET", "/blacklab-server/mine/hits?patt=%22the%22")
+    assert st == 400
+    # add 3 documents
+    st, body = req(wsrv, "POST", "/blacklab-server/mine/docs", jsonl([
+        {"url": "u1", "text": "the quick brown fox", "lang": "en"},
+        {"url": "u2", "text": "the lazy dog sleeps"},
+        {"text": "no url document the end"},
+    ]))
+    assert st == 200 and body["documentsAdded"] == 3
+    st, hits = req(wsrv, "GET", "/blacklab-server/mine/hits?patt=%22the%22&number=10")
+    assert st == 200 and hits["summary"]["numberOfHits"] == 3
+    # incremental add -> new delta segment, cache invalidated, counts grow
+    st, body = req(wsrv, "POST", "/blacklab-server/mine/docs", jsonl([
+        {"url": "u4", "text": "the fourth document"},
+    ]))
+    assert st == 200
+    st, hits = req(wsrv, "GET", "/blacklab-server/mine/hits?patt=%22the%22&number=10")
+    assert hits["summary"]["numberOfHits"] == 4
+    st, info = req(wsrv, "GET", "/blacklab-server/mine")
+    assert info["documentCount"] == 4
+    # doc ids continue across segments: all 4 docs distinct
+    assert len({h["docPid"] for h in hits["hits"]}) == 4
+
+
+def test_delete_corpus(wsrv):
+    req(wsrv, "POST", "/blacklab-server?name=gone")
+    req(wsrv, "POST", "/blacklab-server/gone/docs", jsonl([{"text": "bye world"}]))
+    st, _ = req(wsrv, "DELETE", "/blacklab-server/gone")
+    assert st == 200
+    st, _ = req(wsrv, "GET", "/blacklab-server/gone")
+    assert st == 404
+
+
+def test_management_validation(wsrv):
+    st, _ = req(wsrv, "POST", "/blacklab-server")  # no name
+    assert st == 400
+    st, _ = req(wsrv, "POST", "/blacklab-server?name=../evil")
+    assert st == 400
+    req(wsrv, "POST", "/blacklab-server?name=dup")
+    st, _ = req(wsrv, "POST", "/blacklab-server?name=dup")
+    assert st == 400
+    st, _ = req(wsrv, "POST", "/blacklab-server/dup/docs", b"not json\n")
+    assert st == 400
+    st, _ = req(wsrv, "POST", "/blacklab-server/dup/docs", jsonl([{"lang": "en"}]))
+    assert st == 400  # missing text
+    st, _ = req(wsrv, "POST", "/blacklab-server/nosuch/docs", jsonl([{"text": "x"}]))
+    assert st == 404
+
+
+def test_management_disabled_on_readonly_server(srv):
+    st, body = req(srv, "POST", "/blacklab-server?name=nope")
+    assert st == 403
+    st, _ = req(srv, "DELETE", "/blacklab-server/tiny")
+    assert st == 403
