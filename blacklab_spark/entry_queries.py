@@ -1178,6 +1178,25 @@ def build_queries() -> dict:
 
     q["sim_ann_multiprobe"] = sim_ann_multiprobe
 
+    def sim_ann_ivf(s, d):
+        """IVF-Flat ANN (ann.py): deterministic k-means coarse quantizer ->
+        probe the nprobe nearest cells -> exact cosine rescore. Run here with
+        nprobe == K (exhaustive), which must EQUAL the brute-force top-k —
+        the oracle is the same SQL as sim_cosine_topk, so any quantizer /
+        assignment / probe bug surfaces as a value-hash mismatch. The
+        recall-vs-nprobe trade at nprobe < K is covered by tests/test_ann.py
+        on separated clusters."""
+        from . import ann
+
+        emb = _emb(s, d)
+        K = 8
+        centroids, assignments = ann.build_ivf(emb, k=K, n_iter=2)
+        return ann.ivf_search(
+            emb, centroids, assignments, query_vec_id=0, nprobe=K, topk=10
+        )
+
+    q["sim_ann_ivf"] = sim_ann_ivf
+
     # ---------------- text analysis ----------------
     def txt_tokcount(s, d):
         return (
@@ -1339,7 +1358,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_decode_bmp", "mm_audio_wav",  # new in r5: real-codec round-trips
+    "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
     # cut from the r4 sample (checked r1-r3 at best)
     "ft_termfreq_top20", "ft_facet_source", "ft_window", "ft_sample",
@@ -1797,6 +1816,8 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_i
   SELECT vec_id, round(dot / sqrt(nv * nq), 6) AS cos FROM dots, qn
 ) QUALIFY rank <= 10
 """
+    # IVF with nprobe == K probes every cell == exhaustive == brute force
+    o["sim_ann_ivf"] = o["sim_cosine_topk"]
     o["sim_ann_lsh"] = f"""
 WITH {SQL_HP},
 qv AS (SELECT i, v FROM e WHERE vec_id = 0),
