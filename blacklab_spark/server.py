@@ -281,7 +281,14 @@ def op_hits(ix: Index, params: dict) -> dict:
         }
 
     group = params.get("group")
-    if group:
+    if group and params.get("viewgroup") is not None:
+        # view ONE group's hits (BLS viewgroup param, RequestHandlerHits ->
+        # opHits grouped+viewGroup branch): filter by the per-hit group key,
+        # then fall through to the normal windowed hit-list response
+        hits = _hit_group_key(ix, hits, group).filter(
+            F.col("_key").cast("string").eqNullSafe(params["viewgroup"])
+        ).drop("_key")
+    elif group:
         return _op_hits_grouped(ix, params, hits, group, t0)
 
     total = hits.count()
@@ -331,6 +338,42 @@ def op_hits(ix: Index, params: dict) -> dict:
         "hits": hit_rows,
         "docInfos": _doc_infos(ix, [r["doc_id"] for r in rows]),
     }
+
+
+def _hit_group_key(ix: Index, hits, group: str):
+    """Per-hit group key column `_key` for a BLS group property — the
+    row-level counterpart of the aggregations in _op_hits_grouped, used by
+    viewgroup= to select one group's hits."""
+    if group in ("hit", "match"):
+        return results._hit_text_col(ix, hits, "match", 5, fold=True)
+    if group in ("wordleft", "before"):
+        return results._hit_text_col(ix, hits, "before", 1, fold=True)
+    if group in ("wordright", "after"):
+        return results._hit_text_col(ix, hits, "after", 1, fold=True)
+    if group.startswith("capture:"):
+        name = group.split(":", 1)[1]
+        j = hits.join(
+            ix.docs.select("doc_id", F.col("tokens_fold").alias("_toks")), "doc_id"
+        )
+        key = F.array_join(
+            F.slice(
+                F.col("_toks"), F.col(f"{name}_start") + 1,
+                F.col(f"{name}_end") - F.col(f"{name}_start"),
+            ),
+            " ",
+        )
+        return j.withColumn("_key", key).drop("_toks")
+    if group.startswith("field:"):
+        fld = group.split(":", 1)[1]
+        return hits.join(ix.docs.select("doc_id", fld), "doc_id").withColumn(
+            "_key", F.col(fld).cast("string")
+        ).drop(fld)
+    if group.startswith("decade:"):
+        fld = group.split(":", 1)[1]
+        return hits.join(ix.docs.select("doc_id", fld), "doc_id").withColumn(
+            "_key", (F.floor(F.year(fld) / 10) * 10).cast("long").cast("string")
+        ).drop(fld)
+    raise ValueError(f"unknown group property: {group!r}")
 
 
 def _op_hits_grouped(ix: Index, params: dict, hits, group: str, t0: float) -> dict:

@@ -466,3 +466,33 @@ def test_management_disabled_on_readonly_server(srv):
     assert st == 403
     st, _ = req(srv, "DELETE", "/blacklab-server/tiny")
     assert st == 403
+
+
+def test_hits_viewgroup(srv, tiny_index):
+    """group= + viewgroup= returns the hits INSIDE one group; sizes agree
+    with the grouped response and every hit's match text is the identity."""
+    st, grouped = get(srv, '/blacklab-server/tiny/hits?patt=%5B%5D&group=hit&number=3')
+    assert st == 200 and grouped["hitGroups"]
+    g0 = grouped["hitGroups"][0]
+    from urllib.parse import quote
+
+    st, body = get(
+        srv,
+        f'/blacklab-server/tiny/hits?patt=%5B%5D&group=hit'
+        f'&viewgroup={quote(g0["identity"])}&number=100',
+    )
+    assert st == 200
+    assert body["summary"]["numberOfHits"] == g0["size"]
+    for h in body["hits"]:
+        assert " ".join(w.lower() for w in h["match"]["word"]) == g0["identity"]
+    # metadata-field group view
+    st, body = get(
+        srv,
+        '/blacklab-server/tiny/hits?patt=%22the%22&group=field:lang&viewgroup=en&number=100',
+    )
+    assert st == 200
+    docs_en = {
+        str(r["doc_id"])
+        for r in tiny_index.docs.filter("lang = 'en'").select("doc_id").collect()
+    }
+    assert body["hits"] and all(h["docPid"] in docs_en for h in body["hits"])
