@@ -254,6 +254,12 @@ def _hits_base(ix: Index, params: dict):
             hits, n=int(params["samplenum"]),
             seed=int(params.get("sampleseed", 42)),
         )
+    if params.get("hitfiltercrit") and params.get("hitfilterval") is not None:
+        # BLS hitfiltercrit/hitfilterval: keep hits whose property value
+        # matches (HitFilterSettings; same property grammar as group=)
+        hits = _hit_group_key(ix, hits, params["hitfiltercrit"]).filter(
+            F.col("_key").cast("string").eqNullSafe(params["hitfilterval"])
+        ).drop("_key")
     return hits
 
 

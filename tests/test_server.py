@@ -496,3 +496,18 @@ def test_hits_viewgroup(srv, tiny_index):
         for r in tiny_index.docs.filter("lang = 'en'").select("doc_id").collect()
     }
     assert body["hits"] and all(h["docPid"] in docs_en for h in body["hits"])
+
+
+def test_hitfiltercrit_hitfilterval(srv, tiny_index):
+    """BLS hit-property filter: keep only hits whose property equals the
+    given value — here, hits of "the" whose RIGHT neighbor is 'quick'."""
+    st, body = get(
+        srv,
+        '/blacklab-server/tiny/hits?patt=%22the%22'
+        '&hitfiltercrit=wordright&hitfilterval=quick&number=50',
+    )
+    assert st == 200 and body["hits"]
+    for h in body["hits"]:
+        assert h["right"]["word"][0].lower() == "quick"
+    want = bcql.find(tiny_index, '"the" "quick"').count()
+    assert body["summary"]["numberOfHits"] == want
