@@ -1167,10 +1167,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--name", default="corpus")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--master", default="local[*]")
+    ap.add_argument(
+        "--writable-root", default=None,
+        help="enable index management (create/add/delete user corpora "
+        "under this directory)",
+    )
     args = ap.parse_args(argv)
     spark = get_spark(args.master, app_name="blacklab_server")
     srv = BlackLabServer(
-        {args.name: Index(spark, args.index_dir)}, port=args.port
+        {args.name: Index(spark, args.index_dir)},
+        port=args.port,
+        writable_root=args.writable_root,
+        spark=spark,
     ).start()
     print(f"serving on http://127.0.0.1:{srv.port}/blacklab-server")
     try:

@@ -177,3 +177,51 @@ def test_ref_q_termfreq_sensitive_insensitive(asrv, tiny_index_annot):
     # "The" occurrences: sensitive keeps the/The distinct, insensitive folds
     assert insens["the"] == sens.get("the", 0) + sens.get("The", 0)
     assert sum(sens.values()) == sum(insens.values())
+
+
+# --------------------------------------------------------------------------
+# property: HTTP hit list == engine hit set for random patterns (the
+# golden-response idea generalized; derandomized so green == property held)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from blacklab_spark.bcql import (
+    TPAnyToken,
+    TPCapture,
+    TPOr,
+    TPRepetition,
+    TPSequence,
+    TPTerm,
+    to_cql,
+)
+
+_VOCAB = ["the", "quick", "mier", "aap", "fox", "zzz_miss"]
+_terms = st.builds(TPTerm, term=st.sampled_from(_VOCAB), sensitive=st.just(False))
+_leaf = st.one_of(_terms, st.builds(TPAnyToken, mn=st.just(1), mx=st.just(1)))
+_trees = st.recursive(
+    _leaf,
+    lambda c: st.one_of(
+        st.builds(TPSequence, parts=st.lists(c, min_size=2, max_size=2)),
+        st.builds(TPOr, clauses=st.lists(c, min_size=2, max_size=2)),
+        st.builds(TPCapture, name=st.just("A"), clause=c),
+        st.builds(
+            TPRepetition, clause=_terms,
+            mn=st.just(1), mx=st.integers(min_value=1, max_value=2),
+        ),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tp=_trees)
+def test_http_matches_engine_on_random_patterns(asrv, tiny_index_annot, tp):
+    patt = to_cql(tp)
+    assert spans(hits(asrv, patt)) == engine_spans(tiny_index_annot, patt), patt
