@@ -153,6 +153,11 @@ class SearchCache:
             for k in [k for k in self._entries if k and k[0] == corpus]:
                 del self._entries[k]
 
+    def discard(self, key: tuple) -> None:
+        """Drop one entry (used to avoid caching still-counting payloads)."""
+        with self._lock:
+            self._entries.pop(key, None)
+
     def info(self) -> dict:
         with self._lock:
             return {
@@ -170,6 +175,38 @@ class SearchCache:
                     for e in self._entries.values()
                 ],
             }
+
+
+class AsyncCounts:
+    """BLS async-counting analog (waitfortotal=false → summary.stillCounting:
+    the reference's hits count keeps running after the window returns,
+    SearchCacheEntry future model). One counting thread per distinct search;
+    requests observe the running state without blocking. Spark supports
+    concurrent jobs from multiple driver threads, so the count runs beside
+    window fetches."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._futs: dict[tuple, dict] = {}
+
+    def get_or_start(self, key: tuple, compute) -> tuple[int | None, bool]:
+        """(value, still_counting). Starts the count on first call."""
+        with self._lock:
+            ent = self._futs.get(key)
+            if ent is None:
+                ent = {"done": threading.Event(), "value": None}
+                self._futs[key] = ent
+
+                def run():
+                    try:
+                        ent["value"] = compute()
+                    finally:
+                        ent["done"].set()
+
+                threading.Thread(target=run, daemon=True).start()
+        if ent["done"].is_set():
+            return ent["value"], False
+        return None, True
 
 
 # --------------------------------------------------------------------------
@@ -263,9 +300,11 @@ def _hits_base(ix: Index, params: dict):
     return hits
 
 
-def op_hits(ix: Index, params: dict) -> dict:
+def op_hits(ix: Index, params: dict, counts: AsyncCounts | None = None) -> dict:
     """GET /<corpus>/hits (WebserviceRequestHandler.opHits:105-122 —
-    grouped? else windowed hit list + docInfos)."""
+    grouped? else windowed hit list + docInfos). waitfortotal=false returns
+    the window immediately with summary.stillCounting=true while the total
+    counts on a background thread (the reference's async count)."""
     t0 = time.time()
     first = max(0, int(params.get("first", 0)))
     number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
@@ -297,8 +336,19 @@ def op_hits(ix: Index, params: dict) -> dict:
     elif group:
         return _op_hits_grouped(ix, params, hits, group, t0)
 
-    total = hits.count()
-    n_docs = hits.select("doc_id").distinct().count()
+    wait = params.get("waitfortotal", "true").lower() not in ("false", "0", "no")
+    still = False
+    if wait or counts is None:
+        total = hits.count()
+        n_docs = hits.select("doc_id").distinct().count()
+    else:
+        ckey = tuple(sorted(
+            (k, v) for k, v in params.items()
+            if k in ("patt", "filter", "sample", "samplenum", "sampleseed",
+                     "hitfiltercrit", "hitfilterval")
+        ))
+        total, still = counts.get_or_start(ckey, hits.count)
+        n_docs = None if still else hits.select("doc_id").distinct().count()
     if params.get("sort"):
         shits = _parse_sort(ix, hits, params["sort"], context)
     else:
@@ -340,7 +390,9 @@ def op_hits(ix: Index, params: dict) -> dict:
             h["captureGroups"] = caps
         hit_rows.append(h)
     return {
-        "summary": _summary(params, first, number, len(hit_rows), total, n_docs, t0),
+        "summary": _summary(
+            params, first, number, len(hit_rows), total, n_docs, t0, still=still
+        ),
         "hits": hit_rows,
         "docInfos": _doc_infos(ix, [r["doc_id"] for r in rows]),
     }
@@ -805,7 +857,7 @@ def to_csv(payload: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def _summary(params, first, number, actual, total, n_docs, t0) -> dict:
+def _summary(params, first, number, actual, total, n_docs, t0, still=False) -> dict:
     s = {
         "searchParam": {
             k: v for k, v in params.items() if k not in ("outputformat",)
@@ -814,7 +866,7 @@ def _summary(params, first, number, actual, total, n_docs, t0) -> dict:
         "windowFirstResult": first,
         "requestedWindowSize": number,
         "actualWindowSize": actual,
-        "stillCounting": False,
+        "stillCounting": still,
     }
     if total is not None:
         s["numberOfHits"] = total
@@ -863,6 +915,7 @@ class BlackLabServer:
             next(iter(corpora.values())).spark if corpora else None
         )
         self._mgmt_lock = threading.Lock()
+        self._async_counts = AsyncCounts()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -958,7 +1011,13 @@ class BlackLabServer:
         csv_out = params.get("outputformat") == "csv"
         if op == "hits":
             key = (corpus, "hits", tuple(sorted(params.items())))
-            payload = self.cache.get_or_compute(key, lambda: op_hits(ix, params))
+            payload = self.cache.get_or_compute(
+                key, lambda: op_hits(ix, params, counts=self._async_counts)
+            )
+            if payload.get("summary", {}).get("stillCounting"):
+                # never serve a stale running-count snapshot from the cache —
+                # the next identical request re-checks the count future
+                self.cache.discard(key)
             return 200, (to_csv(payload) if csv_out else payload)
         if op == "docs" and len(rest) == 1:
             key = (corpus, "docs", tuple(sorted(params.items())))

@@ -511,3 +511,29 @@ def test_hitfiltercrit_hitfilterval(srv, tiny_index):
         assert h["right"]["word"][0].lower() == "quick"
     want = bcql.find(tiny_index, '"the" "quick"').count()
     assert body["summary"]["numberOfHits"] == want
+
+
+def test_waitfortotal_false_async_count(srv, tiny_index):
+    """BLS async counting: waitfortotal=false returns the window right away
+    (stillCounting may be true); polling converges to the exact total; the
+    default (wait) behavior is unchanged."""
+    import time as _t
+
+    path = (
+        '/blacklab-server/tiny/hits?patt=%22aap%22&number=3&waitfortotal=false'
+    )
+    get(srv, "/blacklab-server/cache-clear")
+    st, body = get(srv, path)
+    assert st == 200 and len(body["hits"]) == 3
+    assert body["summary"]["stillCounting"] in (True, False)
+    want = bcql.find(tiny_index, '"aap"').count()
+    deadline = _t.time() + 60
+    while body["summary"]["stillCounting"] and _t.time() < deadline:
+        _t.sleep(0.3)
+        st, body = get(srv, path)
+    assert body["summary"]["stillCounting"] is False
+    assert body["summary"]["numberOfHits"] == want
+    # sync default still exact on first response
+    st, body = get(srv, '/blacklab-server/tiny/hits?patt=%22aap%22&number=3')
+    assert body["summary"]["stillCounting"] is False
+    assert body["summary"]["numberOfHits"] == want
