@@ -410,6 +410,8 @@ def _hit_group_key(ix: Index, hits, group: str):
         return results._hit_text_col(ix, hits, "after", 1, fold=True)
     if group.startswith("capture:"):
         name = group.split(":", 1)[1]
+        if f"{name}_start" not in hits.columns:
+            raise ValueError(f"pattern has no capture group {name!r}")
         j = hits.join(
             ix.docs.select("doc_id", F.col("tokens_fold").alias("_toks")), "doc_id"
         )
@@ -453,7 +455,10 @@ def _op_hits_grouped(ix: Index, params: dict, hits, group: str, t0: float) -> di
             "group_key", "size"
         )
     elif group.startswith("capture:"):
-        g = results.group_hits_by_capture(ix, hits, group.split(":", 1)[1])
+        cap = group.split(":", 1)[1]
+        if f"{cap}_start" not in hits.columns:
+            raise ValueError(f"pattern has no capture group {cap!r}")
+        g = results.group_hits_by_capture(ix, hits, cap)
     elif group.startswith("field:"):
         fld = group.split(":", 1)[1]
         g = results.group_hits_by_metadata(ix, hits, fld).select(

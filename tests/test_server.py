@@ -537,3 +537,14 @@ def test_waitfortotal_false_async_count(srv, tiny_index):
     st, body = get(srv, '/blacklab-server/tiny/hits?patt=%22aap%22&number=3')
     assert body["summary"]["stillCounting"] is False
     assert body["summary"]["numberOfHits"] == want
+
+
+def test_unknown_capture_group_is_400(srv):
+    st, _ = get(srv, '/blacklab-server/tiny/hits?patt=%22the%22&group=capture:NOPE')
+    assert st == 400
+    st, _ = get(
+        srv,
+        '/blacklab-server/tiny/hits?patt=%22the%22&group=hit&viewgroup=x'
+        '&hitfiltercrit=capture:NOPE&hitfilterval=x',
+    )
+    assert st == 400
