@@ -902,11 +902,14 @@ class Index:
         return out
 
     # ---------------------------------------------------- forward-index ops --
-    def kwic(self, hits: DataFrame, context: int = 5) -> DataFrame:
+    def kwic(self, hits: DataFrame, context: int = 5, col: str = "tokens") -> DataFrame:
         """Keyword-in-context from the docs token arrays — the reference reads
         its forward index for this (engine/.../results/Kwics.java:25-37); here
-        the forward index is a colocated column, so it's an array slice."""
-        d = self.docs.select("doc_id", "tokens")
+        the forward index is a colocated column, so it's an array slice.
+        `col` selects the annotation layer's forward-index column (tokens /
+        tokens_lemma / tokens_pos) — the reference's KWIC carries every
+        annotation per token (Kwic.java: all annotations in context)."""
+        d = self.docs.select("doc_id", F.col(col).alias("tokens"))
         h = hits.join(d, "doc_id")
         left_from = F.greatest(F.lit(1), F.col("start") + 1 - context)
         return h.select(

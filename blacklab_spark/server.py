@@ -366,20 +366,38 @@ def op_hits(ix: Index, params: dict, counts: AsyncCounts | None = None) -> dict:
         [(r["doc_id"], r["start"], r["end"]) for r in rows],
         "doc_id long, start int, end int",
     )
-    kwmap = {
-        (k["doc_id"], k["start"], k["end"]): k
-        for k in ix.kwic(keydf, context=context).collect()
-    } if rows else {}
+    # one KWIC slice per annotation layer (the reference's Kwic carries every
+    # annotation per token): word from `tokens`, lemma/pos from their
+    # forward-index columns when the index has them
+    layer_cols = {"word": "tokens"}
+    for a in ix.annotations:
+        if a != "word":
+            layer_cols[a] = f"tokens_{a}"
+    kwmaps = {
+        a: {
+            (k["doc_id"], k["start"], k["end"]): k
+            for k in ix.kwic(keydf, context=context, col=c).collect()
+        }
+        for a, c in layer_cols.items()
+    } if rows else {a: {} for a in layer_cols}
+
+    def ctx(part, key):
+        out = {}
+        for a in layer_cols:
+            k = kwmaps[a].get(key)
+            out[a] = k[part].split(" ") if k and k[part] else []
+        return out
+
     hit_rows = []
     for r in rows:
-        k = kwmap.get((r["doc_id"], r["start"], r["end"]))
+        key = (r["doc_id"], r["start"], r["end"])
         h = {
             "docPid": str(r["doc_id"]),
             "start": r["start"],
             "end": r["end"],
-            "left": {"word": k["left"].split(" ") if k and k["left"] else []},
-            "match": {"word": k["match"].split(" ") if k and k["match"] else []},
-            "right": {"word": k["right"].split(" ") if k and k["right"] else []},
+            "left": ctx("left", key),
+            "match": ctx("match", key),
+            "right": ctx("right", key),
         }
         caps = {}
         for c in cap_cols:

@@ -225,3 +225,18 @@ _trees = st.recursive(
 def test_http_matches_engine_on_random_patterns(asrv, tiny_index_annot, tp):
     patt = to_cql(tp)
     assert spans(hits(asrv, patt)) == engine_spans(tiny_index_annot, patt), patt
+
+
+def test_kwic_carries_all_annotation_layers(asrv, tiny_index_annot):
+    """The reference's Kwic carries every annotation per token
+    (Kwic.java): word + lemma + pos arrays in left/match/right."""
+    body = hits(asrv, '"jumps"')
+    assert body["hits"]
+    h = body["hits"][0]
+    for part in ("left", "match", "right"):
+        assert set(h[part]) == {"word", "lemma", "pos"}
+        assert len(h[part]["lemma"]) == len(h[part]["word"])
+        assert len(h[part]["pos"]) == len(h[part]["word"])
+    assert h["match"]["word"] == ["jumps"]
+    assert h["match"]["lemma"] == ["jump"]
+    assert h["match"]["pos"] == ["nn"]  # pos_fold: only -ing maps to vb
