@@ -489,7 +489,14 @@ def _op_hits_grouped(ix: Index, params: dict, hits, group: str, t0: float) -> di
     else:
         raise ValueError(f"unknown group property: {group!r}")
     n_groups = g.count()
-    rows = results.window_groups(g, first, number).collect()
+    gsort = params.get("sort", "size")
+    gdesc = not gsort.startswith("-") if gsort.lstrip("-") == "size" else gsort.startswith("-")
+    gsort = gsort.lstrip("-")
+    if gsort not in ("size", "identity"):
+        raise ValueError(f"unknown group sort property: {gsort!r}")
+    rows = results.window_groups(
+        g, first, number, by=gsort, descending=gdesc
+    ).collect()
     return {
         "summary": {
             **_summary(params, first, number, len(rows), None, None, t0),
@@ -522,8 +529,26 @@ def op_docs(ix: Index, params: dict) -> dict:
     if group:
         return _op_docs_grouped(ix, params, d, group, t0)
     total = d.count()
+    sort = params.get("sort", "")
+    desc = sort.startswith("-")
+    if desc:
+        sort = sort[1:]
+    if not sort or sort == "numhits":
+        # default: hit count desc (the reference's docs default)
+        key = F.col("n_hits").desc_nulls_last() if not desc else F.col("n_hits").asc_nulls_last()
+        order = [key, "doc_id"]
+    elif sort.startswith("field:"):
+        fld = sort.split(":", 1)[1]
+        if fld not in _meta_cols(ix):
+            raise ValueError(f"unknown sort field: {fld!r}")
+        d = d.join(ix.docs.select("doc_id", fld), "doc_id")
+        order = [F.col(fld).desc() if desc else F.col(fld).asc(), "doc_id"]
+    elif sort in ("doc", "pid"):
+        order = [F.col("doc_id").desc() if desc else F.col("doc_id").asc()]
+    else:
+        raise ValueError(f"unknown docs sort property: {sort!r}")
     rows = (
-        d.orderBy(F.col("n_hits").desc_nulls_last(), "doc_id")
+        d.orderBy(*order)
         .limit(first + number)
         .collect()[first:]
     )
@@ -560,12 +585,38 @@ def op_doc_info(ix: Index, doc_pid: str, params: dict) -> dict:
 
 
 def op_termfreq(ix: Index, params: dict) -> dict:
-    """GET /<corpus>/termfreq (opTermFreq)."""
+    """GET /<corpus>/termfreq (opTermFreq). With `filter`, frequencies are
+    computed over the matching documents' forward index (the reference
+    restricts termfreq to a metadata subset the same way); without it the
+    precomputed dictionary stats answer directly."""
     t0 = time.time()
     number = min(MAX_WINDOW, max(1, int(params.get("number", DEFAULT_NUMBER))))
     annot = params.get("annotation", "word")
     fold = params.get("sensitive", "false").lower() not in ("true", "1", "yes")
-    tf = ix.term_freqs(fold=fold, annot=annot)
+    if params.get("filter"):
+        col = {"word": "tokens_fold" if fold else "tokens"}.get(
+            annot, f"tokens_{annot}"
+        )
+        if annot != "word" and annot not in ix.annotations:
+            raise ValueError(f"annotation {annot!r} is not indexed")
+        d = ix.docs.filter(F.expr(params["filter"]))
+        toks = d.select(F.explode(col).alias("term")).filter(
+            F.col("term") != ""  # position-gap sentinels post nothing
+        )
+        if fold and annot != "word":
+            # non-word layers store the sensitive value; map each token to
+            # its dictionary fold (word has tokens_fold precomputed)
+            fold_map = (
+                ix.terms_df.filter(F.col("annot") == annot)
+                .select("term", "term_fold")
+                .distinct()
+            )
+            toks = toks.join(fold_map, "term").select(
+                F.col("term_fold").alias("term")
+            )
+        tf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    else:
+        tf = ix.term_freqs(fold=fold, annot=annot)
     rows = tf.orderBy(F.col("cf").desc(), "term").limit(number).collect()
     return {
         "summary": _summary(params, 0, number, len(rows), None, None, t0),

@@ -548,3 +548,106 @@ def test_unknown_capture_group_is_400(srv):
         '&hitfiltercrit=capture:NOPE&hitfilterval=x',
     )
     assert st == 400
+
+
+def test_group_sort_identity_and_inverted_size(srv):
+    # sort=identity: ascending group key (reference HitGroupPropertyIdentity
+    # default); -identity inverts
+    st, body = get(
+        srv, '/blacklab-server/tiny/hits?patt=%5B%5D&group=hit&sort=identity&number=10'
+    )
+    assert st == 200
+    idents = [g["identity"] for g in body["hitGroups"]]
+    assert idents == sorted(idents)
+    st, body = get(
+        srv, '/blacklab-server/tiny/hits?patt=%5B%5D&group=hit&sort=-identity&number=10'
+    )
+    assert st == 200
+    assert [g["identity"] for g in body["hitGroups"]] == sorted(
+        [g["identity"] for g in body["hitGroups"]], reverse=True
+    )
+    # sort=size descending by default (HitGroupPropertySize
+    # sortDescendingByDefault=true); -size inverts to ascending
+    st, body = get(
+        srv, '/blacklab-server/tiny/hits?patt=%5B%5D&group=hit&sort=-size&number=10'
+    )
+    assert st == 200
+    sizes = [g["size"] for g in body["hitGroups"]]
+    assert sizes == sorted(sizes)
+    st, _ = get(
+        srv, '/blacklab-server/tiny/hits?patt=%5B%5D&group=hit&sort=bogus'
+    )
+    assert st == 400
+
+
+def test_docs_sort_by_field_and_pid(srv, tiny_index):
+    st, body = get(
+        srv, '/blacklab-server/tiny/docs?patt=%22the%22&sort=field:url&number=50'
+    )
+    assert st == 200
+    urls = [d["docInfo"]["pid"] for d in body["docs"]]
+    assert urls == sorted(urls)
+    st, body = get(
+        srv, '/blacklab-server/tiny/docs?patt=%22the%22&sort=-field:url&number=50'
+    )
+    assert st == 200
+    urls = [d["docInfo"]["pid"] for d in body["docs"]]
+    assert urls == sorted(urls, reverse=True)
+    st, body = get(srv, '/blacklab-server/tiny/docs?sort=-pid&number=50')
+    assert st == 200
+    pids = [int(d["docPid"]) for d in body["docs"]]
+    assert pids == sorted(pids, reverse=True)
+    st, _ = get(srv, '/blacklab-server/tiny/docs?sort=field:nope')
+    assert st == 400
+    st, _ = get(srv, '/blacklab-server/tiny/docs?sort=bogus')
+    assert st == 400
+
+
+def test_termfreq_filtered(srv, tiny_index):
+    # a filter matching every doc must reproduce the dictionary-backed stats
+    st, body = get(
+        srv,
+        "/blacklab-server/tiny/termfreq?number=1000&sensitive=true"
+        "&filter=doc_id%20%3E%3D%200",
+    )
+    assert st == 200
+    want = {
+        r["term"]: r["cf"]
+        for r in tiny_index.term_freqs(fold=False).collect()
+    }
+    assert body["termFreq"] == {
+        t: c for t, c in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    # a restricting filter: recompute directly over the forward index
+    st, body = get(
+        srv,
+        "/blacklab-server/tiny/termfreq?number=1000&sensitive=true"
+        "&filter=doc_id%20%3C%202",
+    )
+    assert st == 200
+    import pyspark.sql.functions as F
+
+    want = {
+        r["term"]: r["cf"]
+        for r in tiny_index.docs.filter("doc_id < 2")
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .collect()
+    }
+    assert body["termFreq"] == want
+
+
+def test_termfreq_filtered_folded_lemma(spark, tiny_index_annot):
+    """Folded non-word layers map each token through the dictionary fold."""
+    from blacklab_spark import server as bls
+
+    body = bls.op_termfreq(
+        tiny_index_annot,
+        {"filter": "doc_id >= 0", "annotation": "lemma", "number": "1000"},
+    )
+    want = {
+        r["term"]: r["cf"]
+        for r in tiny_index_annot.term_freqs(fold=True, annot="lemma").collect()
+    }
+    assert body["termFreq"] == want
