@@ -906,6 +906,43 @@ def build_queries() -> dict:
 
     q["mm_decode_bmp"] = mm_decode_bmp
 
+    def mm_decode_png(s, d):
+        """REAL PNG decode round-trip: per doc_id a constant-fill PNG with
+        deterministic dims (w=4+id%13, h=3+id%7), channel count
+        (1/3/4 by id%3), row filter (id%5 — so every inverse filter runs)
+        and interlace (Adam7 on odd ids), decoded by the pure zlib+numpy
+        decoder (multimodal.decode_png) inside image_features. Constant fill
+        -> mean_px == fill exactly; the oracle recomputes every field in
+        closed-form SQL, so any filter/interlace/codec bug is a hash
+        mismatch."""
+        import numpy as np
+        import pandas as pd
+
+        from . import multimodal as M
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    ch = (1, 3, 4)[i % 3]
+                    px = np.full((3 + i % 7, 4 + i % 13, ch), i % 256, np.uint8)
+                    payloads.append(M.encode_png(
+                        px, filters=[i % 5], interlace=i % 2,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.image_features(wp).select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+
+    q["mm_decode_png"] = mm_decode_png
+
     def mm_audio_wav(s, d):
         """REAL PCM-WAV decode round-trip: constant-signal WAVs with
         deterministic rate/frames/channels/amplitude per doc_id, decoded by
@@ -1358,6 +1395,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
     # cut from the r4 sample (checked r1-r3 at best)
@@ -1682,6 +1720,14 @@ SELECT doc_id,
        CAST(4 + doc_id % 13 AS INT) AS width,
        CAST(3 + doc_id % 7 AS INT) AS height,
        CAST(3 AS INT) AS channels,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_px
+FROM documents
+"""
+    o["mm_decode_png"] = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
        ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_px
 FROM documents
 """

@@ -6,11 +6,13 @@ feature-extraction / resize / frame-sampling run as Arrow-batched pandas UDFs
 over `mapInPandas` so payload bytes never pass through per-row Python.
 
 Decode is REAL for formats numpy/stdlib can handle without external
-libraries: uncompressed 24/32-bit BMP, binary PPM/PGM (`decode_image`,
-`image_features`) and PCM WAV audio (`decode_wav`, `audio_metadata`),
-round-trip-tested against the deterministic `encode_bmp`/`encode_wav`
-synths. Compressed codecs (PNG/JPEG/GIF/video — PIL/ffmpeg territory, NOT
-in this container) raise `NotImplementedError`; `_decode_image_batch`
+libraries: PNG (full baseline: zlib inflate, all five row filters, color
+types 0/2/3/4/6, bit depths 1-16, Adam7 — `decode_png`), uncompressed
+24/32-bit BMP, binary PPM/PGM (`decode_image`, `image_features`) and PCM
+WAV audio (`decode_wav`, `audio_metadata`), round-trip-tested against the
+deterministic `encode_png`/`encode_bmp`/`encode_wav` synths. Codecs that
+genuinely need external libraries (JPEG/GIF/WebP/video — PIL/ffmpeg
+territory, NOT in this container) raise `NotImplementedError`; `_decode_image_batch`
 keeps the documented md5-derived fake for arbitrary non-image payloads so
 the generic plumbing (image_metadata / sample_frames / resize_images)
 stays testable on any bytes.
@@ -60,15 +62,15 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 def decode_image_real(payloads: pd.Series) -> pd.DataFrame:
     """The real-decoder integration point. REAL for formats decodable with
-    numpy/stdlib alone (uncompressed BMP, binary PPM/PGM — see decode_image
-    below); raises NotImplementedError for compressed codecs (PNG/JPEG/...)
+    numpy/stdlib alone (PNG, uncompressed BMP, binary PPM/PGM — see
+    decode_image below); raises NotImplementedError for codecs (JPEG/...)
     this container has no libraries for."""
     rows = []
     for b in payloads:
         d = decode_image(b)
         if d is None:
             raise NotImplementedError(
-                "payload is not a BMP/PNM image; compressed codecs need "
+                "payload is not a PNG/BMP/PNM image; JPEG/GIF/WebP need "
                 "PIL/torchvision, unavailable in this environment"
             )
         rows.append((len(bytes(b)), d["width"], d["height"], d["channels"]))
@@ -130,8 +132,8 @@ def resize_images(df: DataFrame, payload_col: str = "payload", size: int = 224) 
 
 # ---------------------------------------------------------------------------
 # REAL codecs — formats decodable with numpy/stdlib alone (no PIL/ffmpeg):
-# uncompressed BMP (24/32-bit), binary PPM/PGM, PCM WAV. Compressed formats
-# (PNG/JPEG/video) still raise NotImplementedError — the honest boundary.
+# PNG (below), uncompressed BMP (24/32-bit), binary PPM/PGM, PCM WAV.
+# JPEG/GIF/WebP/video still raise NotImplementedError — the honest boundary.
 # ---------------------------------------------------------------------------
 
 import io
@@ -216,7 +218,7 @@ def decode_pnm(b: bytes) -> dict | None:
 def decode_image(b: bytes) -> dict | None:
     """Magic-byte dispatch to the real decoders. None = not a recognized
     decodable image; NotImplementedError = recognized but needs a codec this
-    container lacks (PNG/JPEG/GIF/WebP)."""
+    container lacks (JPEG/GIF/WebP)."""
     if b is None:
         return None
     b = bytes(b)
@@ -224,12 +226,260 @@ def decode_image(b: bytes) -> dict | None:
         return decode_bmp(b)
     if b[:1] == b"P" and b[1:2] in b"56":
         return decode_pnm(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8" or b[:4] in (b"GIF8", b"RIFF"):
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:2] == b"\xff\xd8" or b[:4] in (b"GIF8", b"RIFF"):
         raise NotImplementedError(
-            "compressed image codecs (PNG/JPEG/GIF/WebP) are not available "
-            "in this environment"
+            "JPEG/GIF/WebP codecs are not available in this environment"
         )
     return None
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL decoder, pure stdlib (zlib) + numpy. Full baseline coverage:
+# color types 0/2/3/4/6, bit depths 1/2/4/8/16 (16 -> high byte), all five
+# row filters, Adam7 interlace, PLTE + tRNS palette alpha. The reference
+# treats images as opaque blobs; this is the decode stage a multimodal
+# training pipeline runs per payload (Arrow-batched via image_features).
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG row filters (spec §6): raw is h*(1+stride) filtered bytes,
+    returns (h, stride) reconstructed samples. None/Up/Sub are fully
+    vectorized (Sub = per-lane cumsum mod 256); Average/Paeth walk the row in
+    bpp-wide vectorized groups (their x-recurrence is inherently serial)."""
+    rr = raw.reshape(h, 1 + stride)
+    ftypes = rr[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    ngroups = stride // bpp
+    for y in range(h):
+        f = ftypes[y]
+        cur = rr[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # up
+            rec = (cur + prev) & 0xFF
+        elif f == 1:  # sub: recon[i] = cur[i] + recon[i-bpp] -> lane cumsum
+            rec = (np.cumsum(cur.reshape(ngroups, bpp), axis=0) & 0xFF).ravel()
+        elif f == 3:  # average
+            g = cur.reshape(ngroups, bpp)
+            pg = prev.reshape(ngroups, bpp)
+            rec = np.empty_like(g)
+            left = np.zeros(bpp, np.int64)
+            for i in range(ngroups):
+                left = (g[i] + ((left + pg[i]) >> 1)) & 0xFF
+                rec[i] = left
+            rec = rec.ravel()
+        elif f == 4:  # paeth
+            g = cur.reshape(ngroups, bpp)
+            pg = prev.reshape(ngroups, bpp)
+            rec = np.empty_like(g)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            for i in range(ngroups):
+                up = pg[i]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (g[i] + pred) & 0xFF
+                rec[i] = left
+                ul = up
+            rec = rec.ravel()
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed bytes -> (h, w, channels) uint8 samples:
+    unpack sub-byte depths (MSB-first, scaled to 0..255), take the high byte
+    of 16-bit samples."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return rows[:, : w * channels * 2].reshape(h, w, channels, 2)[..., 0]
+    # 1/2/4-bit: only valid for 1-channel types (gray / palette)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    vals = np.zeros((h, w), np.uint8)
+    for i in range(depth):
+        vals = (vals << 1) | bits[:, :, i]
+    return vals.reshape(h, w, 1)
+
+
+def decode_png(b: bytes) -> dict | None:
+    """Decode a PNG payload to RGB(A)/gray pixels + dims. Pure zlib+numpy.
+    Palette images expand through PLTE (channels=3, or 4 with tRNS alpha);
+    sub-byte gray scales to full 8-bit range; 16-bit takes the high byte.
+    Returns None for non-PNG payloads."""
+    b = bytes(b)
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, idat, plte, trns = 8, [], None, None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0:
+                raise NotImplementedError("nonzero PNG compression/filter method")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    bpp = max(1, channels * depth // 8)
+
+    def pass_pixels(pw, ph, chunk):
+        stride = (pw * channels * depth + 7) // 8
+        rows = _png_unfilter(chunk, ph, stride, bpp)
+        return _png_samples(rows, pw, channels, depth)
+
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        px = pass_pixels(w, h, raw[: h * (1 + stride)])
+    elif interlace == 1:
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            n = ph * (1 + stride)
+            px[y0::dy, x0::dx] = pass_pixels(pw, ph, raw[off : off + n])
+            off += n
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+
+    if ctype == 3:  # palette -> RGB(A)
+        if plte is None:
+            raise NotImplementedError("palette PNG without PLTE")
+        idx = px[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            px = np.dstack([rgb, alpha[idx]])
+        else:
+            px = rgb
+    elif depth < 8:  # sub-byte gray: scale 0..(2^d-1) -> 0..255
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return {
+        "width": int(w), "height": int(h), "channels": px.shape[2], "pixels": px,
+    }
+
+
+def _png_filter_row(cur, prev, ftype, bpp):
+    """Forward filter (encoder side of the round-trip tests)."""
+    c = cur.astype(np.int64)
+    p = prev.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, np.int64), c[:-bpp]]) if len(c) >= bpp else np.zeros_like(c)
+    ul = np.concatenate([np.zeros(bpp, np.int64), p[:-bpp]]) if len(p) >= bpp else np.zeros_like(p)
+    if ftype == 0:
+        out = c
+    elif ftype == 1:
+        out = c - left
+    elif ftype == 2:
+        out = c - p
+    elif ftype == 3:
+        out = c - ((left + p) >> 1)
+    else:
+        pr = left + p - ul
+        pa, pb, pc = np.abs(pr - left), np.abs(pr - p), np.abs(pr - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, ul))
+        out = c - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(
+    pixels: np.ndarray, filters=None, interlace: int = 0,
+    palette: np.ndarray | None = None, depth: int = 8,
+) -> bytes:
+    """Encode uint8 pixels (h, w, c) as a PNG — the deterministic synth side
+    of the decode round-trip. `filters`: per-row filter type list (cycled),
+    default all-0. With `palette`, pixels must be (h, w, 1) palette indices.
+    depth<8 packs sub-byte grayscale/palette; interlace=1 writes Adam7."""
+    pixels = np.asarray(pixels, np.uint8)
+    h, w, c = pixels.shape
+    if palette is not None:
+        ctype = 3
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = max(1, c * depth // 8)
+    filters = list(filters or [0])
+
+    def pack_rows(px):
+        if depth == 8:
+            return px.reshape(px.shape[0], -1)
+        vals = px[:, :, 0]
+        bits = np.zeros((px.shape[0], px.shape[1], depth), np.uint8)
+        for i in range(depth):
+            bits[:, :, depth - 1 - i] = (vals >> i) & 1
+        return np.packbits(bits.reshape(px.shape[0], -1), axis=1)
+
+    def filter_pass(px):
+        rows = pack_rows(px)
+        out = []
+        prev = np.zeros(rows.shape[1], np.uint8)
+        for y in range(rows.shape[0]):
+            f = filters[y % len(filters)]
+            out.append(bytes([f]) + _png_filter_row(rows[y], prev, f, bpp).tobytes())
+            prev = rows[y]
+        return b"".join(out)
+
+    if interlace == 0:
+        body = filter_pass(pixels)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(filter_pass(sub))
+        body = b"".join(parts)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    out = [_PNG_SIG, chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )]
+    if palette is not None:
+        out.append(chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes()))
+    out.append(chunk(b"IDAT", zlib.compress(body)))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
 
 
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
