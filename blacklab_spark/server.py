@@ -870,23 +870,36 @@ def op_doc_snippet(ix: Index, doc_pid: str, params: dict) -> dict:
     }
 
 
-def op_list_input_formats() -> dict:
+def op_list_input_formats(user_formats: dict | None = None) -> dict:
     """GET /input-formats (RequestHandlerListInputFormats /
-    ResponseStreamer.listFormatsResponse shape)."""
+    ResponseStreamer.listFormatsResponse shape). User formats added over
+    HTTP list alongside the built-ins."""
     from .sources import INPUT_FORMATS
 
+    out = {
+        name: {
+            "displayName": f["displayName"],
+            "description": f["description"],
+            "helpUrl": "",
+            "configurationBased": f["configurationBased"],
+            "isVisible": True,
+        }
+        for name, f in INPUT_FORMATS.items()
+    }
+    for name, cfg in (user_formats or {}).items():
+        out[name] = {
+            "displayName": cfg.get("displayName", name),
+            "description": cfg.get(
+                "description",
+                f"user format ({cfg.get('baseFormat', 'xml-config')})",
+            ),
+            "helpUrl": "",
+            "configurationBased": True,
+            "isVisible": True,
+        }
     return {
         "user": {"loggedIn": False, "canCreateIndex": False},
-        "supportedInputFormats": {
-            name: {
-                "displayName": f["displayName"],
-                "description": f["description"],
-                "helpUrl": "",
-                "configurationBased": f["configurationBased"],
-                "isVisible": True,
-            }
-            for name, f in INPUT_FORMATS.items()
-        },
+        "supportedInputFormats": out,
     }
 
 
@@ -985,6 +998,11 @@ class BlackLabServer:
         self.cache = cache or SearchCache()
         self.writable_root = writable_root
         self._created: set[str] = set()
+        # user-defined input formats (RequestHandlerAddFormat): persisted
+        # under <writable_root>/_formats/<name>.blf.yaml, reloaded at start
+        self._user_formats: dict[str, dict] = {}
+        if writable_root:
+            self._load_user_formats()
         self._spark = spark or (
             next(iter(corpora.values())).spark if corpora else None
         )
@@ -1062,7 +1080,26 @@ class BlackLabServer:
             self.cache.clear()
             return 200, {"status": "cleared"}
         if parts[0] == "input-formats":
-            return 200, op_list_input_formats()
+            if len(parts) == 2:  # format detail (ResultInputFormat: config)
+                name = parts[1]
+                if name in self._user_formats:
+                    return 200, {
+                        "formatName": name,
+                        "configFileType": "yaml",
+                        "configFile": self._user_formats[name],
+                    }
+                from .sources import INPUT_FORMATS
+
+                if name in INPUT_FORMATS:
+                    f = INPUT_FORMATS[name]
+                    return 200, {
+                        "formatName": name,
+                        "displayName": f["displayName"],
+                        "description": f["description"],
+                        "configurationBased": f["configurationBased"],
+                    }
+                raise KeyError(f"format {name!r}")
+            return 200, op_list_input_formats(self._user_formats)
         if parts[0] == "parse-pattern":
             return 200, op_parse_pattern(params)
         corpus = parts[0]
@@ -1146,6 +1183,77 @@ class BlackLabServer:
             )
         return self.writable_root
 
+    # ---- user input formats (RequestHandlerAddFormat / DeleteFormat) ----
+    def _formats_dir(self) -> str:
+        import os
+
+        d = os.path.join(self._require_writable(), "_formats")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _load_user_formats(self) -> None:
+        import glob
+        import os
+
+        import yaml
+
+        for p in glob.glob(os.path.join(self.writable_root, "_formats", "*.blf.yaml")):
+            name = os.path.basename(p)[: -len(".blf.yaml")]
+            with open(p) as f:
+                self._user_formats[name] = yaml.safe_load(f) or {}
+
+    def _add_format(self, name: str, data: bytes) -> tuple[int, dict]:
+        """POST /input-formats/<name>, body = *.blf.yaml config (the
+        reference uploads the file as a multipart 'data' field and names the
+        format after the file; raw-body + path naming is the transport
+        simplification). Validated eagerly, persisted, effective
+        immediately."""
+        import os
+
+        import yaml
+
+        from .sources import INPUT_FORMATS, validate_xml_format
+
+        if not self._NAME_RE.match(name):
+            raise ValueError(f"illegal format name: {name!r}")
+        if name in INPUT_FORMATS:
+            raise ValueError(f"format {name!r} is built in and cannot be replaced")
+        try:
+            cfg = yaml.safe_load(data.decode("utf-8"))
+        except Exception as e:
+            raise ValueError(f"format config is not valid YAML: {e}") from None
+        if not isinstance(cfg, dict):
+            raise ValueError("format config must be a YAML mapping")
+        base = cfg.get("baseFormat", "xml-config")
+        if base not in ("xml-config", "xml-xpath"):
+            raise ValueError(
+                f"baseFormat must be 'xml-config' or 'xml-xpath', got {base!r}"
+            )
+        validate_xml_format(cfg, xpath=(base == "xml-xpath"))
+        with self._mgmt_lock:
+            with open(
+                os.path.join(self._formats_dir(), f"{name}.blf.yaml"), "w"
+            ) as f:
+                yaml.safe_dump(cfg, f)
+            self._user_formats[name] = cfg
+        return 201, {"status": "SUCCESS", "message": "Format added."}
+
+    def _delete_format(self, name: str) -> tuple[int, dict]:
+        import os
+
+        from .sources import INPUT_FORMATS
+
+        if name in INPUT_FORMATS:
+            raise PermissionError(f"format {name!r} is built in")
+        if name not in self._user_formats:
+            raise KeyError(f"format {name!r}")
+        with self._mgmt_lock:
+            del self._user_formats[name]
+            p = os.path.join(self._formats_dir(), f"{name}.blf.yaml")
+            if os.path.exists(p):
+                os.remove(p)
+        return 200, {"status": "SUCCESS", "message": "Format deleted."}
+
     def _route_post(self, path: str, data: bytes) -> tuple[int, dict]:
         import os
 
@@ -1155,6 +1263,8 @@ class BlackLabServer:
         if parts and parts[0] == "blacklab-server":
             parts = parts[1:]
         root = self._require_writable()
+        if len(parts) == 2 and parts[0] == "input-formats":
+            return self._add_format(parts[1], data)
         if not parts:  # POST /blacklab-server?name=  -> create corpus
             name = params.get("name")
             if not name:
@@ -1185,9 +1295,36 @@ class BlackLabServer:
             }
         raise KeyError(f"POST {u.path}")
 
+    def _format_pages(self, corpus: str, data: bytes, fmt_name: str):
+        """Parse an add-to-index body through a user-defined input format:
+        the body (one or more XML documents) lands in an uploads/ dir and
+        goes through the SAME distributed reader a batch ingest uses
+        (pages_from_xml_dir / pages_from_xml_xpath), so config'd inline tags
+        and metadata behave identically over HTTP and batch. Returns
+        (pages_df, build_kwargs)."""
+        import os
+        import uuid
+
+        from . import sources as S
+
+        cfg = self._user_formats[fmt_name]
+        up = os.path.join(
+            self._require_writable(), corpus, "uploads", uuid.uuid4().hex[:12]
+        )
+        os.makedirs(up)
+        with open(os.path.join(up, "upload.xml"), "wb") as f:
+            f.write(data)
+        reader = (
+            S.pages_from_xml_xpath
+            if cfg.get("baseFormat") == "xml-xpath"
+            else S.pages_from_xml_dir
+        )
+        return reader(self._spark, up, fmt=cfg), S.build_kwargs_from_format(cfg)
+
     def _add_documents(self, corpus: str, data: bytes, params: dict) -> int:
-        """Body = JSONL documents ({text, url?, lang?} per line). One request
-        -> ONE delta segment via the batch build's add_segment (the
+        """Body = JSONL documents ({text, url?, lang?} per line), or — with
+        format=<user format> — XML parsed through that format's config. One
+        request -> ONE delta segment via the batch build's add_segment (the
         reference's IndexerImpl incremental add), then a tiered-compaction
         pass so segment count stays O(log adds). The add is bounded by the
         HTTP body; the heavy build work runs as normal Spark jobs."""
@@ -1198,6 +1335,33 @@ class BlackLabServer:
         from .build import add_segment
         from .streaming import tiered_compact
 
+        fmt_name = params.get("format", "jsonl")
+        build_kw = {}
+        if fmt_name != "jsonl":
+            if fmt_name not in self._user_formats:
+                raise ValueError(
+                    f"format {fmt_name!r} is not a registered user format "
+                    "(POST /input-formats/<name> first; built-in batch "
+                    "readers are not add-to-index transports)"
+                )
+            pages, build_kw = self._format_pages(corpus, data, fmt_name)
+            n_docs = pages.count()
+            if not n_docs:
+                raise ValueError("request body parsed to zero documents")
+            out_dir = os.path.join(self._require_writable(), corpus)
+            with self._mgmt_lock:
+                seg_dir = os.path.join(out_dir, "segments")
+                n = 0
+                while os.path.exists(os.path.join(seg_dir, f"add-{n}")):
+                    n += 1
+                add_segment(
+                    self._spark, pages, out_dir, f"add-{n}",
+                    n_shards=int(params.get("nshards", 4)), **build_kw,
+                )
+                tiered_compact(self._spark, out_dir, tag=f"add{n}")
+                self.corpora[corpus] = Index(self._spark, out_dir)
+                self.cache.clear_corpus(corpus)
+            return n_docs
         lines = [ln for ln in data.decode("utf-8", "replace").splitlines() if ln.strip()]
         if not lines:
             raise ValueError("empty request body; send JSONL documents")
@@ -1246,6 +1410,8 @@ class BlackLabServer:
         if parts and parts[0] == "blacklab-server":
             parts = parts[1:]
         root = self._require_writable()
+        if len(parts) == 2 and parts[0] == "input-formats":
+            return self._delete_format(parts[1])
         if len(parts) != 1:
             raise KeyError(f"DELETE {u.path}")
         corpus = parts[0]

@@ -209,6 +209,41 @@ def build_kwargs_from_format(fmt: dict) -> dict:
     return {"index_tags": tuple(fmt.get("inlineTags") or ())}
 
 
+_TAGNAME_RE = __import__("re").compile(r"^[A-Za-z_][-A-Za-z0-9_.]*$")
+
+
+def validate_xml_format(fmt: dict, xpath: bool = False) -> dict:
+    """Eagerly validate a format config dict (the checks the readers run,
+    hoisted so AddFormat over HTTP can 400 at upload time, not first-use).
+    Returns the config merged over DEFAULT_XML_FORMAT."""
+    fmt = {**DEFAULT_XML_FORMAT, **fmt}
+    meta = fmt.get("metadata") or {}
+    if not isinstance(meta, dict):
+        raise ValueError("metadata must be a mapping")
+    bad = set(meta) - {"lang"}
+    if bad:
+        raise ValueError(
+            f"metadata targets {sorted(bad)} not representable in the pages "
+            "shape (supported: lang)"
+        )
+    tags = fmt.get("inlineTags") or ()
+    if isinstance(tags, str) or not all(isinstance(t, str) for t in tags):
+        raise ValueError("inlineTags must be a list of tag names")
+    if not xpath:
+        # plain tag NAMES only — XPath-style paths ('//doc', 'TEI/text/body')
+        # are not supported by the regex-scan reader and must fail loudly
+        for label, t in (
+            ("documentPath", fmt.get("documentPath")),
+            ("metadata tag", meta.get("lang")),
+        ):
+            if t is not None and not _TAGNAME_RE.match(t):
+                raise ValueError(
+                    f"{label} must be a plain tag name, got {t!r} "
+                    "(XPath selectors are not supported)"
+                )
+    return fmt
+
+
 def pages_from_xml_dir(
     spark: SparkSession, path: str, fmt: dict | None = None, lang: str = "und"
 ) -> DataFrame:
@@ -221,28 +256,11 @@ def pages_from_xml_dir(
     put them)."""
     import re as _re
 
-    import re as _re0
-
-    fmt = {**DEFAULT_XML_FORMAT, **(fmt or {})}
-    bad = set(fmt.get("metadata", {})) - {"lang"}
-    if bad:
-        raise ValueError(
-            f"metadata targets {sorted(bad)} not representable in the pages "
-            "shape (supported: lang)"
-        )
+    fmt = validate_xml_format(fmt or {})
     doc_tag = fmt.get("documentPath")
-    lang_tag = fmt.get("metadata", {}).get("lang")
-    # plain tag NAMES only — XPath-style paths ('//doc', 'TEI/text/body')
-    # are not supported (v1) and must fail loudly, not match nothing
-    _TAGNAME = _re0.compile(r"^[A-Za-z_][-A-Za-z0-9_.]*$")
-    for label, t in (("documentPath", doc_tag), ("metadata tag", lang_tag)):
-        if t is not None and not _TAGNAME.match(t):
-            raise ValueError(
-                f"{label} must be a plain tag name, got {t!r} "
-                "(XPath selectors are not supported)"
-            )
-    doc_tag = _re0.escape(doc_tag) if doc_tag else None
-    lang_tag = _re0.escape(lang_tag) if lang_tag else None
+    lang_tag = (fmt.get("metadata") or {}).get("lang")
+    doc_tag = _re.escape(doc_tag) if doc_tag else None
+    lang_tag = _re.escape(lang_tag) if lang_tag else None
 
     raw = _wholefile_reader(spark, path)
 
@@ -323,13 +341,7 @@ def pages_from_xml_xpath(
     Output carries tokens/sents/tags columns (annotated-input build path);
     `<s>` elements feed the sents column when present, else one whole-doc
     sentence."""
-    fmt = {**DEFAULT_XML_FORMAT, **(fmt or {})}
-    bad = set(fmt.get("metadata", {})) - {"lang"}
-    if bad:
-        raise ValueError(
-            f"metadata targets {sorted(bad)} not representable in the pages "
-            "shape (supported: lang)"
-        )
+    fmt = validate_xml_format(fmt or {}, xpath=True)
     doc_path = fmt.get("documentPath")
     content_path = fmt.get("contentPath")
     ns = dict(fmt.get("namespaces") or {})

@@ -651,3 +651,104 @@ def test_termfreq_filtered_folded_lemma(spark, tiny_index_annot):
         for r in tiny_index_annot.term_freqs(fold=True, annot="lemma").collect()
     }
     assert body["termFreq"] == want
+
+
+FMT_YAML = b"""
+displayName: Test letters
+baseFormat: xml-config
+documentPath: letter
+inlineTags: [p, s]
+metadata:
+  lang: language
+"""
+
+LETTERS_XML = (
+    "<letters>"
+    "<letter><language>nl</language><p>the quick brown fox</p></letter>"
+    "<letter><language>en</language><p>jumps over the lazy dog</p></letter>"
+    "</letters>"
+).encode()
+
+
+def test_add_format_validation(wsrv):
+    st, _ = req(wsrv, "POST", "/blacklab-server/input-formats/bad%20name", FMT_YAML)
+    assert st == 400
+    st, _ = req(wsrv, "POST", "/blacklab-server/input-formats/jsonl", FMT_YAML)
+    assert st == 400  # built-in names are reserved
+    st, _ = req(wsrv, "POST", "/blacklab-server/input-formats/f1", b"[not: a: mapping")
+    assert st == 400  # YAML syntax error
+    st, _ = req(wsrv, "POST", "/blacklab-server/input-formats/f1", b"- just\n- a list\n")
+    assert st == 400  # not a mapping
+    st, _ = req(
+        wsrv, "POST", "/blacklab-server/input-formats/f1",
+        b"documentPath: '//xpath/selector'\n",
+    )
+    assert st == 400  # xml-config base takes plain tag names only
+    st, _ = req(
+        wsrv, "POST", "/blacklab-server/input-formats/f1",
+        b"metadata: {author: creator}\n",
+    )
+    assert st == 400  # unrepresentable metadata target
+
+
+def test_add_format_list_detail_delete(wsrv):
+    st, body = req(wsrv, "POST", "/blacklab-server/input-formats/letters", FMT_YAML)
+    assert st == 201 and body["status"] == "SUCCESS"
+    st, body = req(wsrv, "GET", "/blacklab-server/input-formats")
+    fmts = body["supportedInputFormats"]
+    assert "letters" in fmts and fmts["letters"]["configurationBased"] is True
+    assert fmts["letters"]["displayName"] == "Test letters"
+    st, body = req(wsrv, "GET", "/blacklab-server/input-formats/letters")
+    assert st == 200 and body["configFile"]["documentPath"] == "letter"
+    # built-in detail still resolves; unknown 404s
+    st, body = req(wsrv, "GET", "/blacklab-server/input-formats/jsonl")
+    assert st == 200 and body["configurationBased"] is False
+    st, _ = req(wsrv, "GET", "/blacklab-server/input-formats/nope")
+    assert st == 404
+    # delete: builtin forbidden, user format gone afterwards
+    st, _ = req(wsrv, "DELETE", "/blacklab-server/input-formats/jsonl")
+    assert st == 403
+    st, _ = req(wsrv, "DELETE", "/blacklab-server/input-formats/letters")
+    assert st == 200
+    st, body = req(wsrv, "GET", "/blacklab-server/input-formats")
+    assert "letters" not in body["supportedInputFormats"]
+    st, _ = req(wsrv, "DELETE", "/blacklab-server/input-formats/letters")
+    assert st == 404
+
+
+def test_add_to_index_with_user_format(wsrv):
+    req(wsrv, "POST", "/blacklab-server/input-formats/letters", FMT_YAML)
+    req(wsrv, "POST", "/blacklab-server?name=mail")
+    st, body = req(wsrv, "POST", "/blacklab-server/mail/docs?format=letters", LETTERS_XML)
+    assert st == 200 and body["documentsAdded"] == 2
+    # the format's documentPath split the body; metadata lang came from <language>
+    st, body = req(wsrv, "GET", "/blacklab-server/mail/docs")
+    assert st == 200 and len(body["docs"]) == 2
+    langs = sorted(d["docInfo"]["lang"] for d in body["docs"])
+    assert langs == ["en", "nl"]
+    # hits across both docs; config'd inline tag <p> is queryable
+    st, body = req(wsrv, "GET", '/blacklab-server/mail/hits?patt=%22the%22')
+    assert st == 200 and body["summary"]["numberOfHits"] == 2
+    st, body = req(
+        wsrv, "GET",
+        '/blacklab-server/mail/hits?patt=%22fox%22%20within%20%3Cp/%3E',
+    )
+    assert st == 200 and body["summary"]["numberOfHits"] == 1
+    # unregistered format name on add -> 400
+    st, _ = req(wsrv, "POST", "/blacklab-server/mail/docs?format=nope", LETTERS_XML)
+    assert st == 400
+
+
+def test_user_formats_persist_across_restart(spark, tmp_path):
+    from blacklab_spark.server import BlackLabServer
+
+    s1 = BlackLabServer({}, port=0, writable_root=str(tmp_path), spark=spark).start()
+    st, _ = req(s1, "POST", "/blacklab-server/input-formats/letters", FMT_YAML)
+    assert st == 201
+    s1.stop()
+    s2 = BlackLabServer({}, port=0, writable_root=str(tmp_path), spark=spark).start()
+    try:
+        st, body = req(s2, "GET", "/blacklab-server/input-formats/letters")
+        assert st == 200 and body["configFile"]["documentPath"] == "letter"
+    finally:
+        s2.stop()
