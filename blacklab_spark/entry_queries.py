@@ -943,6 +943,45 @@ def build_queries() -> dict:
 
     q["mm_decode_png"] = mm_decode_png
 
+    def mm_decode_gif(s, d):
+        """REAL GIF decode round-trip: per doc_id a constant-fill GIF89a
+        (palette[0] = gray v = id%256, dims w=4+id%13, h=3+id%7), interlaced
+        on odd ids, with a transparent index (NOT the fill index) on
+        id%3==0 so channels flip 3->4 and the alpha plane is all 255 —
+        mean = (3v+255)/4 in closed form. Decoded by the pure python/numpy
+        LZW decoder (multimodal.decode_gif) inside image_features; the
+        oracle recomputes every field in SQL, so any LZW/interlace/GCE bug
+        is a value-hash mismatch."""
+        import numpy as np
+        import pandas as pd
+
+        from . import multimodal as M
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    v = i % 256
+                    pal = np.array([[v, v, v], [255 - v, v, 17]], np.uint8)
+                    fr = np.zeros((3 + i % 7, 4 + i % 13), np.uint8)
+                    payloads.append(M.encode_gif(
+                        [fr], pal, interlace=bool(i % 2),
+                        transparent_idx=1 if i % 3 == 0 else None,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.image_features(wp).select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+
+    q["mm_decode_gif"] = mm_decode_gif
+
     def mm_audio_wav(s, d):
         """REAL PCM-WAV decode round-trip: constant-signal WAVs with
         deterministic rate/frames/channels/amplitude per doc_id, decoded by
@@ -1395,7 +1434,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_decode_png",  # new in r5 session 3
+    "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
     # cut from the r4 sample (checked r1-r3 at best)
@@ -1729,6 +1768,16 @@ SELECT doc_id,
        CAST(3 + doc_id % 7 AS INT) AS height,
        CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
        ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_px
+FROM documents
+"""
+    o["mm_decode_gif"] = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+       ROUND(CASE WHEN doc_id % 3 = 0
+                  THEN (3 * (doc_id % 256) + 255) / 4.0
+                  ELSE CAST(doc_id % 256 AS DOUBLE) END, 6) AS mean_px
 FROM documents
 """
     o["mm_audio_wav"] = """

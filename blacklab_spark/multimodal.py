@@ -7,11 +7,13 @@ over `mapInPandas` so payload bytes never pass through per-row Python.
 
 Decode is REAL for formats numpy/stdlib can handle without external
 libraries: PNG (full baseline: zlib inflate, all five row filters, color
-types 0/2/3/4/6, bit depths 1-16, Adam7 — `decode_png`), uncompressed
-24/32-bit BMP, binary PPM/PGM (`decode_image`, `image_features`) and PCM
-WAV audio (`decode_wav`, `audio_metadata`), round-trip-tested against the
-deterministic `encode_png`/`encode_bmp`/`encode_wav` synths. Codecs that
-genuinely need external libraries (JPEG/GIF/WebP/video — PIL/ffmpeg
+types 0/2/3/4/6, bit depths 1-16, Adam7 — `decode_png`), GIF87a/89a (pure
+python/numpy LZW, interlace, local color tables, transparency, multi-frame
+— `decode_gif`), uncompressed 24/32-bit BMP, binary PPM/PGM
+(`decode_image`, `image_features`) and PCM WAV audio (`decode_wav`,
+`audio_metadata`), round-trip-tested against the deterministic
+`encode_png`/`encode_gif`/`encode_bmp`/`encode_wav` synths. Codecs that
+genuinely need external libraries (JPEG/WebP/video — PIL/ffmpeg
 territory, NOT in this container) raise `NotImplementedError`; `_decode_image_batch`
 keeps the documented md5-derived fake for arbitrary non-image payloads so
 the generic plumbing (image_metadata / sample_frames / resize_images)
@@ -62,7 +64,7 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 def decode_image_real(payloads: pd.Series) -> pd.DataFrame:
     """The real-decoder integration point. REAL for formats decodable with
-    numpy/stdlib alone (PNG, uncompressed BMP, binary PPM/PGM — see
+    numpy/stdlib alone (PNG, GIF, uncompressed BMP, binary PPM/PGM — see
     decode_image below); raises NotImplementedError for codecs (JPEG/...)
     this container has no libraries for."""
     rows = []
@@ -70,7 +72,7 @@ def decode_image_real(payloads: pd.Series) -> pd.DataFrame:
         d = decode_image(b)
         if d is None:
             raise NotImplementedError(
-                "payload is not a PNG/BMP/PNM image; JPEG/GIF/WebP need "
+                "payload is not a PNG/GIF/BMP/PNM image; JPEG/WebP need "
                 "PIL/torchvision, unavailable in this environment"
             )
         rows.append((len(bytes(b)), d["width"], d["height"], d["channels"]))
@@ -228,9 +230,11 @@ def decode_image(b: bytes) -> dict | None:
         return decode_pnm(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
-    if b[:2] == b"\xff\xd8" or b[:4] in (b"GIF8", b"RIFF"):
+    if b[:4] == b"GIF8":
+        return decode_gif(b)
+    if b[:2] == b"\xff\xd8" or b[:4] == b"RIFF":
         raise NotImplementedError(
-            "JPEG/GIF/WebP codecs are not available in this environment"
+            "JPEG/WebP codecs are not available in this environment"
         )
     return None
 
@@ -480,6 +484,248 @@ def encode_png(
     out.append(chunk(b"IDAT", zlib.compress(body)))
     out.append(chunk(b"IEND", b""))
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF — REAL decoder, pure python/numpy LZW. GIF87a/89a, global + local color
+# tables, interlace, transparency (GCE), multi-frame (first frame's pixels +
+# frame count). Synth side: encode_gif with a real LZW compressor.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW: variable-width codes LSB-first, clear/EOI codes, dictionary
+    grows to 12 bits then waits for a clear (deferred-clear tolerated)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # dictionary as prefix links: entry -> (prefix_code, appended_pixel)
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    bitpos = 0
+    nbits = len(data) * 8
+    arr = np.frombuffer(data, np.uint8)
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(
+            arr[byte0 : byte0 + 3].tobytes().ljust(3, b"\0"), "little"
+        )
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    def reset():
+        return list(range(clear)) + [None, None], min_code_size + 1
+
+    # table holds decoded byte-strings (python lists of ints are slow; use
+    # bytes — appends build new bytes but entries are short in practice)
+    table, width = None, 0
+    strings: list[bytes] = []
+    prev: bytes | None = None
+    strings = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    while n_out < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            strings = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = strings[code]
+        elif code < len(strings):
+            entry = strings[code]
+            strings.append(prev + entry[:1])
+        elif code == len(strings):  # KwKwK case
+            entry = prev + prev[:1]
+            strings.append(entry)
+        else:
+            raise NotImplementedError(f"corrupt GIF LZW stream (code {code})")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+        if len(strings) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode(pixels: np.ndarray, min_code_size: int) -> bytes:
+    """Real GIF LZW compressor (encoder side of the round-trip tests)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    curbits = 0
+
+    def emit(code, width):
+        nonlocal cur, curbits
+        cur |= code << curbits
+        curbits += width
+        while curbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            curbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for px in pixels.tobytes():
+        cand = prev + bytes([px])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        if next_code < (1 << 12):
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: clear and restart
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([px])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if curbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start, step) per pass
+
+
+def decode_gif(b: bytes) -> dict | None:
+    """Decode a GIF payload: first frame's pixels (RGB, or RGBA when the
+    frame's graphic control marks a transparent index) + dims + n_frames.
+    Pure python/numpy — real LZW, interlace, local color tables. Returns
+    None for non-GIF payloads."""
+    b = bytes(b)
+    if b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    n_frames = 0
+    first = None
+    transparent_idx = None
+    pending_transparent = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = b[pos]
+                gce_flags = b[pos + 1]
+                tidx = b[pos + 4]
+                if gce_flags & 1:
+                    pending_transparent = tidx
+                pos += 1 + sz
+            while b[pos] != 0:  # skip (remaining) sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # image descriptor expected
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        lct = None
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        min_code_size = b[pos]
+        pos += 1
+        chunks = []
+        while b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is None:
+            idx = _lzw_decode(b"".join(chunks), min_code_size, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: reorder rows
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, ih, step)
+                    de[list(rows)] = idx[src : src + len(rows)]
+                    src += len(rows)
+                idx = de
+            ct = lct if lct is not None else gct
+            if ct is None:
+                raise NotImplementedError("GIF frame without a color table")
+            rgb = ct[idx]
+            transparent_idx = pending_transparent
+            if transparent_idx is not None:
+                alpha = np.where(idx == transparent_idx, 0, 255).astype(np.uint8)
+                first = np.dstack([rgb, alpha])
+            else:
+                first = rgb
+            fw, fh = iw, ih
+        pending_transparent = None
+    if first is None:
+        raise NotImplementedError("GIF with no image data")
+    return {
+        "width": int(fw), "height": int(fh), "channels": first.shape[2],
+        "pixels": first, "n_frames": n_frames,
+    }
+
+
+def encode_gif(
+    frames: list[np.ndarray], palette: np.ndarray, interlace: bool = False,
+    transparent_idx: int | None = None,
+) -> bytes:
+    """Encode palette-index frames (each (h, w) uint8) + (N,3) palette as a
+    GIF89a with real LZW — the deterministic synth side of the round-trip."""
+    palette = np.asarray(palette, np.uint8)
+    h, w = frames[0].shape
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    n = 1 << bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, bits)
+    for fi, fr in enumerate(frames):
+        fr = np.asarray(fr, np.uint8)
+        if transparent_idx is not None and fi == 0:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent_idx, 0])
+        iflags = 0x40 if interlace else 0
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, fr.shape[1], fr.shape[0], iflags)
+        if interlace:
+            rows = []
+            for start, step in _GIF_INTERLACE:
+                rows.extend(range(start, fr.shape[0], step))
+            fr = fr[rows]
+        out += bytes([min_code])
+        lzw = _lzw_encode(fr.ravel(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -100,9 +100,13 @@ def test_pnm_rejects_truncated_and_16bit():
 def test_decode_image_dispatch_and_honest_boundary():
     assert M.decode_image(M.encode_bmp(3, 3, 9))["width"] == 3
     assert M.decode_image(b"some document text") is None
-    for magic in (b"\x89PNG\r\n\x1a\n1234", b"\xff\xd8\xff\xe0more", b"GIF89a.."):
+    # PNG/GIF are real decoders now; the honest NotImplementedError boundary
+    # is JPEG/WebP (no codec libs in this container).
+    for magic in (b"\xff\xd8\xff\xe0more", b"RIFF1234WEBP"):
         with pytest.raises(NotImplementedError):
             M.decode_image(magic)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n1234")  # truncated PNG
 
 
 def test_resize_nearest():
@@ -186,3 +190,62 @@ def test_decode_image_real_batch():
     assert list(meta["width"]) == [5, 3] and list(meta["height"]) == [2, 3]
     with pytest.raises(NotImplementedError):
         M.decode_image_real(pd.Series([b"utf-8 text payload"]))
+
+
+# ---------------------------------------------------------------- GIF ----
+# Pure python/numpy LZW (GIF87a/89a): round-trips against encode_gif, which
+# uses a real LZW compressor — so decoder and encoder check each other.
+
+
+def _pal(n, seed):
+    return np.random.RandomState(seed).randint(0, 256, (n, 3)).astype(np.uint8)
+
+
+def test_gif_roundtrip_plain():
+    pal = _pal(16, 42)
+    fr = np.random.RandomState(1).randint(0, 16, (23, 37)).astype(np.uint8)
+    d = M.decode_image(M.encode_gif([fr], pal))
+    assert (d["width"], d["height"], d["channels"]) == (37, 23, 3)
+    assert np.array_equal(d["pixels"], pal[fr])
+    assert d["n_frames"] == 1
+
+
+def test_gif_interlaced():
+    pal = _pal(16, 42)
+    fr = np.random.RandomState(2).randint(0, 16, (30, 11)).astype(np.uint8)
+    d = M.decode_gif(M.encode_gif([fr], pal, interlace=True))
+    assert np.array_equal(d["pixels"], pal[fr])
+
+
+def test_gif_transparency_alpha_plane():
+    pal = _pal(8, 3)
+    fr = np.random.RandomState(3).randint(0, 8, (9, 9)).astype(np.uint8)
+    d = M.decode_gif(M.encode_gif([fr], pal, transparent_idx=5))
+    assert d["channels"] == 4
+    assert np.array_equal(d["pixels"][..., :3], pal[fr])
+    assert np.array_equal(d["pixels"][..., 3] == 0, fr == 5)
+
+
+def test_gif_multiframe_first_frame_and_count():
+    pal = _pal(4, 4)
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 4, (6, 7)).astype(np.uint8) for _ in range(3)]
+    d = M.decode_gif(M.encode_gif(frames, pal))
+    assert d["n_frames"] == 3
+    assert np.array_equal(d["pixels"], pal[frames[0]])
+
+
+def test_gif_lzw_dict_overflow_and_runs():
+    # 256-entry palette + 64k random pixels forces 12-bit codes and clear
+    # codes mid-stream; long runs force deep prefix chains.
+    pal = _pal(256, 7)
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 256, (256, 256)).astype(np.uint8)
+    assert np.array_equal(M.decode_gif(M.encode_gif([big], pal))["pixels"], pal[big])
+    runs = np.repeat(np.arange(256, dtype=np.uint8), 300).reshape(300, 256).T.copy()
+    assert np.array_equal(M.decode_gif(M.encode_gif([runs], pal))["pixels"], pal[runs])
+
+
+def test_gif_rejects_non_gif():
+    assert M.decode_gif(b"not a gif at all") is None
+    assert M.decode_gif(b"GIF00junkjunk") is None
