@@ -44,7 +44,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import B, K1
-from .codec import delta_encode, delta_encode_segmented, varint_encode, varint_lengths
+from .codec import (
+    BLOB_VARINT,
+    delta_encode,
+    delta_encode_segmented,
+    encode_ints,
+    varint_encode,
+    varint_lengths,
+)
 from .tokenize import (
     TOKENIZER_VERSION,
     extract_text_series,
@@ -56,8 +63,10 @@ from .tokenize import (
 DEFAULT_BLOCK = 128
 # bumped on any docs/terms/postings/meta schema change; 11 = `multi_value`
 # meta key REQUIRED (a pre-flag v10 mv index would silently skip the span
-# dedupe — ADVICE r4). Readers still fall back conservatively when absent.
-FORMAT_VERSION = 11
+# dedupe — ADVICE r4). 12 = every posting blob leads with a codec tag byte
+# (BLOB_VARINT / BLOB_PFOR, codec.py) — pre-12 untagged blobs CANNOT be
+# decoded by tag dispatch, so Index.load hard-refuses older segments.
+FORMAT_VERSION = 12
 
 # annotation layers (reference: one parallel layer per annotation,
 # AnnotatedFieldWriter.java:20-44). "word" posts SURFACE terms (sensitivity
@@ -450,6 +459,7 @@ def _encode_shard_kernel(
     block_size: int,
     annotations: tuple[str, ...] = DEFAULT_ANNOTATIONS,
     input_layers: frozenset[str] = frozenset(),
+    codec: str = "varint",
 ):
     """Whole-shard Arrow kernel: doc rows (shard, doc_id, doc_len, tokens) ->
     posting block rows keyed by (annot, term string). Explode, term grouping
@@ -711,6 +721,10 @@ def _encode_shard_kernel(
             # WHOLE shard, then per-block byte-range slicing. Per-block
             # varint_encode calls would be ~15 tiny numpy ops x n_blocks x 4
             # columns — overhead-dominated (measured 70% of kernel time).
+            # codec="pfor" takes the per-block path instead: PForDelta needs
+            # a per-block bit width, so its packing cannot bulk-slice. The
+            # blobs self-describe via the tag byte (codec.py), so readers
+            # and merges never consult this choice.
             # block boundaries (doc-run level): every gstart + every
             # block_size docs within a group
             # fold-df correction markers (word layer): a doc holding >1
@@ -753,22 +767,23 @@ def _encode_shard_kernel(
             bends = np.append(bstarts[1:], m)
             # doc ids: delta within block (absolute at block start)
             d_delta = delta_encode_segmented(g_doc, None, seg_starts=bstarts)
-            d_bytes = varint_encode(d_delta)
-            d_lens = varint_lengths(d_delta)
-            d_off = np.concatenate(([0], np.cumsum(d_lens)))
-            t_bytes = varint_encode(tfs)
-            t_lens = varint_lengths(tfs)
-            t_off = np.concatenate(([0], np.cumsum(t_lens)))
-            l_bytes = varint_encode(g_dl)
-            l_lens = varint_lengths(g_dl)
-            l_off = np.concatenate(([0], np.cumsum(l_lens)))
             # positions: delta restarts at each doc; blocks align with doc
             # boundaries so slicing at doc boundaries is safe
             p_delta = delta_encode_segmented(pos_s, tfs)
-            p_bytes = varint_encode(p_delta)
-            p_lens = varint_lengths(p_delta)
-            p_voff = np.concatenate(([0], np.cumsum(p_lens)))  # per token value
             pos_starts_tok = pos_ends - tfs  # token index of each doc-run start
+            if codec == "varint":
+                d_bytes = varint_encode(d_delta)
+                d_lens = varint_lengths(d_delta)
+                d_off = np.concatenate(([0], np.cumsum(d_lens)))
+                t_bytes = varint_encode(tfs)
+                t_lens = varint_lengths(tfs)
+                t_off = np.concatenate(([0], np.cumsum(t_lens)))
+                l_bytes = varint_encode(g_dl)
+                l_lens = varint_lengths(g_dl)
+                l_off = np.concatenate(([0], np.cumsum(l_lens)))
+                p_bytes = varint_encode(p_delta)
+                p_lens = varint_lengths(p_delta)
+                p_voff = np.concatenate(([0], np.cumsum(p_lens)))  # per token value
             # per-block stats (reduceat over doc-run arrays)
             doc_count = (bends - bstarts).astype(np.int64)
             first_doc = g_doc[bstarts]
@@ -783,10 +798,23 @@ def _encode_shard_kernel(
             terms_py = vocab.tolist()
             nb = len(bstarts)
             out: list[tuple] = []
+            tag_v = bytes([BLOB_VARINT])
             for i in range(nb):
                 a, b_ = int(bstarts[i]), int(bends[i])
-                pb0 = int(p_voff[pos_starts_tok[a]])
-                pb1 = int(p_voff[pos_ends[b_ - 1]])
+                if codec == "varint":
+                    pb0 = int(p_voff[pos_starts_tok[a]])
+                    pb1 = int(p_voff[pos_ends[b_ - 1]])
+                    d_blob = tag_v + d_bytes[int(d_off[a]) : int(d_off[b_])]
+                    t_blob = tag_v + t_bytes[int(t_off[a]) : int(t_off[b_])]
+                    l_blob = tag_v + l_bytes[int(l_off[a]) : int(l_off[b_])]
+                    p_blob = tag_v + p_bytes[pb0:pb1]
+                else:  # pfor: per-block bit width, packed low bits + patches
+                    tok0 = int(pos_starts_tok[a])
+                    tok1 = int(pos_ends[b_ - 1])
+                    d_blob = encode_ints(d_delta[a:b_], codec)
+                    t_blob = encode_ints(tfs[a:b_], codec)
+                    l_blob = encode_ints(g_dl[a:b_], codec)
+                    p_blob = encode_ints(p_delta[tok0:tok1], codec)
                 out.append(
                     (
                         int(blk_shard[i]),
@@ -799,10 +827,10 @@ def _encode_shard_kernel(
                         int(max_tf[i]),
                         int(min_dl[i]),
                         int(tf_sum[i]),
-                        d_bytes[int(d_off[a]) : int(d_off[b_])],
-                        t_bytes[int(t_off[a]) : int(t_off[b_])],
-                        l_bytes[int(l_off[a]) : int(l_off[b_])],
-                        p_bytes[pb0:pb1],
+                        d_blob,
+                        t_blob,
+                        l_blob,
+                        p_blob,
                     )
                 )
                 if len(out) >= 16384:
@@ -886,8 +914,15 @@ def build_index(
     store_offsets: bool = False,
     index_relations: bool = False,
     dict_threshold: int = 20_000_000,
+    codec: str = "varint",
 ) -> dict:
     """Build one index segment from a pages DataFrame. Returns meta dict.
+
+    codec: posting-blob codec — "varint" (delta+LEB128, bulk-encoded per
+    shard) or "pfor" (PForDelta: per-block bit-packed low bits + varint
+    exception patches; smaller blocks, branchless fixed-stride decode).
+    Blobs self-describe via a tag byte, so mixed-codec segments merge and
+    query without configuration.
 
     dict_threshold: docs above which the dictionary is built via the
     distributed two-rank flow instead of the one-task kernel (the path a
@@ -922,6 +957,8 @@ def build_index(
     # the _SUCCESS marker atomic-enough for a restarted driver.
     annotations = tuple(annotations)
     assert annotations[0] == "word" and set(annotations) <= {"word", "lemma", "pos"}
+    if codec not in ("varint", "pfor"):
+        raise ValueError(f"codec must be 'varint' or 'pfor', got {codec!r}")
     # annotated input carrying its own relations column counts as indexed
     has_relations = bool(index_relations) or ("relations" in pages.columns)
     # layers whose values come from the INPUT (reference ingestion model)
@@ -945,6 +982,7 @@ def build_index(
         "parallel_fields": parallel_field_names(pages.columns),
         "tokenizer_version": TOKENIZER_VERSION,
         "format_version": FORMAT_VERSION,
+        "codec": codec,
     }
     params_path = f"{seg_dir}/build_params.json"
     if resume and os.path.exists(params_path):
@@ -1055,7 +1093,7 @@ def build_index(
             row_cols.append(F.col("mv"))
         rows = docs.select(*row_cols).repartitionByRange(n_shards, "shard")
         blocks = rows.mapInArrow(
-            _encode_shard_kernel(block_size, annotations, input_layers),
+            _encode_shard_kernel(block_size, annotations, input_layers, codec),
             schema=BLOCKS_SCHEMA,
         )
         # parallel-field postings (reference: each parallel version is a
@@ -1074,7 +1112,7 @@ def build_index(
                 ).alias("tokens"),
             ).withColumn("doc_len", F.size("tokens"))
             pblocks = prows.repartitionByRange(n_shards, "shard").mapInArrow(
-                _encode_shard_kernel(block_size, ("word",), frozenset()),
+                _encode_shard_kernel(block_size, ("word",), frozenset(), codec),
                 schema=BLOCKS_SCHEMA,
             ).withColumn("annot", F.lit(f"f_{fld}"))
             blocks = blocks.unionByName(pblocks)
@@ -1210,6 +1248,7 @@ def build_index(
     meta = {
         "stage_s": stage_s,
         "format_version": FORMAT_VERSION,
+        "codec": codec,
         "segment": segment,
         "annotations": list(annotations),
         "input_layers": sorted(input_layers),
@@ -1490,12 +1529,23 @@ def merge_segments(
             {f for p in params for f in p.get("parallel_fields", [])}
         ),
         "store_text": all(p.get("store_text", True) for p in params),
+        "codec": (
+            p0.get("codec", "varint")
+            if all(p.get("codec", "varint") == p0.get("codec", "varint") for p in params)
+            else "mixed"
+        ),
     }
     with open(f"{seg_dir}/build_params.json", "w") as f:
         json.dump(merged_params, f)
     meta = {
         "stage_s": stage_s,
         "format_version": FORMAT_VERSION,
+        # blobs self-describe; merged codec is informational only
+        "codec": (
+            metas[0].get("codec", "varint")
+            if all(m.get("codec", "varint") == metas[0].get("codec", "varint") for m in metas)
+            else "mixed"
+        ),
         "segment": segment,
         "annotations": metas[0]["annotations"],
         "input_layers": merged_params["input_layers"],
@@ -1635,12 +1685,14 @@ def compact(
             # recompute offsets (text is non-null there)
             add("tok_offs")
         pages = docs.select(*cols)
+    _codec = p0.get("codec", "varint")
     meta = build_index(
         spark, pages, out_dir, n_shards=n_shards, block_size=block_size,
         segment="compacted", annotations=seg_annots,
         index_tags=tuple(p0.get("index_tags", [])),
         store_offsets=bool(p0.get("store_offsets", False)),
         index_relations=bool(p0.get("index_relations", False)),
+        codec=_codec if _codec != "mixed" else "varint",
     )
     with open(reg_path, "w") as f:
         json.dump({"segments": ["compacted"]}, f, indent=2)

@@ -140,6 +140,153 @@ def delta_decode_segmented(deltas: np.ndarray, seg_lengths: np.ndarray) -> np.nd
     return cs - correction
 
 
+# ------------------------------------------------------------- PForDelta ----
+#
+# Patched frame-of-reference (Zukowski et al., "Super-Scalar RAM-CPU Cache
+# Compression", ICDE 2006; the NewPFD variant of Yan/Ding/Suel, WWW 2009):
+# pick a bit width b covering most values, bit-pack every value's low b bits,
+# and patch the outliers ("exceptions") from two varint side streams
+# (positions + high bits). Decode is a fixed-stride gather — branchless and
+# fully vectorizable — where varint decode must walk continuation bits.
+#
+# Blob self-description: every posting blob (format_version >= 12) leads with
+# ONE tag byte, so merge keeps moving block bytes verbatim between segments
+# built with different codecs and the decode kernel needs no metadata.
+
+BLOB_VARINT = 0x01
+BLOB_PFOR = 0x02
+_PFOR_MAX_BITS = 32  # low-bit cap; wider values spill their high bits into
+#                      the exception stream (e.g. the absolute first doc id
+#                      of a block at 10^12-doc scale: 40 bits -> 1 exception)
+def _pfor_lanes(b: int) -> int:
+    """Byte lanes a packed value can span: 7-bit max shift + b-bit width."""
+    return (7 + b + 7) // 8
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Bit length per value (0 -> 0). float log2 is exact below 2**53; the
+    pfor entry points reject wider values (callers fall back to varint)."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    out[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64 array as a tagged PForDelta blob:
+
+        [0x02][b:1][varint n][varint n_exc]
+        [packed: ceil(n*b/8) bytes][exc idx deltas varint][exc highs varint]
+
+    b is chosen to minimize total bytes (exact packed cost + ~3 bytes per
+    exception estimate). Values >= 2**53 make float bit-length inexact —
+    callers should use the varint blob for those (encode_ints does)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size and (v.min() < 0 or v.max() >= (1 << 53)):
+        raise ValueError("pfor_encode: values must be in [0, 2**53)")
+    n = v.size
+    if n == 0:
+        return bytes([BLOB_PFOR, 0]) + varint_encode(np.array([0, 0]))
+    bits = _bit_lengths(v.astype(np.uint64))
+    # cost(b) = n*b/8 packed + ~3 bytes per exception; exceptions per b via
+    # a bit-length histogram suffix sum
+    hist = np.bincount(bits, minlength=54)
+    exc_at = n - np.cumsum(hist)  # exc_at[b] = #values with bits > b
+    cand = np.arange(0, min(int(bits.max()), _PFOR_MAX_BITS) + 1)
+    cost = (n * cand + 7) // 8 + 3 * exc_at[cand]
+    b = int(cand[np.argmin(cost)])
+    mask = np.uint64((1 << b) - 1)
+    u = v.astype(np.uint64)
+    packed_len = (n * b + 7) // 8
+    if b:
+        bitpos = np.arange(n, dtype=np.int64) * b
+        byte0 = bitpos >> 3
+        shift = (bitpos & 7).astype(np.uint64)
+        low = (u & mask) << shift
+        buf = np.zeros(packed_len + 8, dtype=np.uint8)
+        for k in range(_pfor_lanes(b)):
+            np.bitwise_or.at(
+                buf, byte0 + k,
+                ((low >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8),
+            )
+        packed = buf[:packed_len].tobytes()
+    else:
+        packed = b""
+    exc_idx = np.flatnonzero(bits > b)
+    highs = u[exc_idx] >> np.uint64(b)
+    head = varint_encode(np.array([n, exc_idx.size], dtype=np.int64))
+    return (
+        bytes([BLOB_PFOR, b]) + head + packed
+        + varint_encode(delta_encode(exc_idx))
+        + varint_encode(highs.astype(np.int64))
+    )
+
+
+def _pfor_decode(mv: memoryview) -> np.ndarray:
+    """Decode the body after the 0x02 tag byte."""
+    b = mv[0]
+    # header: two varints (n, n_exc) — walk continuation bits (tiny)
+    pos = 1
+    vals = []
+    for _ in range(2):
+        x, sh = 0, 0
+        while True:
+            byte = mv[pos]
+            pos += 1
+            x |= (byte & 0x7F) << sh
+            if not byte & 0x80:
+                break
+            sh += 7
+        vals.append(x)
+    n, n_exc = vals
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    packed_len = (n * b + 7) // 8
+    if b:
+        raw = np.empty(packed_len + 8, dtype=np.uint8)
+        raw[:packed_len] = np.frombuffer(mv[pos : pos + packed_len], dtype=np.uint8)
+        raw[packed_len:] = 0
+        bitpos = np.arange(n, dtype=np.int64) * b
+        byte0 = bitpos >> 3
+        shift = (bitpos & 7).astype(np.uint64)
+        window = np.zeros(n, dtype=np.uint64)
+        for k in range(_pfor_lanes(b)):
+            window |= raw[byte0 + k].astype(np.uint64) << np.uint64(8 * k)
+        out = ((window >> shift) & np.uint64((1 << b) - 1)).astype(np.int64)
+    else:
+        out = np.zeros(n, dtype=np.int64)
+    pos += packed_len
+    if n_exc:
+        tail = varint_decode(mv[pos:])
+        exc_idx = delta_decode(tail[:n_exc])
+        out[exc_idx] |= tail[n_exc:] << b
+    return out
+
+
+def encode_ints(values: np.ndarray, codec: str = "varint") -> bytes:
+    """Encode one array as a TAGGED blob (format_version >= 12). pfor falls
+    back to varint for values the packed path can't represent exactly."""
+    v = np.asarray(values, dtype=np.int64)
+    if codec == "pfor" and (v.size == 0 or (v.min() >= 0 and v.max() < (1 << 53))):
+        return pfor_encode(v)
+    if codec not in ("varint", "pfor"):
+        raise ValueError(f"unknown codec {codec!r}")
+    return bytes([BLOB_VARINT]) + varint_encode(v)
+
+
+def decode_ints(blob: bytes) -> np.ndarray:
+    """Decode a tagged blob, dispatching on the tag byte."""
+    mv = memoryview(blob)
+    if len(mv) == 0:
+        return np.empty(0, dtype=np.int64)
+    tag = mv[0]
+    if tag == BLOB_VARINT:
+        return varint_decode(mv[1:])
+    if tag == BLOB_PFOR:
+        return _pfor_decode(mv[1:])
+    raise ValueError(f"unknown blob tag 0x{tag:02x} (index predates format 12?)")
+
+
 # ------------------------------------------------------------ block codec ---
 
 

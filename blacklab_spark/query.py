@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import B, K1
-from .codec import varint_decode, delta_decode, delta_decode_segmented
+from .codec import decode_ints, delta_decode, delta_decode_segmented
 from .oracle.engine import byte4_to_int
 from .tokenize import accent_fold_token, case_fold_token, fold_token
 
@@ -97,6 +97,15 @@ class Index:
             base = f"{out_dir}/segments/{s}"
             with open(f"{base}/meta.json") as mf:
                 meta = json.load(mf)
+            # format >= 12 tags every posting blob with its codec byte; an
+            # untagged (pre-12) blob would decode as garbage under tag
+            # dispatch, so refuse loudly instead of silently mis-decoding
+            if meta.get("format_version", 0) < 12:
+                raise ValueError(
+                    f"segment {s!r} has format_version "
+                    f"{meta.get('format_version')} (< 12, untagged posting "
+                    "blobs); rebuild or compact() the index with this version"
+                )
             self.segments.append(
                 Segment(
                     s,
@@ -114,15 +123,11 @@ class Index:
         # any segment with multi-value positions voids the one-token-per-
         # position premise: term/or/regex hit producers then dedupe spans so
         # downstream SpanGuarantees uniqueness claims stay valid
-        # CONSERVATIVE fallback when the key is absent (pre-v11 segment,
-        # ADVICE r4): assume multi-value, always dedupe — an extra shuffle
-        # on stale indexes, never silent duplicate hits
-        self.has_mv = any(
-            s.meta.get(
-                "multi_value", s.meta.get("format_version", 0) < 11
-            )
-            for s in self.segments
-        )
+        # CONSERVATIVE fallback when the key is absent (ADVICE r4): assume
+        # multi-value, always dedupe — an extra shuffle on a hand-edited
+        # meta, never silent duplicate hits. (Pre-12 segments are refused at
+        # load above, so absence here means a tampered v12 meta.)
+        self.has_mv = any(s.meta.get("multi_value", True) for s in self.segments)
 
     # ------------------------------------------------------------- helpers --
     def _check_annot(self, annot: str) -> None:
@@ -1071,15 +1076,15 @@ def _decode_group(pdf: pd.DataFrame, need_pos: bool):
     per-doc tf segments (positions of doc i occupy a tf[i]-long slice)."""
     qs, ds, ts, ls, ps = [], [], [], [], []
     for r in pdf.itertuples(index=False):
-        docs = delta_decode(varint_decode(r.doc_ids))
-        tfs = varint_decode(r.tfs)
-        dls = varint_decode(r.dls)
+        docs = delta_decode(decode_ints(r.doc_ids))
+        tfs = decode_ints(r.tfs)
+        dls = decode_ints(r.dls)
         qs.append(np.full(len(docs), r.qidx, dtype=np.int64))
         ds.append(docs)
         ts.append(tfs)
         ls.append(dls)
         if need_pos:
-            ps.append(delta_decode_segmented(varint_decode(r.positions), tfs))
+            ps.append(delta_decode_segmented(decode_ints(r.positions), tfs))
     if not ds:
         z = np.empty(0, np.int64)
         return (z, z, z, z, z) if need_pos else (z, z, z, z)

@@ -110,3 +110,45 @@ def test_block_roundtrip(postings):
     assert np.array_equal(t2, tfs)
     if pos is not None and len(pos):
         assert np.array_equal(p2, pos)
+
+
+# -------------------------------------------------------------- PForDelta ---
+
+from blacklab_spark.codec import decode_ints, encode_ints, pfor_encode  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=0, max_value=2**53 - 1), max_size=400))
+def test_pfor_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    assert np.array_equal(decode_ints(pfor_encode(v)), v)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=300),
+    st.lists(st.integers(min_value=2**40, max_value=2**52), max_size=8),
+)
+def test_pfor_outlier_patching(small, outliers):
+    """The exception path: a few huge values among small ones must patch
+    exactly and keep the packed width small."""
+    v = np.array(small + outliers, dtype=np.int64)
+    rng = np.random.RandomState(len(v))
+    rng.shuffle(v)
+    blob = pfor_encode(v)
+    assert np.array_equal(decode_ints(blob), v)
+    if outliers and len(small) >= 32 * len(outliers):
+        # chosen width must not blow up to outlier size: blob beats 8B/value
+        assert len(blob) < 8 * v.size
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=100))
+def test_encode_ints_tagged_dispatch(vals):
+    """encode_ints('pfor') must fall back to the varint blob whenever values
+    are out of pfor range (negative / >= 2**53) and round-trip either way."""
+    v = np.array(vals, dtype=np.int64)
+    for codec in ("varint", "pfor"):
+        blob = encode_ints(v, codec)
+        assert blob[0] in (0x01, 0x02)
+        assert np.array_equal(decode_ints(blob), v)

@@ -207,11 +207,19 @@ def test_stale_meta_without_mv_flag_falls_back_conservative(
     mpath = os.path.join(out, "segments", "seg0", "meta.json")
     with open(mpath) as f:
         meta = json.load(f)
-    assert meta["format_version"] >= 11 and meta["multi_value"] is False
-    assert Index(spark, out).has_mv is False  # explicit v11 flag trusted
-    # simulate a stale pre-flag index: drop the key, claim v10
+    assert meta["format_version"] >= 12 and meta["multi_value"] is False
+    assert Index(spark, out).has_mv is False  # explicit flag trusted
+    # a meta missing the key (hand-edited) falls back conservatively
     del meta["multi_value"]
-    meta["format_version"] = 10
     with open(mpath, "w") as f:
         json.dump(meta, f)
     assert Index(spark, out).has_mv is True  # conservative fallback
+    # a pre-12 segment has UNTAGGED posting blobs — tag dispatch would
+    # decode garbage, so load must refuse loudly, not fall back
+    meta["format_version"] = 10
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="format_version"):
+        Index(spark, out)

@@ -145,7 +145,7 @@ def test_blocks_doc_sorted_and_stats(spark, tmp_path):
     stats — the WAND skip test and delta compression depend on it. (Round-1
     latent bug: the kernel sorted by batch-arrival index, not doc id.)"""
     from blacklab_spark.build import build_index
-    from blacklab_spark.codec import delta_decode, varint_decode
+    from blacklab_spark.codec import decode_ints, delta_decode
     from blacklab_spark.fixtures import pages_df
     from blacklab_spark.query import Index
 
@@ -157,7 +157,7 @@ def test_blocks_doc_sorted_and_stats(spark, tmp_path):
     import numpy as np
 
     for r in rows:
-        docs = delta_decode(varint_decode(r["doc_ids"]))
+        docs = delta_decode(decode_ints(r["doc_ids"]))
         assert (np.diff(docs) > 0).all(), "docs not strictly ascending"
         assert docs[0] == r["first_doc"] and docs[-1] == r["last_doc"]
 

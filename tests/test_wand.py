@@ -7,7 +7,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from blacklab_spark.codec import varint_encode, delta_encode
+from blacklab_spark.codec import encode_ints, delta_encode
 from blacklab_spark.query import _score_arrays, _wand_multi, _decode_group
 
 BLOCK = 64
@@ -30,9 +30,9 @@ def make_blocks(term_id, qidx, docs, tfs, dls):
                 "last_doc": int(d[-1]),
                 "max_tf": int(t.max()),
                 "min_dl": int(ln.min()),
-                "doc_ids": varint_encode(delta_encode(d)),
-                "tfs": varint_encode(t),
-                "dls": varint_encode(ln),
+                "doc_ids": encode_ints(delta_encode(d)),
+                "tfs": encode_ints(t),
+                "dls": encode_ints(ln),
             }
         )
     return rows
