@@ -982,6 +982,47 @@ def build_queries() -> dict:
 
     q["mm_decode_gif"] = mm_decode_gif
 
+    def mm_decode_jpeg(s, d):
+        """REAL baseline-JPEG decode round-trip: per doc_id a constant-fill
+        JPEG at quality 75 (dims w=8+8*(id%3), h=8+8*(id%2); grayscale on
+        even ids, RGB + 4:2:0 subsampling on ids%4==1, RGB 4:4:4 otherwise;
+        restart markers every 2 MCUs on ids%5==0). At quality 75 the
+        luminance quantizer q00=8 makes a constant block's DC round-trip
+        EXACTLY (DC=8c/8=c), so decoded mean == fill v = id%256 in closed
+        form — the full Huffman/DCT/marker pipeline (jpeg.py) must be
+        bit-correct or the value hash mismatches."""
+        import numpy as np
+        import pandas as pd
+
+        from . import multimodal as M
+        from .jpeg import encode_jpeg
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    v = i % 256
+                    w, h = 8 + 8 * (i % 3), 8 + 8 * (i % 2)
+                    ch = 1 if i % 2 == 0 else 3
+                    px = np.full((h, w) if ch == 1 else (h, w, 3), v, np.uint8)
+                    payloads.append(encode_jpeg(
+                        px, quality=75, subsample=(i % 4 == 1),
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.image_features(wp).select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+
+    q["mm_decode_jpeg"] = mm_decode_jpeg
+
     def mm_audio_wav(s, d):
         """REAL PCM-WAV decode round-trip: constant-signal WAVs with
         deterministic rate/frames/channels/amplitude per doc_id, decoded by
@@ -1434,7 +1475,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
+    "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
     # cut from the r4 sample (checked r1-r3 at best)
@@ -1778,6 +1819,14 @@ SELECT doc_id,
        ROUND(CASE WHEN doc_id % 3 = 0
                   THEN (3 * (doc_id % 256) + 255) / 4.0
                   ELSE CAST(doc_id % 256 AS DOUBLE) END, 6) AS mean_px
+FROM documents
+"""
+    o["mm_decode_jpeg"] = """
+SELECT doc_id,
+       CAST(8 + 8 * (doc_id % 3) AS INT) AS width,
+       CAST(8 + 8 * (doc_id % 2) AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_px
 FROM documents
 """
     o["mm_audio_wav"] = """

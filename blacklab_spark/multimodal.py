@@ -7,14 +7,16 @@ over `mapInPandas` so payload bytes never pass through per-row Python.
 
 Decode is REAL for formats numpy/stdlib can handle without external
 libraries: PNG (full baseline: zlib inflate, all five row filters, color
-types 0/2/3/4/6, bit depths 1-16, Adam7 — `decode_png`), GIF87a/89a (pure
-python/numpy LZW, interlace, local color tables, transparency, multi-frame
-— `decode_gif`), uncompressed 24/32-bit BMP, binary PPM/PGM
-(`decode_image`, `image_features`) and PCM WAV audio (`decode_wav`,
-`audio_metadata`), round-trip-tested against the deterministic
-`encode_png`/`encode_gif`/`encode_bmp`/`encode_wav` synths. Codecs that
-genuinely need external libraries (JPEG/WebP/video — PIL/ffmpeg
-territory, NOT in this container) raise `NotImplementedError`; `_decode_image_batch`
+types 0/2/3/4/6, bit depths 1-16, Adam7 — `decode_png`), baseline JPEG
+(full T.81 pipeline: Huffman + dequant + IDCT + 4:2:0 upsampling —
+jpeg.decode_jpeg), GIF87a/89a (pure python/numpy LZW, interlace, local
+color tables, transparency, multi-frame — `decode_gif`), uncompressed
+24/32-bit BMP, binary PPM/PGM (`decode_image`, `image_features`) and PCM
+WAV audio (`decode_wav`, `audio_metadata`), round-trip-tested against the
+deterministic `encode_png`/`encode_jpeg`/`encode_gif`/`encode_bmp`/
+`encode_wav` synths. Codecs that genuinely need external libraries
+(WebP/video — PIL/ffmpeg territory, NOT in this container) raise
+`NotImplementedError`; `_decode_image_batch`
 keeps the documented md5-derived fake for arbitrary non-image payloads so
 the generic plumbing (image_metadata / sample_frames / resize_images)
 stays testable on any bytes.
@@ -64,16 +66,16 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 def decode_image_real(payloads: pd.Series) -> pd.DataFrame:
     """The real-decoder integration point. REAL for formats decodable with
-    numpy/stdlib alone (PNG, GIF, uncompressed BMP, binary PPM/PGM — see
-    decode_image below); raises NotImplementedError for codecs (JPEG/...)
-    this container has no libraries for."""
+    numpy/stdlib alone (PNG, baseline JPEG, GIF, uncompressed BMP, binary
+    PPM/PGM — see decode_image below); raises NotImplementedError for codecs
+    (WebP/video) this container has no libraries for."""
     rows = []
     for b in payloads:
         d = decode_image(b)
         if d is None:
             raise NotImplementedError(
-                "payload is not a PNG/GIF/BMP/PNM image; JPEG/WebP need "
-                "PIL/torchvision, unavailable in this environment"
+                "payload is not a PNG/JPEG/GIF/BMP/PNM image; WebP/video "
+                "need PIL/ffmpeg, unavailable in this environment"
             )
         rows.append((len(bytes(b)), d["width"], d["height"], d["channels"]))
     return pd.DataFrame(rows, columns=["n_bytes", "width", "height", "channels"]).astype("int32")
@@ -134,8 +136,8 @@ def resize_images(df: DataFrame, payload_col: str = "payload", size: int = 224) 
 
 # ---------------------------------------------------------------------------
 # REAL codecs — formats decodable with numpy/stdlib alone (no PIL/ffmpeg):
-# PNG (below), uncompressed BMP (24/32-bit), binary PPM/PGM, PCM WAV.
-# JPEG/GIF/WebP/video still raise NotImplementedError — the honest boundary.
+# PNG + GIF (below), baseline JPEG (jpeg.py), uncompressed BMP (24/32-bit),
+# binary PPM/PGM, PCM WAV. WebP/video still raise — the honest boundary.
 # ---------------------------------------------------------------------------
 
 import io
@@ -220,7 +222,7 @@ def decode_pnm(b: bytes) -> dict | None:
 def decode_image(b: bytes) -> dict | None:
     """Magic-byte dispatch to the real decoders. None = not a recognized
     decodable image; NotImplementedError = recognized but needs a codec this
-    container lacks (JPEG/GIF/WebP)."""
+    container lacks (WebP/video)."""
     if b is None:
         return None
     b = bytes(b)
@@ -232,9 +234,13 @@ def decode_image(b: bytes) -> dict | None:
         return decode_png(b)
     if b[:4] == b"GIF8":
         return decode_gif(b)
-    if b[:2] == b"\xff\xd8" or b[:4] == b"RIFF":
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    if b[:4] == b"RIFF":
         raise NotImplementedError(
-            "JPEG/WebP codecs are not available in this environment"
+            "WebP/video codecs are not available in this environment"
         )
     return None
 

@@ -100,13 +100,14 @@ def test_pnm_rejects_truncated_and_16bit():
 def test_decode_image_dispatch_and_honest_boundary():
     assert M.decode_image(M.encode_bmp(3, 3, 9))["width"] == 3
     assert M.decode_image(b"some document text") is None
-    # PNG/GIF are real decoders now; the honest NotImplementedError boundary
-    # is JPEG/WebP (no codec libs in this container).
-    for magic in (b"\xff\xd8\xff\xe0more", b"RIFF1234WEBP"):
-        with pytest.raises(NotImplementedError):
-            M.decode_image(magic)
+    # PNG/JPEG/GIF are real decoders now; the honest NotImplementedError
+    # boundary is WebP/video (no codec libs in this container).
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFF1234WEBP")
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n\x1a\n1234")  # truncated PNG
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
+        M.decode_image(b"\xff\xd8\xff\xe0more")  # truncated JPEG
 
 
 def test_resize_nearest():
