@@ -118,8 +118,9 @@ def test_dispatch_and_non_png():
     px = np.full((4, 5, 3), 77, np.uint8)
     d = M.decode_image(M.encode_png(px))
     assert (d["width"], d["height"], d["channels"]) == (5, 4, 3)
-    # JPEG magic still raises: the honest boundary moved past PNG
-    with pytest.raises(NotImplementedError):
+    # JPEG is a real decoder now too; truncated JPEG bytes fail loudly and
+    # the honest NotImplementedError boundary is WebP/video (test_multimodal)
+    with pytest.raises((ValueError, IndexError)):
         M.decode_image(b"\xff\xd8\xe0rest")
 
 
