@@ -1056,6 +1056,121 @@ def build_queries() -> dict:
 
     q["mm_audio_wav"] = mm_audio_wav
 
+    def mm_video_mp4(s, d):
+        """REAL MP4 container round-trip: per doc_id a structurally-complete
+        ISO-BMFF file (ftyp+mdat+moov; video track w=16*(1+id%4),
+        h=16*(1+id%3), 3+id%5 frames of varying size at 25 fps, keyframe
+        every 2; an audio track on even ids), written by mp4.build_mp4 and
+        parsed back by mp4.parse_mp4 (box tree + mvhd/tkhd/mdhd/hdlr/stsd +
+        stsz/stss) inside an Arrow-batched mapInPandas. The oracle
+        recomputes every field in closed-form SQL, so any box-walk or
+        sample-table bug is a value-hash mismatch."""
+        import pandas as pd
+
+        from . import multimodal as M
+        from . import mp4 as M4
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    frames = [
+                        (f"{i}:{fi}").encode() * (1 + fi)
+                        for fi in range(3 + i % 5)
+                    ]
+                    payloads.append(M4.build_mp4(
+                        frames, 16 * (1 + i % 4), 16 * (1 + i % 3),
+                        audio_samples=[b"a" * 20] * 2 if i % 2 == 0 else None,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.video_metadata(wp).select(
+            "doc_id", "brand", "n_tracks", "width", "height",
+            "n_samples", "n_keyframes", "duration_ms",
+        )
+
+    q["mm_video_mp4"] = mm_video_mp4
+
+    def mm_frames_mp4(s, d):
+        """REAL frame extraction from MP4: the same synth container as
+        mm_video_mp4 (video-only), then sample_frames resolves the sample
+        table and pulls each KEYFRAME's actual bytes out of mdat —
+        frame_hash is the md5 of the extracted payload, which the oracle
+        recomputes from the closed-form frame content
+        (repeat(id':'fi, 1+fi)), so a one-byte offset error anywhere in
+        stsc/stco/stsz resolution mismatches."""
+        import pandas as pd
+
+        from . import multimodal as M
+        from . import mp4 as M4
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    frames = [
+                        (f"{i}:{fi}").encode() * (1 + fi)
+                        for fi in range(3 + i % 5)
+                    ]
+                    payloads.append(M4.build_mp4(
+                        frames, 16 * (1 + i % 4), 16 * (1 + i % 3),
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.sample_frames(wp).select(
+            "doc_id", F.col("frame_id").cast("int"), "frame_hash"
+        )
+
+    q["mm_frames_mp4"] = mm_frames_mp4
+
+    def mm_audio_mp3(s, d):
+        """REAL MP3 frame-header scan round-trip: per doc_id a chain of
+        10+id%20 structurally-valid MPEG-1 Layer III frames (bitrate
+        32/64/128/192 by id%4, rate 44100/48000/32000 by id%3, mono/stereo
+        by id%2, ID3v2 tag on even ids, padding bit every 3rd frame on
+        id%5==0), written by mp3.build_mp3 and walked back by
+        mp3.parse_mp3. Duration is summed per-frame samples; the oracle
+        recomputes every field in closed-form SQL."""
+        import pandas as pd
+
+        from . import multimodal as M
+        from . import mp3 as M3
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    payloads.append(M3.build_mp3(
+                        10 + i % 20, (32, 64, 128, 192)[i % 4],
+                        (44100, 48000, 32000)[i % 3], 1 + i % 2,
+                        id3_tag=b"t" * (i % 30) if i % 2 == 0 else None,
+                        pad_every=3 if i % 5 == 0 else 0,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.mp3_metadata(wp).select(
+            "doc_id", "mpeg_version", "bitrate_kbps", "sample_rate",
+            "channels", "n_frames", "duration_ms",
+            F.col("has_id3").cast("int").alias("has_id3"),
+        )
+
+    q["mm_audio_mp3"] = mm_audio_mp3
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -1475,6 +1590,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "mm_video_mp4", "mm_frames_mp4", "mm_audio_mp3",  # new in r5 session 4
     "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
@@ -1836,6 +1952,37 @@ SELECT doc_id,
        CAST(100 + doc_id % 50 AS INT) AS n_frames,
        CAST(((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+    o["mm_video_mp4"] = """
+SELECT doc_id, 'isom' AS brand,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+       CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+       CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+       CAST(3 + doc_id % 5 AS INT) AS n_samples,
+       CAST((3 + doc_id % 5 + 1) // 2 AS INT) AS n_keyframes,
+       CAST(40 * (3 + doc_id % 5) AS INT) AS duration_ms
+FROM documents
+"""
+    o["mm_frames_mp4"] = """
+SELECT d.doc_id, CAST(f.fi AS INT) AS frame_id,
+       md5(repeat(CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.fi AS VARCHAR),
+                  1 + f.fi)) AS frame_hash
+FROM documents d CROSS JOIN (SELECT unnest(range(8)) AS fi) f
+WHERE f.fi % 2 = 0 AND f.fi < 3 + d.doc_id % 5
+"""
+    o["mm_audio_mp3"] = """
+SELECT doc_id, CAST(1 AS INT) AS mpeg_version,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128
+            ELSE 192 END AS INT) AS bitrate_kbps,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(10 + doc_id % 20 AS INT) AS n_frames,
+       CAST(((10 + doc_id % 20) * 1152 * 1000)
+            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END) AS INT) AS duration_ms,
+       CAST(doc_id % 2 = 0 AS INT) AS has_id3
 FROM documents
 """
     o["dd_emb_neardup"] = f"""

@@ -94,16 +94,29 @@ def image_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload", max_frames: int = 4) -> DataFrame:
-    """Frame sampling for video-like payloads: 1 + hash%max frames per doc,
-    each with a deterministic content hash (stub for a real frame extractor).
-    Output is exploded (doc_id, frame_id, frame_hash) — the downstream shape
-    a feature-extraction stage consumes."""
+    """Frame sampling for video payloads. REAL for MP4 containers: the
+    sample table is resolved (stts/stsc/stsz/stco/stss) and the first
+    `max_frames` KEYFRAME payloads are extracted from mdat; frame_id is the
+    sample index, frame_hash the md5 of the actual sample bytes — exactly
+    the bytes a codec/feature stage would consume. Non-MP4 payloads keep
+    the documented md5-derived fake (1 + hash%max frames) so the generic
+    plumbing stays testable on any bytes. Output is exploded
+    (doc_id, frame_id, frame_hash)."""
+    from . import mp4 as M4
 
     def kernel(batches):
         for pdf in batches:
             out_d, out_f, out_h = [], [], []
             for did, b in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(b) if b is not None else b""
+                if M4.is_mp4(b):
+                    for si, _dts, _key, payload in M4.extract_samples(
+                        b, 0, keyframes_only=True, max_samples=max_frames
+                    ):
+                        out_d.append(did)
+                        out_f.append(si)
+                        out_h.append(hashlib.md5(payload).hexdigest())
+                    continue
                 n = 1 + int(hashlib.md5(b).hexdigest()[:4], 16) % max_frames
                 for fi in range(n):
                     out_d.append(did)
@@ -823,6 +836,86 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.select("doc_id", payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, brand string, n_tracks int, width int, height int, "
+    "n_samples int, n_keyframes int, duration_ms int"
+)
+MP3_META_SCHEMA = (
+    "doc_id long, mpeg_version int, bitrate_kbps int, sample_rate int, "
+    "channels int, n_frames int, duration_ms int, has_id3 boolean"
+)
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL MP4 container parse per payload (mp4.parse_mp4): brand, track
+    count, first video track's dims + sample/keyframe counts, duration.
+    Non-MP4 rows yield NULLs. Arrow-batched mapInPandas — payload bytes
+    never leave the executor batch."""
+    from . import mp4 as M4
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = M4.parse_mp4(bytes(b)) if b is not None else None
+                except NotImplementedError:
+                    m = None
+                if m is None:
+                    rows.append((did,) + (None,) * 7)
+                    continue
+                vid = next((t for t in m["tracks"] if t["handler"] == "vide"), None)
+                rows.append((
+                    did, m["brand"], m["n_tracks"],
+                    vid["width"] if vid else None,
+                    vid["height"] if vid else None,
+                    vid["n_samples"] if vid else None,
+                    vid["n_keyframes"] if vid else None,
+                    m["duration_ms"],
+                ))
+            out = pd.DataFrame(rows, columns=[
+                "doc_id", "brand", "n_tracks", "width", "height",
+                "n_samples", "n_keyframes", "duration_ms",
+            ])
+            for c in ("n_tracks", "width", "height", "n_samples",
+                      "n_keyframes", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(kernel, VIDEO_META_SCHEMA)
+
+
+def mp3_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL MP3 frame-header scan per payload (mp3.parse_mp3): version,
+    first-frame bitrate, sample rate, channels, frame count, exact duration
+    from summed per-frame samples, ID3v2 presence. Non-MP3 rows -> NULLs."""
+    from . import mp3 as M3
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                m = M3.parse_mp3(bytes(b)) if b is not None else None
+                if m is None:
+                    rows.append((did,) + (None,) * 7)
+                else:
+                    rows.append((
+                        did, m["mpeg_version"], m["bitrate_kbps"],
+                        m["sample_rate"], m["channels"], m["n_frames"],
+                        m["duration_ms"], m["has_id3"],
+                    ))
+            out = pd.DataFrame(rows, columns=[
+                "doc_id", "mpeg_version", "bitrate_kbps", "sample_rate",
+                "channels", "n_frames", "duration_ms", "has_id3",
+            ])
+            for c in ("mpeg_version", "bitrate_kbps", "sample_rate",
+                      "channels", "n_frames", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(kernel, MP3_META_SCHEMA)
 
 
 def audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
