@@ -1096,6 +1096,60 @@ def build_queries() -> dict:
 
     q["mm_video_mp4"] = mm_video_mp4
 
+    def mm_decode_webp(s, d):
+        """REAL WebP-lossless decode round-trip: per doc_id a constant-fill
+        VP8L stream (v=id%256, w=4+id%13, h=3+id%7; alpha plane 254 on odd
+        ids so channels=4) through a per-id transform combo — none /
+        subtract-green / predictor mode id%14 / color-indexing palette /
+        LZ77+color-cache (id%5), plus a meta-prefix image on id%3==0 —
+        decoded by the pure-python VP8L decoder (vp8l.decode_webp) inside
+        image_features. The oracle recomputes dims/channels/mean in
+        closed-form SQL, so any prefix-code/transform/cache/LZ77 bug is a
+        value-hash mismatch."""
+        import numpy as np
+        import pandas as pd
+
+        from . import multimodal as M
+        from .vp8l import encode_webp_lossless
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    v = i % 256
+                    w, h = 4 + i % 13, 3 + i % 7
+                    if i % 2 == 1:
+                        px = np.full((h, w, 4), v, np.uint8)
+                        px[:, :, 3] = 254
+                    else:
+                        px = np.full((h, w, 3), v, np.uint8)
+                    opts = {}
+                    if i % 5 == 1:
+                        opts["subtract_green"] = True
+                    elif i % 5 == 2:
+                        opts["predictor_mode"] = i % 14
+                    elif i % 5 == 3:
+                        opts["palette"] = True
+                    elif i % 5 == 4:
+                        opts["use_lz77"] = True
+                        opts["cache_bits"] = 4
+                    if i % 3 == 0:
+                        opts["meta_bits"] = 2
+                    payloads.append(encode_webp_lossless(px, **opts))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.image_features(wp).select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+
+    q["mm_decode_webp"] = mm_decode_webp
+
     def mm_frames_mp4(s, d):
         """REAL frame extraction from MP4: the same synth container as
         mm_video_mp4 (video-only), then sample_frames resolves the sample
@@ -1590,7 +1644,8 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_video_mp4", "mm_frames_mp4", "mm_audio_mp3",  # new in r5 session 4
+    "mm_decode_webp", "mm_video_mp4", "mm_frames_mp4",  # new in r5 session 4
+    "mm_audio_mp3",
     "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
@@ -1952,6 +2007,16 @@ SELECT doc_id,
        CAST(100 + doc_id % 50 AS INT) AS n_frames,
        CAST(((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+    o["mm_decode_webp"] = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT) AS channels,
+       ROUND(CASE WHEN doc_id % 2 = 1
+                  THEN (3 * (doc_id % 256) + 254) / 4.0
+                  ELSE CAST(doc_id % 256 AS DOUBLE) END, 6) AS mean_px
 FROM documents
 """
     o["mm_video_mp4"] = """

@@ -251,10 +251,11 @@ def decode_image(b: bytes) -> dict | None:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
-    if b[:4] == b"RIFF":
-        raise NotImplementedError(
-            "WebP/video codecs are not available in this environment"
-        )
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        # lossless (VP8L) decodes for real; lossy VP8 raises inside
+        return decode_webp(b)
     return None
 
 

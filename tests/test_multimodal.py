@@ -100,10 +100,18 @@ def test_pnm_rejects_truncated_and_16bit():
 def test_decode_image_dispatch_and_honest_boundary():
     assert M.decode_image(M.encode_bmp(3, 3, 9))["width"] == 3
     assert M.decode_image(b"some document text") is None
-    # PNG/JPEG/GIF are real decoders now; the honest NotImplementedError
-    # boundary is WebP/video (no codec libs in this container).
+    # PNG/JPEG/GIF/lossless-WebP are real decoders now; the honest
+    # NotImplementedError boundary is lossy WebP (VP8) and video bitstreams.
+    import struct as _s
+
+    lossy = (b"RIFF" + _s.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + _s.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"RIFF1234WEBP")
+        M.decode_image(lossy)
+    from blacklab_spark.vp8l import encode_webp_lossless
+
+    webp = encode_webp_lossless(np.full((2, 5, 3), 77, np.uint8))
+    assert M.decode_image(webp)["width"] == 5  # lossless decodes for real
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n\x1a\n1234")  # truncated PNG
     with pytest.raises((ValueError, IndexError, NotImplementedError)):
