@@ -1225,6 +1225,49 @@ def build_queries() -> dict:
 
     q["mm_audio_mp3"] = mm_audio_mp3
 
+    def mm_audio_flac(s, d):
+        """REAL FLAC decode round-trip: per doc_id a constant-signal FLAC
+        (amplitude 500+id%100, rate 8000/16000/44100 by id%3, mono/stereo
+        by id%2, n = 64*(2+id%4) samples at blocksize 64) through a per-id
+        subframe/stereo combo — constant / fixed1 / fixed2 / lpc / verbatim
+        (id%5) and mid_side on stereo ids%4==3 — written by flac.encode_flac
+        (real Rice residuals + CRC-8/16) and decoded by flac.decode_flac
+        inside audio_metadata (CRCs verified). Constant signal -> RMS ==
+        amplitude exactly; the oracle recomputes every field in SQL."""
+        import numpy as np
+        import pandas as pd
+
+        from . import multimodal as M
+        from .flac import encode_flac
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    amp = 500 + i % 100
+                    rate = (8000, 16000, 44100)[i % 3]
+                    nch = 1 + i % 2
+                    n = 64 * (2 + i % 4)
+                    pcm = np.full((n, nch), amp, np.int64)
+                    mode = ("constant", "fixed1", "fixed2", "lpc", "verbatim")[i % 5]
+                    stereo = "mid_side" if (nch == 2 and i % 4 == 3) else "indep"
+                    payloads.append(encode_flac(
+                        pcm, rate, blocksize=64, mode=mode, stereo=stereo,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.audio_metadata(wp).select(
+            "doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms",
+            F.round("rms", 6).alias("rms"),
+        )
+
+    q["mm_audio_flac"] = mm_audio_flac
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -1644,8 +1687,8 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_decode_webp", "mm_video_mp4", "mm_frames_mp4",  # new in r5 session 4
-    "mm_audio_mp3",
+    "mm_decode_webp", "mm_audio_flac", "mm_video_mp4",  # new in r5 session 4
+    "mm_frames_mp4", "mm_audio_mp3",
     "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
@@ -2006,6 +2049,18 @@ SELECT doc_id,
        CAST(1 + doc_id % 2 AS INT) AS n_channels,
        CAST(100 + doc_id % 50 AS INT) AS n_frames,
        CAST(((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
+       ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+    o["mm_audio_flac"] = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(64 * (2 + doc_id % 4) AS INT) AS n_frames,
+       CAST((64 * (2 + doc_id % 4) * 1000)
+            // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
 FROM documents
 """

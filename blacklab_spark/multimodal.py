@@ -920,15 +920,27 @@ def mp3_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL PCM-WAV decode: rate/channels/frames/duration/RMS per payload;
-    non-WAV rows yield NULLs."""
+    """REAL audio decode — PCM WAV (stdlib wave) or FLAC (flac.py: Rice
+    residuals, fixed/LPC predictors, stereo decorrelation, CRC-verified):
+    rate/channels/frames/duration/RMS per payload; other rows yield NULLs."""
+    from .flac import decode_flac, is_flac
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
-                    d = decode_wav(b)
+                    if b is not None and is_flac(bytes(b)):
+                        f = decode_flac(bytes(b))
+                        d = f and {
+                            "sample_rate": f["sample_rate"],
+                            "n_channels": f["n_channels"],
+                            "n_frames": f["n_frames"],
+                            "duration_ms": f["duration_ms"],
+                            "rms": f["rms"],
+                        }
+                    else:
+                        d = decode_wav(b)
                 except (NotImplementedError, wave.Error, EOFError):
                     d = None
                 if d is None:
