@@ -1268,6 +1268,46 @@ def build_queries() -> dict:
 
     q["mm_audio_flac"] = mm_audio_flac
 
+    def mm_video_avc(s, d):
+        """REAL H.264 SPS parse inside an MP4: per doc_id an avc1 track
+        whose avcC carries a built SPS (exp-Golomb, MB rounding expressed
+        as frame cropping; profile 66/100 by id%2) with display dims
+        w=2*(10+id%23), h=2*(6+id%11) — while the container's tkhd/sample
+        entry lie (dims+6/+4), so a correct result REQUIRES the bitstream
+        parse to override them. The oracle recomputes everything in
+        closed-form SQL."""
+        import pandas as pd
+
+        from . import h264 as H
+        from . import mp4 as M4
+        from . import multimodal as M
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    w, h = 2 * (10 + i % 23), 2 * (6 + i % 11)
+                    prof = 100 if i % 2 else 66
+                    sps = H.build_sps(w, h, profile=prof, level=30 + i % 3)
+                    avcc = H.build_avcc(sps, profile=prof, level=30 + i % 3)
+                    frames = [f"{i}:{fi}".encode() for fi in range(2 + i % 3)]
+                    payloads.append(M4.build_mp4(
+                        frames, w + 6, h + 4, codec=b"avc1", avcc=avcc,
+                    ))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return M.video_metadata(wp).select(
+            "doc_id", "brand", "n_tracks", "width", "height",
+            "n_samples", "n_keyframes", "duration_ms",
+        )
+
+    q["mm_video_avc"] = mm_video_avc
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -1687,8 +1727,8 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "mm_decode_webp", "mm_audio_flac", "mm_video_mp4",  # new in r5 session 4
-    "mm_frames_mp4", "mm_audio_mp3",
+    "mm_decode_webp", "mm_audio_flac", "mm_video_avc",  # new in r5 session 4
+    "mm_video_mp4", "mm_frames_mp4", "mm_audio_mp3",
     "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
     "mm_decode_bmp", "mm_audio_wav", "sim_ann_ivf",  # new in r5
     "sim_ann_multiprobe", "txt_pii_scrub", "txt_filter_pipeline",
@@ -2050,6 +2090,15 @@ SELECT doc_id,
        CAST(100 + doc_id % 50 AS INT) AS n_frames,
        CAST(((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+    o["mm_video_avc"] = """
+SELECT doc_id, 'isom' AS brand, CAST(1 AS INT) AS n_tracks,
+       CAST(2 * (10 + doc_id % 23) AS INT) AS width,
+       CAST(2 * (6 + doc_id % 11) AS INT) AS height,
+       CAST(2 + doc_id % 3 AS INT) AS n_samples,
+       CAST((2 + doc_id % 3 + 1) // 2 AS INT) AS n_keyframes,
+       CAST(40 * (2 + doc_id % 3) AS INT) AS duration_ms
 FROM documents
 """
     o["mm_audio_flac"] = """

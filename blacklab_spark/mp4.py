@@ -181,11 +181,24 @@ def _parse_trak(b: bytes, s: int, e: int) -> dict:
         n_entries = _u32(b, cs + 4)
         if n_entries >= 1:
             es = cs + 8  # first sample entry: size(4) format(4) ...
+            entry_end = es + _u32(b, es)
             tr["codec"] = b[es + 4 : es + 8].decode("latin-1")
             if tr["handler"] == "vide":
                 # VisualSampleEntry: SampleEntry(8+6+2) predefined(16) w h
                 tr["width"] = _u16(b, es + 32)
                 tr["height"] = _u16(b, es + 34)
+                # extension boxes follow the 86-byte VisualSampleEntry: an
+                # avcC record yields REAL codec-level metadata (SPS parse)
+                avcc = _find(b, es + 86, min(entry_end, len(b)), b"avcC")
+                if avcc:
+                    from .h264 import parse_avcc
+
+                    cfg = parse_avcc(b[avcc[0] : avcc[1]])
+                    tr["avc"] = cfg
+                    sps = cfg.get("sps")
+                    if sps:  # coded dims override the container hint
+                        tr["width"] = sps["width"]
+                        tr["height"] = sps["height"]
             elif tr["handler"] == "soun":
                 # AudioSampleEntry: SampleEntry(16) reserved(8) ch(2) ss(2)
                 # predefined(2) reserved(2) samplerate 16.16
@@ -405,6 +418,7 @@ def build_mp4(
     sample_delta: int = 40, keyframe_every: int = 2, samples_per_chunk: int = 2,
     audio_samples: list[bytes] | None = None, audio_rate: int = 8000,
     brand: bytes = b"isom", codec: bytes = b"mp4v", co64: bool = False,
+    avcc: bytes | None = None,
 ) -> bytes:
     """Write a minimal but structurally-complete MP4: ftyp + mdat + moov
     with one video track (and an optional audio track). Every sample table
@@ -458,7 +472,8 @@ def build_mp4(
         + struct.pack(">I", 0)  # reserved
         + struct.pack(">H", 1)  # frame count
         + b"\x00" * 32  # compressor name
-        + struct.pack(">Hh", 24, -1),  # depth, predefined
+        + struct.pack(">Hh", 24, -1)  # depth, predefined
+        + (_box(b"avcC", avcc) if avcc else b""),
     )
     v_stbl = _stbl_boxes(
         v_sizes, v_chunks, v_entries, sample_delta, keyframe_every, visual_entry,
