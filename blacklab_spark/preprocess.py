@@ -196,7 +196,7 @@ def _html_to_text(content: str, _fmt: str) -> str:
     input path, minus the external jar): drop script/style subtrees,
     strip tags, fold entities, collapse whitespace per line."""
     c = _TAG_STRIP.sub(" ", content)
-    c = re.sub(r"<(p|div|br|li|h[1-6]|tr)\b", "\n<", c, flags=re.IGNORECASE)
+    c = re.sub(r"<(p|div|br|li|h[1-6]|tr)\b", r"\n<\1", c, flags=re.IGNORECASE)
     c = _TAGS.sub(" ", c)
     for k, v in _ENT.items():
         c = c.replace(k, v)

@@ -1293,4 +1293,21 @@ INPUT_FORMATS: dict[str, dict] = {
         "configurationBased": False,
         "reader": cmdi_metadata,
     },
+    "warc": {
+        "displayName": "WARC/WET web archive",
+        "description": "Common Crawl-shaped *.warc(.gz) shards: HTTP "
+                       "responses (html->text extracted) and WET conversion "
+                       "records",
+        "configurationBased": False,
+        "reader": None,  # set below; warc.py imports from this module
+    },
 }
+
+
+def _register_warc():
+    from .warc import pages_from_warc
+
+    INPUT_FORMATS["warc"]["reader"] = pages_from_warc
+
+
+_register_warc()
