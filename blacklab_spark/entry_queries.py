@@ -1308,6 +1308,74 @@ def build_queries() -> dict:
 
     q["mm_video_avc"] = mm_video_avc
 
+    def src_warc(s, d):
+        """REAL web-archive ingestion round-trip: deterministic Common
+        Crawl-shaped *.warc.gz / *.wet.gz shards (per-record gzip members)
+        are synthesized once per sf dir — doc_id%7==0 a 404 response (must
+        be dropped by the status filter), doc_id%5==0 a WET conversion
+        record, else a 200 HTML response — then parsed back by the
+        distributed warc.pages_from_warc reader (binaryFile per shard +
+        mapInPandas record walk + html->text extraction). The oracle
+        recomputes url / extracted text / UTC hour / body byte-length in
+        closed-form SQL over doc_id, so any record-walk, gzip-member,
+        HTTP-status, charset, or extraction bug is a value-hash mismatch."""
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from . import warc as W
+
+        cache = os.path.join(
+            tempfile.gettempdir(),
+            "blacklab_warc_"
+            + hashlib.md5(os.path.abspath(d).encode()).hexdigest()[:10],
+        )
+        if not os.path.isdir(cache):
+            ids = sorted(
+                r.doc_id
+                for r in s.read.parquet(f"{d}/documents.parquet")
+                .select("doc_id").filter(F.col("doc_id") < 300).collect()
+            )  # bounded: <=300 scalars, fixture synthesis only
+            tmp = cache + f".tmp{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            for sh in range(4):
+                resp, wet = [], []
+                for i in ids:
+                    if i % 4 != sh:
+                        continue
+                    date = f"2021-01-{1 + i % 28:02d}T{i % 24:02d}:00:00Z"
+                    url = f"http://ex.test/{i}"
+                    if i % 7 == 0:
+                        resp.append({"url": url, "date": date,
+                                     "html": "gone", "status": 404})
+                    elif i % 5 == 0:
+                        wet.append({"url": url, "date": date,
+                                    "text": f"wet doc {i}"})
+                    else:
+                        resp.append({
+                            "url": url, "date": date,
+                            "html": f"<html><body><p>doc {i} &amp; text</p>"
+                                    f"<script>x()</script></body></html>",
+                        })
+                with open(os.path.join(tmp, f"s{sh:05d}.warc.gz"), "wb") as f:
+                    f.write(W.build_warc(resp, gz=True))
+                with open(os.path.join(tmp, f"s{sh:05d}.wet.gz"), "wb") as f:
+                    f.write(W.build_warc(wet, gz=True, wet=True))
+            try:
+                os.rename(tmp, cache)
+            except OSError:  # concurrent synth won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        pages = W.pages_from_warc(s, cache + "/*.gz")
+        return pages.select(
+            "url", "text",
+            F.hour("warc_ts").cast("int").alias("ts_hour"),
+            F.coalesce(F.length("html"), F.lit(-1)).cast("int").alias("html_len"),
+        )
+
+    q["src_warc"] = src_warc
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -1727,6 +1795,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "src_warc",  # new in r5 session 5
     "mm_decode_webp", "mm_audio_flac", "mm_video_avc",  # new in r5 session 4
     "mm_video_mp4", "mm_frames_mp4", "mm_audio_mp3",
     "mm_decode_jpeg", "mm_decode_gif", "mm_decode_png",  # new in r5 session 3
@@ -2112,6 +2181,17 @@ SELECT doc_id,
                 ELSE 44100 END) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
 FROM documents
+"""
+    o["src_warc"] = """
+SELECT 'http://ex.test/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 5 = 0 THEN 'wet doc ' || CAST(doc_id AS VARCHAR)
+            ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' & text' END AS text,
+       CAST(doc_id % 24 AS INT) AS ts_hour,
+       CASE WHEN doc_id % 5 = 0 THEN -1
+            ELSE LENGTH('<html><body><p>doc ' || CAST(doc_id AS VARCHAR)
+                 || ' &amp; text</p><script>x()</script></body></html>')
+            END AS html_len
+FROM documents WHERE doc_id < 300 AND doc_id % 7 <> 0
 """
     o["mm_decode_webp"] = """
 SELECT doc_id,
