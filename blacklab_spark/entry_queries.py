@@ -1762,6 +1762,174 @@ def build_queries() -> dict:
 
     q["txt_filter_pipeline"] = txt_filter_pipeline
 
+    def txt_chunk_dedup(s, d):
+        """Cross-document boilerplate removal, CCNet-style (Wenzek et al.
+        2020 dedupe repeated paragraphs across the corpus before LM
+        training): split each doc into non-overlapping 8-token chunks, a
+        chunk whose exact text occurs in >= 2 DISTINCT documents is
+        boilerplate and dropped; per doc report chunk/dup counts plus the
+        md5 of the kept text (chunks re-joined in order) so the oracle
+        hash-checks the reconstruction, not just the counts. Plan: one
+        doc-partitioned agg to form chunks, one global hash-agg for the
+        cross-doc chunk frequency (map-side combine), one shuffle equi-join
+        on the chunk string — at 100 TB the frequency table shards by
+        chunk hash, no broadcast, no skew (chunks are near-unique by
+        construction; the heavy hitters ARE the boilerplate being counted).
+        The synthetic corpus has no shared paragraphs, so a deterministic
+        8-token boilerplate header is prepended to every doc_id%3==0 doc
+        BEFORE chunking (same trick as txt_pii_scrub) so the dup path
+        actually fires and the oracle discriminates a broken frequency
+        join."""
+        bp = "share alike boilerplate footer appears many pages exactly "
+        doc = _docs(s, d).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit(bp), F.col("text"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        )
+        toks = doc.select(
+            "doc_id", F.posexplode(arr).alias("pos", "tok")
+        ).select("doc_id", "tok", F.col("pos").cast("int").alias("pos"))
+        ch = (
+            toks
+            .withColumn("cid", F.floor(F.col("pos") / F.lit(8)).cast("long"))
+            .groupBy("doc_id", "cid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                ).alias("chunk")
+            )
+        )
+        freq = ch.groupBy("chunk").agg(
+            F.countDistinct("doc_id").alias("ndocs")
+        )
+        flagged = ch.join(freq, "chunk").withColumn(
+            "dup", F.col("ndocs") >= 2
+        )
+        return (
+            flagged.filter(F.col("doc_id") < 150)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                F.sum(F.col("dup").cast("long")).cast("long").alias("n_dup"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        ~F.col("dup"),
+                                        F.struct("cid", "chunk"),
+                                    )
+                                )
+                            ),
+                            lambda x: x["chunk"],
+                        ),
+                        " ",
+                    )
+                ).alias("kept_md5"),
+            )
+        )
+
+    q["txt_chunk_dedup"] = txt_chunk_dedup
+
+    def txt_gopher_rep(s, d):
+        """Gopher-style within-document repetition signals (Rae et al.
+        2021 Table A1: fraction of tokens in the most common token,
+        fraction of duplicate n-grams): per doc, top_tok_ratio =
+        max token frequency / n_tok and dup3_frac = 1 - distinct
+        3-grams / total 3-grams. Two doc-partitioned hash-aggs + one
+        window for the 3-grams — all narrow per doc, embarrassingly
+        parallel at 100 TB."""
+        t = _toks(s, d).filter(F.col("doc_id") < 150)
+        per_tok = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        top = per_tok.groupBy("doc_id").agg(
+            F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        g3 = (
+            t.select(
+                "doc_id",
+                F.concat_ws(
+                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                ).alias("g"),
+                F.lead("tok", 2).over(w).alias("_t2"),
+            )
+            .filter(F.col("_t2").isNotNull())
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_g3"),
+                F.countDistinct("g").alias("n_g3_uniq"),
+            )
+        )
+        return top.join(g3, "doc_id").select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round(F.col("top_c") / F.col("n_tok"), 6).alias("top_tok_ratio"),
+            F.round(
+                F.lit(1.0) - F.col("n_g3_uniq") / F.col("n_g3"), 6
+            ).alias("dup3_frac"),
+        )
+
+    q["txt_gopher_rep"] = txt_gopher_rep
+
+    def dd_url_canon(s, d):
+        """URL canonicalization + canonical-URL dedup (the first dedup
+        pass of every Common-Crawl pipeline runs on normalized URLs
+        before any content hashing). Deterministic messy URLs are
+        synthesized per doc_id (mixed-case scheme/host, www. prefix,
+        explicit :80, utm_* tracking params, unsorted query) so the
+        normalization actually fires; canonicalize = lowercase
+        scheme+host, strip www. and :80, drop utm_* params, sort the
+        remaining query params; then keep the lowest doc_id per canonical
+        URL. Built-in string/array functions only — whole-stage codegen,
+        one window shuffle on the canonical URL (hash-partitioned; at
+        100 TB this is the standard URL-dedup shuffle)."""
+        doc = s.read.parquet(f"{d}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        m = F.col("doc_id") % 13
+        raw = F.concat(
+            F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80/p/"), m.cast("string"),
+            F.lit("/?utm_source=cc&b=2&id="), m.cast("string"),
+            F.lit("&a=1&utm_medium=web"),
+        )
+        t = doc.select("doc_id", raw.alias("url"))
+        scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+        host0 = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+        host = F.regexp_replace(
+            F.regexp_replace(host0, r":80$", ""), r"^www\.", ""
+        )
+        path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+        qry = F.regexp_extract("url", r"\?([^#]*)", 1)
+        keep = F.array_sort(
+            F.filter(
+                F.split(qry, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        )
+        canon = F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(
+                F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))
+            ).otherwise(F.lit("")),
+        )
+        c = t.select("doc_id", "url", canon.alias("canon_url"), host.alias("host"))
+        w = Window.partitionBy("canon_url").orderBy("doc_id")
+        return c.withColumn(
+            "is_canonical_rep", F.row_number().over(w) == 1
+        ).select("doc_id", "canon_url", "host", "is_canonical_rep")
+
+    q["dd_url_canon"] = dd_url_canon
+
     # ---------------- events ----------------
     def ev_window_counts(s, d):
         e = s.read.parquet(f"{d}/events.parquet")
@@ -1795,6 +1963,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
     "mm_decode_webp", "mm_audio_flac", "mm_video_avc",  # new in r5 session 4
     "mm_video_mp4", "mm_frames_mp4", "mm_audio_mp3",
@@ -2460,6 +2629,85 @@ first AS (
 SELECT s.doc_id, s.n_tok, s.avg_len, s.stop_ratio
 FROM stats s JOIN first f ON s.doc_id = f.doc_id
 WHERE s.n_tok >= 20 AND s.avg_len BETWEEN 2.0 AND 10.0 AND s.stop_ratio >= 0.01
+"""
+    o["txt_chunk_dedup"] = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'share alike boilerplate footer appears many pages exactly ' || text
+              ELSE text END AS text
+  FROM documents
+), raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr FROM docs2
+), tok0 AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS i FROM raw
+), toks AS (
+  SELECT doc_id, tok, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos
+  FROM tok0 WHERE tok <> ''
+), ch AS (
+  SELECT doc_id, CAST(floor(pos / 8) AS BIGINT) AS cid,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY 1, 2
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1
+), fl AS (
+  SELECT ch.doc_id, ch.cid, ch.chunk, freq.ndocs >= 2 AS dup
+  FROM ch JOIN freq USING (chunk)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  md5(coalesce(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY cid), '')) AS kept_md5
+FROM fl WHERE doc_id < 150 GROUP BY 1
+"""
+    o["txt_gopher_rep"] = f"""
+WITH {SQL_TOKS},
+pt AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE doc_id < 150 GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM pt GROUP BY 1
+), g AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g,
+         lead(tok, 2) OVER w AS t2
+  FROM toks WHERE doc_id < 150 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), g3 AS (
+  SELECT doc_id, count(*) AS n_g3, count(DISTINCT g) AS n_g3_uniq
+  FROM g WHERE t2 IS NOT NULL GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
+  round(CAST(t.top_c AS DOUBLE) / t.n_tok, 6) AS top_tok_ratio,
+  round(1.0 - CAST(g3.n_g3_uniq AS DOUBLE) / g3.n_g3, 6) AS dup3_frac
+FROM top t JOIN g3 USING (doc_id)
+"""
+    o["dd_url_canon"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+    CAST(doc_id % 13 AS VARCHAR) || '/?utm_source=cc&b=2&id=' ||
+    CAST(doc_id % 13 AS VARCHAR) || '&a=1&utm_medium=web' AS url
+  FROM documents WHERE doc_id < 200
+), c AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', ''),
+      '^www\.', '') AS host,
+    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS qry
+  FROM t
+), c2 AS (
+  SELECT doc_id, url, host,
+    scheme || '://' || host || path ||
+    CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon_url
+  FROM (
+    SELECT *, list_sort(list_filter(string_split(qry, '&'),
+                                    x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS keep
+    FROM c
+  )
+)
+SELECT doc_id, canon_url, host,
+  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1 AS is_canonical_rep
+FROM c2
 """
     o["ev_window_counts"] = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,

@@ -1,0 +1,101 @@
+"""Web-scale training-pipeline ops added in round 5 session 6:
+
+- txt_chunk_dedup — CCNet-style cross-document boilerplate-chunk removal
+  (Wenzek et al. 2020: dedupe repeated paragraphs corpus-wide)
+- txt_gopher_rep — Gopher repetition signals (Rae et al. 2021 Table A1:
+  top-token fraction, duplicate 3-gram fraction)
+- dd_url_canon — URL canonicalization + canonical-URL dedup (the first
+  dedup pass of a Common-Crawl pipeline)
+
+Each is checked end-to-end against its DuckDB oracle at sf0.001 (the same
+compare the driver runs at sf0.01) plus semantic spot-asserts the hash
+compare alone would not explain on failure.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+NEW = ["txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_matches_duckdb_oracle(spark, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _norm(q(spark, SF).toPandas())
+    want = _norm(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_dedup_semantics(spark):
+    df = entry_mod.queries()["txt_chunk_dedup"](spark, SF).toPandas()
+    # the injected boilerplate header makes chunk 0 of every doc_id%3==0
+    # doc identical -> each such doc must report at least one dup chunk
+    bp = df[df.doc_id % 3 == 0]
+    assert len(bp) > 1 and (bp.n_dup >= 1).all()
+    # reconstruction is per-doc text, not a constant: kept_md5 must be
+    # unique per distinct source text (the corpus contains deliberate
+    # exact-duplicate docs — those legitimately share a kept_md5)
+    texts = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE doc_id < 150"
+    ).fetchone()[0]
+    assert df.kept_md5.nunique() >= texts - 1  # boilerplate groups by %3 may
+    # merge two identical texts' hashes only if their doc_id%3 class matches
+    assert df.kept_md5.nunique() > 0.9 * len(df)
+    assert (df.n_dup <= df.n_chunks).all()
+
+
+def test_gopher_rep_bounds(spark):
+    df = entry_mod.queries()["txt_gopher_rep"](spark, SF).toPandas()
+    assert (df.top_tok_ratio > 0).all() and (df.top_tok_ratio <= 1).all()
+    assert (df.dup3_frac >= 0).all() and (df.dup3_frac < 1).all()
+    # synthetic corpus draws from a ~40-token vocabulary: some doc must
+    # actually repeat a 3-gram, otherwise the signal computes nothing
+    assert (df.dup3_frac > 0).any()
+
+
+def test_url_canon_semantics(spark):
+    df = entry_mod.queries()["dd_url_canon"](spark, SF).toPandas()
+    # canonical form: lowercase, no www., no :80, no utm_ params, query
+    # params sorted
+    assert df.canon_url.str.startswith("http://site").all()
+    assert not df.canon_url.str.contains("utm_|:80|www\\.|[A-Z]").any()
+    want_sfx = "?a=1&b=2&id=" + (df.doc_id % 13).astype(str)
+    assert all(u.endswith(sfx) for u, sfx in zip(df.canon_url, want_sfx))
+    # doc_id % 7 hosts x doc_id % 13 paths/ids -> exactly one canonical
+    # representative per distinct canonical URL, chosen as the min doc_id
+    reps = df[df.is_canonical_rep]
+    assert len(reps) == df.canon_url.nunique()
+    m = df.groupby("canon_url").doc_id.min()
+    assert set(zip(reps.canon_url, reps.doc_id)) == set(m.items())
