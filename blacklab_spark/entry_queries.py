@@ -1930,6 +1930,200 @@ def build_queries() -> dict:
 
     q["dd_url_canon"] = dd_url_canon
 
+    def dd_lsh_cluster(s, d):
+        """Near-dup CLUSTERING: LSH candidate pairs -> connected components
+        -> keep the min doc_id per component (the actionable step every
+        production dedup pipeline runs after pair generation — pairs alone
+        don't say which doc to drop). Components via min-label propagation
+        WITH pointer jumping (lbl <- lbl[lbl] each round), so convergence is
+        O(log n) rounds instead of O(component diameter) — the same bound as
+        the published large-star/small-star MapReduce algorithm (Kiveris et
+        al. 2014) with two hash-partitioned equi-joins per round and no
+        driver-side data beyond one convergence scalar. Each round is
+        materialized (localCheckpoint) so plan depth stays linear in rounds,
+        not exponential — at 100 TB the label table is one row per node in
+        a pair (<< corpus) and every join is a plain shuffle join on ids."""
+        pairs = (
+            _lsh_cand(s, d)
+            .filter((F.col("doc_a") < 150) & (F.col("doc_b") < 150))
+            .select("doc_a", "doc_b")
+        )
+        edges = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).localCheckpoint(eager=True)
+        lab = (
+            edges.select(F.col("doc_a").alias("node")).distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sum = None
+        for _ in range(20):  # >= log2(components) rounds; fixture needs ~3
+            nb = (
+                edges.join(lab, edges["doc_b"] == lab["node"])
+                .groupBy("doc_a").agg(F.min("lbl").alias("nb_lbl"))
+            )
+            m1 = (
+                lab.join(nb, lab["node"] == nb["doc_a"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nb_lbl", "lbl")).alias("lbl"),
+                )
+            )
+            ptr = m1.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
+            lab = (
+                m1.join(ptr, m1["lbl"] == ptr["p_node"], "left")
+                .select("node", F.coalesce("p_lbl", "lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            cur = lab.agg(F.sum("lbl")).collect()[0][0]  # one scalar/round
+            if cur == prev_sum:  # labels only decrease -> stable sum = done
+                break
+            prev_sum = cur
+        docs = _docs(s, d).filter(F.col("doc_id") < 150).select("doc_id")
+        out = docs.join(lab, docs["doc_id"] == lab["node"], "left").select(
+            "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id")
+        )
+        wc = Window.partitionBy("cluster_id")
+        return out.select(
+            "doc_id",
+            "cluster_id",
+            F.count("*").over(wc).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+        )
+
+    q["dd_lsh_cluster"] = dd_lsh_cluster
+
+    def txt_substr_dedup(s, d):
+        """Exact-substring dedup with OVERLAPPING windows (Lee et al. 2021,
+        "Deduplicating Training Data Makes Language Models Better": any
+        50-token span shared verbatim across docs is training leakage; here
+        W=12 at fixture scale). Unlike txt_chunk_dedup's non-overlapping
+        chunks, stride-1 windows catch SHIFTED duplicates — the synthetic
+        injection prepends doc_id%4 pad tokens before a fixed 12-token
+        passage on every doc_id%3==0 doc, so chunk alignment differs per doc
+        and ONLY an overlapping-window scan flags them all. Plan: one
+        doc-partitioned running window (sliding frame, no self-join), one
+        corpus-wide hash-agg on the window text for the frequency (this is
+        the suffix-array substitute that actually distributes: the heavy
+        shuffle keys by window hash), one equi-join back."""
+        W = 12
+        doc = _docs(s, d).filter(F.col("doc_id") < 150).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.expr("repeat('pad ', cast(doc_id % 4 as int))"),
+                    F.lit("common crawl pipelines must remove verbatim repeated passages before training large models "),
+                    F.col("text"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        arr = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        )
+        toks = doc.select(
+            "doc_id", F.posexplode(arr).alias("pos", "tok")
+        )
+        wf = (
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+        )
+        win = (
+            toks
+            .select(
+                "doc_id", "pos",
+                F.array_join(F.collect_list("tok").over(wf), " ").alias("wtxt"),
+                F.count("tok").over(wf).alias("_n"),
+            )
+            .filter(F.col("_n") == W)
+            .drop("_n")
+        )
+        freq = win.groupBy("wtxt").agg(F.countDistinct("doc_id").alias("nd"))
+        flagged = win.join(freq, "wtxt").withColumn("dup", F.col("nd") >= 2)
+        return flagged.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.col("dup").cast("long")).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.sum(F.col("dup").cast("double")) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+
+    q["txt_substr_dedup"] = txt_substr_dedup
+
+    def web_pagerank(s, d):
+        """Link-graph extraction + PageRank over the synthesized web corpus:
+        deterministic anchor tags are rendered INTO an html column per doc
+        (doc u links to (7u+j)%100 for j=1..u%3+1, self-links included in
+        the html), the edge list is re-extracted with regexp_extract_all —
+        so the oracle, which generates edges closed-form, actually checks
+        the HTML link extraction — then 5 power iterations of
+        r = 0.15/N + 0.85*sum(r_in/outdeg) (dangling mass dropped; this
+        synth graph has no dangling nodes). Each iteration is one equi-join
+        edges⋈ranks + one hash-agg on dst — the canonical distributed
+        PageRank step; ranks is one row per node, edges pre-joined with
+        outdeg once. Fixed iteration count keeps plan depth bounded; at
+        100 TB you'd localCheckpoint per iteration, here 5 stacked joins
+        stay well under codegen limits."""
+        N, DAMP, ITERS = 100, 0.85, 5
+        doc = _docs(s, d).filter(F.col("doc_id") < N)
+        anchors = F.aggregate(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda j: j <= (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit(""),
+            lambda acc, j: F.concat(
+                acc,
+                F.lit('<a href="/doc/'),
+                ((F.col("doc_id") * 7 + j) % N).cast("string"),
+                F.lit('">link</a>'),
+            ),
+        )
+        html = doc.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"), F.substring("text", 1, 40),
+                F.lit("</p>"), anchors, F.lit("</body></html>"),
+            ).alias("html"),
+        )
+        edges = (
+            html.select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.regexp_extract_all(
+                        "html", F.lit(r'<a href="/doc/([0-9]+)"'), F.lit(1)
+                    )
+                ).alias("dst_s"),
+            )
+            .select("src", F.col("dst_s").cast("long").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        out = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+        ew = edges.join(out, "src")
+        nodes = doc.select(F.col("doc_id").alias("node"))
+        ranks = nodes.withColumn("r", F.lit(1.0 / N))
+        for _ in range(ITERS):
+            contrib = (
+                ew.join(ranks, ew["src"] == ranks["node"])
+                .groupBy("dst").agg(F.sum(F.col("r") / F.col("odeg")).alias("c"))
+            )
+            ranks = nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            ).select(
+                "node",
+                (F.lit((1.0 - DAMP) / N) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias("r"),
+            )
+        ranked = ranks.select(
+            F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank")
+        )
+        from .rank import ranked_all
+
+        return ranked_all(
+            ranked, [("pagerank", False), ("doc_id", True)], "pr_rank"
+        ).select(F.col("pr_rank").cast("int"), "doc_id", "pagerank")
+
+    q["web_pagerank"] = web_pagerank
+
     # ---------------- events ----------------
     def ev_window_counts(s, d):
         e = s.read.parquet(f"{d}/events.parquet")
@@ -1963,6 +2157,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
     "mm_decode_webp", "mm_audio_flac", "mm_video_avc",  # new in r5 session 4
@@ -2708,6 +2903,79 @@ WITH t AS (
 SELECT doc_id, canon_url, host,
   row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1 AS is_canonical_rep
 FROM c2
+"""
+    o["dd_lsh_cluster"] = f"""
+WITH RECURSIVE {SQL_TOKS}, {SQL_SH3}, {SQL_LSH_CAND},
+pairs AS (SELECT doc_a AS a, doc_b AS b FROM cand WHERE doc_a < 150 AND doc_b < 150),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM reach GROUP BY a),
+asg AS (
+  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id) WHERE d.doc_id < 150
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_kept
+FROM asg
+"""
+    o["txt_substr_dedup"] = r"""
+WITH docs2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN repeat('pad ', CAST(doc_id % 4 AS INT)) ||
+         'common crawl pipelines must remove verbatim repeated passages before training large models ' || text
+    ELSE text END AS text
+  FROM documents WHERE doc_id < 150
+), raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr FROM docs2
+), tok0 AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS i FROM raw
+), toks AS (
+  SELECT doc_id, tok, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos
+  FROM tok0 WHERE tok <> ''
+), win AS (
+  SELECT doc_id,
+    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS wtxt,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS n
+  FROM toks
+), w2 AS (SELECT doc_id, wtxt FROM win WHERE n = 12),
+freq AS (SELECT wtxt, count(DISTINCT doc_id) AS nd FROM w2 GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  round(sum(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_frac
+FROM w2 JOIN freq USING (wtxt) GROUP BY 1
+"""
+    pr_sql = """
+WITH doc100 AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+links AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + j.j) % 100 AS dst
+  FROM doc100 d CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+  WHERE j.j <= d.doc_id % 3 + 1 AND (d.doc_id * 7 + j.j) % 100 <> d.doc_id
+),
+edges AS (SELECT DISTINCT src, dst FROM links),
+outd AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id AS node, 0.01 AS r FROM doc100)"""
+    for _t in range(1, 6):
+        pr_sql += f""",
+r{_t} AS (
+  SELECT n.doc_id AS node,
+         0.0015 + 0.85 * coalesce(sum(r{_t - 1}.r / o.odeg), 0) AS r
+  FROM doc100 n
+  LEFT JOIN edges e ON e.dst = n.doc_id
+  LEFT JOIN r{_t - 1} ON r{_t - 1}.node = e.src
+  LEFT JOIN outd o ON o.src = e.src
+  GROUP BY 1
+)"""
+    o["web_pagerank"] = pr_sql + """
+SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node) AS INT) AS pr_rank,
+       node AS doc_id, round(r, 6) AS pagerank
+FROM r5
 """
     o["ev_window_counts"] = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,

@@ -6,6 +6,11 @@
   top-token fraction, duplicate 3-gram fraction)
 - dd_url_canon — URL canonicalization + canonical-URL dedup (the first
   dedup pass of a Common-Crawl pipeline)
+- dd_lsh_cluster — LSH pairs -> connected components (min-label propagation
+  with pointer jumping) -> keep min doc per cluster
+- txt_substr_dedup — overlapping-window exact substring dedup (Lee et al.
+  2021), catches SHIFTED duplicates non-overlapping chunks miss
+- web_pagerank — link extraction from synthesized HTML + 5 power iterations
 
 Each is checked end-to-end against its DuckDB oracle at sf0.001 (the same
 compare the driver runs at sf0.01) plus semantic spot-asserts the hash
@@ -22,7 +27,10 @@ import __spark_entry__ as entry_mod
 SF = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-NEW = ["txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon"]
+NEW = [
+    "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",
+    "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",
+]
 
 
 @pytest.fixture(scope="module")
@@ -99,3 +107,52 @@ def test_url_canon_semantics(spark):
     assert len(reps) == df.canon_url.nunique()
     m = df.groupby("canon_url").doc_id.min()
     assert set(zip(reps.canon_url, reps.doc_id)) == set(m.items())
+
+def test_lsh_cluster_semantics(spark):
+    qs = entry_mod.queries()
+    cl = qs["dd_lsh_cluster"](spark, SF).toPandas()
+    pairs = qs["dd_lsh_pairs"](spark, SF).toPandas()
+    pairs = pairs[(pairs.doc_a < 150) & (pairs.doc_b < 150)]
+    lbl = dict(zip(cl.doc_id, cl.cluster_id))
+    # every LSH candidate pair must land in the same component
+    assert all(lbl[a] == lbl[b] for a, b in zip(pairs.doc_a, pairs.doc_b))
+    # cluster_id is the component minimum and the kept representative
+    assert (cl.cluster_id <= cl.doc_id).all()
+    reps = cl[cl.is_kept]
+    assert set(reps.doc_id) == set(cl.cluster_id.unique())
+    assert (reps.doc_id == reps.cluster_id).all()
+    # the corpus contains deliberate exact-duplicate docs -> at least one
+    # non-trivial cluster, and transitivity actually fired (a component
+    # larger than any single pair exists OR every component size <= 2)
+    assert (cl.cluster_size >= 2).any()
+    # cluster_size consistent with the assignment
+    sz = cl.groupby("cluster_id").size()
+    assert all(sz[c] == s for c, s in zip(cl.cluster_id, cl.cluster_size))
+
+
+def test_substr_dedup_catches_shifted_duplicates(spark):
+    df = entry_mod.queries()["txt_substr_dedup"](spark, SF).toPandas()
+    # the injected passage is shifted by doc_id%4 pad tokens per doc: a
+    # non-overlapping chunker would misalign, the stride-1 window must not
+    bp = df[df.doc_id % 3 == 0]
+    assert len(bp) > 1 and (bp.n_dup_windows >= 1).all()
+    # the shift classes really differ (pads change window content, so the
+    # flagged docs span multiple doc_id%4 classes)
+    assert bp.doc_id.mod(4).nunique() >= 2
+    assert (df.n_dup_windows <= df.n_windows).all()
+    assert ((df.dup_frac >= 0) & (df.dup_frac <= 1)).all()
+
+
+def test_pagerank_invariants(spark):
+    df = entry_mod.queries()["web_pagerank"](spark, SF).toPandas()
+    assert len(df) == 100
+    # no dangling nodes in the synth graph -> total rank mass conserved
+    assert abs(df.pagerank.sum() - 1.0) < 1e-4
+    assert (df.pagerank > 0).all()
+    # pr_rank is a permutation of 1..100 ordered by (pagerank desc, doc_id)
+    assert sorted(df.pr_rank) == list(range(1, 101))
+    srt = df.sort_values(["pagerank", "doc_id"], ascending=[False, True])
+    assert list(srt.pr_rank) == list(range(1, 101))
+    # a node with zero inlinks scores exactly (1-d)/N after any iteration
+    # count; the synth graph's min must be >= that floor
+    assert df.pagerank.min() >= 0.0015 - 1e-9
