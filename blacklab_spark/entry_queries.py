@@ -1376,6 +1376,53 @@ def build_queries() -> dict:
 
     q["src_warc"] = src_warc
 
+    def src_iceberg(s, d):
+        """REAL Iceberg-table round-trip (north-rule corpus source): the
+        documents table is committed as TWO append snapshots (even doc_ids,
+        then odd) into a spec-v2 table — metadata JSON + Avro manifest
+        lists/manifests written by iceberg.py — then read back through the
+        two scan paths a crawl-ingest pipeline uses: snapshot-isolated time
+        travel at snapshot 1 (batch 1) and the incremental append scan
+        after snapshot 1 (batch 2). A planner bug (wrong file set, broken
+        sequence-number inheritance, stale snapshot resolution) changes
+        rows or batches and hash-mismatches the closed-form oracle."""
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from .iceberg import IcebergTable
+
+        cache = os.path.join(
+            tempfile.gettempdir(),
+            "blacklab_ice_"
+            + hashlib.md5(os.path.abspath(d).encode()).hexdigest()[:10],
+        )
+        if not os.path.isdir(cache):
+            docs = (
+                s.read.parquet(f"{d}/documents.parquet")
+                .filter(F.col("doc_id") < 400)
+                .select("doc_id", "text", "lang")
+            )
+            tmp = cache + f".tmp{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            t = IcebergTable.create(tmp, "doc_id bigint, text string, lang string")
+            t.append(s, docs.filter(F.col("doc_id") % 2 == 0))
+            t.append(s, docs.filter(F.col("doc_id") % 2 == 1))
+            try:
+                os.rename(tmp, cache)
+            except OSError:  # concurrent synth won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        t = IcebergTable(cache)
+        snap1 = t.snapshots()[0]["snapshot-id"]
+        a = t.read(s, snapshot_id=snap1).withColumn("batch", F.lit(1))
+        b = t.read_incremental(s, snap1).withColumn("batch", F.lit(2))
+        return a.unionByName(b).select(
+            "doc_id", F.col("batch").cast("int").alias("batch"), "text", "lang"
+        )
+
+    q["src_iceberg"] = src_iceberg
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -2157,6 +2204,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
+    "src_iceberg",  # new in r5 session 7
     "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
@@ -2545,6 +2593,12 @@ SELECT doc_id,
                 ELSE 44100 END) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
 FROM documents
+"""
+    o["src_iceberg"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS batch,
+       text, lang
+FROM documents WHERE doc_id < 400
 """
     o["src_warc"] = """
 SELECT 'http://ex.test/' || CAST(doc_id AS VARCHAR) AS url,

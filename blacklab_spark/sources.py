@@ -1301,13 +1301,25 @@ INPUT_FORMATS: dict[str, dict] = {
         "configurationBased": False,
         "reader": None,  # set below; warc.py imports from this module
     },
+    "iceberg": {
+        "displayName": "Iceberg table",
+        "description": "Iceberg table of web pages: snapshot-pinned / "
+                       "time-traveled / incremental reads (north-rule "
+                       "corpus source)",
+        "configurationBased": False,
+        "reader": None,  # set below; iceberg.py imports from this module
+    },
 }
 
 
-def _register_warc():
+def _register_late():
+    # late imports: these modules import from sources, so registering at
+    # their import time would cycle
+    from .iceberg import pages_from_iceberg
     from .warc import pages_from_warc
 
     INPUT_FORMATS["warc"]["reader"] = pages_from_warc
+    INPUT_FORMATS["iceberg"]["reader"] = pages_from_iceberg
 
 
-_register_warc()
+_register_late()

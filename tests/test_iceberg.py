@@ -1,0 +1,371 @@
+"""Avro container codec + Iceberg table layer (snapshot pinning, time
+travel, incremental scans, snapshot-checkpointed builds)."""
+
+import io
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark import avro_io
+from blacklab_spark.fixtures import pages_df
+from blacklab_spark.iceberg import (
+    IcebergTable,
+    index_iceberg,
+    index_iceberg_delta,
+    pages_from_iceberg,
+)
+
+# ---------------------------------------------------------------------------
+# Avro binary encoding: spec-pinned values (Avro 1.11 spec "Binary encoding")
+
+
+def test_zigzag_spec_values():
+    # the spec's own table: 0->0, -1->1, 1->2, -2->3, 2->4
+    for n, z in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4), (-64, 127), (64, 128)]:
+        assert avro_io.zigzag_encode(n) == z
+        assert avro_io.zigzag_decode(z) == n
+
+
+def test_varint_spec_bytes():
+    def enc(n):
+        b = io.BytesIO()
+        avro_io.write_long(b, n)
+        return b.getvalue()
+
+    assert enc(0) == b"\x00"
+    assert enc(1) == b"\x02"
+    assert enc(-1) == b"\x01"
+    assert enc(-64) == b"\x7f"
+    assert enc(64) == b"\x80\x01"  # zigzag 128 -> LEB128 two bytes
+    for n in (0, 1, -1, 63, -64, 64, 2**31, -(2**40), 2**62):
+        assert avro_io.read_long(io.BytesIO(enc(n))) == n
+
+
+def test_reader_against_hand_built_container():
+    """The generic reader decodes a container assembled byte-by-byte from
+    the spec — so reader and writer can't share a conjugate bug."""
+    buf = io.BytesIO()
+    buf.write(b"Obj\x01")
+    schema = b'"long"'
+    # header map: one block of 2 entries, then end-of-blocks 0
+    avro_io.write_long(buf, 2)
+    avro_io.write_bytes(buf, b"avro.schema")
+    avro_io.write_bytes(buf, schema)
+    avro_io.write_bytes(buf, b"avro.codec")
+    avro_io.write_bytes(buf, b"null")
+    avro_io.write_long(buf, 0)
+    sync = bytes(range(16))
+    buf.write(sync)
+    # one data block: 3 longs 1,2,-3 -> zigzag varints 02 04 05
+    avro_io.write_long(buf, 3)
+    avro_io.write_long(buf, 3)
+    buf.write(b"\x02\x04\x05")
+    buf.write(sync)
+    got_schema, records, meta = avro_io.read_container(buf.getvalue())
+    assert got_schema == "long"
+    assert records == [1, 2, -3]
+    assert meta["avro.codec"] == b"null"
+
+
+def test_array_negative_count_form():
+    """Arrays may use the negative-count + byte-size block form."""
+    buf = io.BytesIO()
+    avro_io.write_long(buf, -2)  # 2 items, size follows
+    avro_io.write_long(buf, 2)  # block byte size
+    buf.write(b"\x02\x04")  # items 1, 2
+    avro_io.write_long(buf, 0)  # end of blocks
+    got = avro_io.read_datum(
+        io.BytesIO(buf.getvalue()), {"type": "array", "items": "long"}, {}
+    )
+    assert got == [1, 2]
+
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "outer",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "u", "type": ["null", "long"]},
+        {"name": "d", "type": "double"},
+        {"name": "fl", "type": "float"},
+        {"name": "b", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 8}},
+        {"name": "en", "type": {"type": "enum", "name": "e", "symbols": ["A", "B"]}},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "mp", "type": {"type": "map", "values": "string"}},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "inner_r",
+                "fields": [{"name": "x", "type": ["null", "string"]}],
+            },
+        },
+        {"name": "inner2", "type": ["null", "inner_r"]},  # named-type reuse
+    ],
+}
+
+
+def _nested_record(i):
+    return {
+        "s": f"s{i}é",
+        "u": None if i % 3 == 0 else i * 7,
+        "d": i / 3.0,
+        "fl": float(i),
+        "b": i % 2 == 0,
+        "by": bytes([i % 256]) * (i % 5),
+        "fx": bytes(range(8)),
+        "en": "A" if i % 2 else "B",
+        "arr": list(range(i % 7)),
+        "mp": {f"k{j}": f"v{i}:{j}" for j in range(i % 4)},
+        "inner": {"x": None if i % 2 else f"x{i}"},
+        "inner2": None if i % 4 == 0 else {"x": f"y{i}"},
+    }
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_nested(codec):
+    recs = [_nested_record(i) for i in range(100)]
+    blob = avro_io.write_container(NESTED_SCHEMA, recs, codec=codec, block_records=17)
+    schema, got, meta = avro_io.read_container(blob)
+    assert schema["name"] == "outer"
+    assert meta["avro.codec"] == codec.encode()
+    # floats come back as float32 — compare with tolerance, rest exactly
+    for a, b in zip(recs, got):
+        fa, fb = a.pop("fl"), b.pop("fl")
+        assert abs(fa - fb) < 1e-6
+        assert a == b
+
+
+def test_container_roundtrip_empty():
+    blob = avro_io.write_container({"type": "record", "name": "r", "fields": []}, [])
+    _, got, _ = avro_io.read_container(blob)
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# Iceberg table layer
+
+
+def _batch2(spark):
+    """4 extra docs with urls DISTINCT from the tiny tier's (url is the
+    document key: the input-hint's per-row invariant is keyed on it)."""
+    return pages_df(spark, "small", n=4).withColumn(
+        "url", F.concat(F.lit("http://crawl2.test/"), F.md5("url"))
+    )
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """A pages table with two append snapshots (6 tiny docs, then 4 more)."""
+    loc = str(tmp_path_factory.mktemp("ice") / "pages")
+    t = IcebergTable.create(
+        loc, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, pages_df(spark, "tiny"))
+    time.sleep(0.02)  # distinct snapshot-log timestamps for as-of travel
+    t.append(spark, _batch2(spark))
+    return t
+
+
+def test_snapshot_log_and_metadata(table):
+    md = table.metadata
+    assert md["format-version"] == 2
+    assert len(md["snapshots"]) == 2
+    assert md["last-sequence-number"] == 2
+    s1, s2 = md["snapshots"]
+    assert s2["parent-snapshot-id"] == s1["snapshot-id"]
+    assert md["current-snapshot-id"] == s2["snapshot-id"]
+    assert md["refs"]["main"]["snapshot-id"] == s2["snapshot-id"]
+    assert [e["snapshot-id"] for e in md["snapshot-log"]] == [
+        s1["snapshot-id"], s2["snapshot-id"],
+    ]
+
+
+def test_read_current_and_time_travel(spark, table):
+    s1, s2 = table.snapshots()
+    cur = table.read(spark)
+    assert cur.count() == 10
+    old = table.read(spark, snapshot_id=s1["snapshot-id"])
+    assert old.count() == 6
+    assert sorted(r.url for r in old.collect()) == sorted(
+        r.url for r in pages_df(spark, "tiny").collect()
+    )
+    # as-of-timestamp travel: at snap1's commit time, snap2 not yet visible
+    asof = table.read(spark, as_of_ms=s1["timestamp-ms"])
+    assert asof.count() == 6
+    # before the first commit: empty table with the full schema
+    empty = table.read(spark, as_of_ms=s1["timestamp-ms"] - 1)
+    assert empty.count() == 0
+    assert empty.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_read_incremental(spark, table):
+    s1, s2 = table.snapshots()
+    inc = table.read_incremental(spark, s1["snapshot-id"])
+    assert inc.count() == 4
+    urls_small4 = {r.url for r in _batch2(spark).collect()}
+    assert {r.url for r in inc.collect()} == urls_small4
+    # explicit end == start -> nothing
+    same = table.read_incremental(spark, s2["snapshot-id"])
+    assert same.count() == 0
+
+
+def test_manifest_files_are_real_avro_with_field_ids(table):
+    """The manifest list and manifest are spec-shaped Avro containers:
+    field-ids present, sequence-number inheritance exercised (entries
+    written null, resolved from the manifest list)."""
+    snap = table.snapshot()
+    with open(snap["manifest-list"][len("file://"):], "rb") as f:
+        schema, manifests, meta = avro_io.read_container(f.read())
+    ids = {f["name"]: f.get("field-id") for f in schema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["sequence_number"] == 515
+    assert meta["format-version"] == b"2"
+    assert len(manifests) == 2  # snap2's list carries snap1's manifest forward
+    assert [m["sequence_number"] for m in manifests] == [1, 2]
+    with open(manifests[-1]["manifest_path"][len("file://"):], "rb") as f:
+        eschema, entries, emeta = avro_io.read_container(f.read())
+    eids = {f["name"]: f.get("field-id") for f in eschema["fields"]}
+    assert eids["status"] == 0 and eids["data_file"] == 2
+    dids = {
+        f["name"]: f.get("field-id")
+        for f in next(
+            f for f in eschema["fields"] if f["name"] == "data_file"
+        )["type"]["fields"]
+    }
+    assert dids["file_path"] == 100 and dids["content"] == 134
+    assert all(e["status"] == 1 for e in entries)
+    assert all(e["sequence_number"] is None for e in entries)  # inherit form
+    assert emeta["content"] == b"data"
+    # planner resolved the inherited sequence number from the list entry
+    files = table.data_files()
+    assert {f["sequence_number"] for f in files} == {1, 2}
+    assert all(f["record_count"] > 0 for f in files)
+
+
+def test_pages_from_iceberg_fallback_and_registry(spark, table):
+    from blacklab_spark.sources import INPUT_FORMATS
+
+    assert INPUT_FORMATS["iceberg"]["reader"] is pages_from_iceberg
+    # no iceberg jar in the sandbox: auto must fall back to the planner
+    df = pages_from_iceberg(spark, table.location)
+    assert df.count() == 10
+    s1 = table.snapshots()[0]
+    assert pages_from_iceberg(
+        spark, table.location, snapshot_id=s1["snapshot-id"]
+    ).count() == 6
+    with pytest.raises(Exception):
+        pages_from_iceberg(spark, table.location, native="always")
+
+
+def test_relocated_table_reads(spark, table, tmp_path):
+    """Metadata records absolute URIs; a MOVED table dir (the
+    synth-into-tmp-then-rename commit pattern) must still plan and read —
+    recorded paths are re-rooted under the actual location."""
+    import shutil
+
+    moved = str(tmp_path / "moved-pages")
+    shutil.copytree(table.location, moved)
+    t2 = IcebergTable(moved)
+    assert t2.metadata["location"] != "file://" + moved  # still the old root
+    files = t2.data_files()
+    assert all(f["path"].startswith(moved) for f in files)
+    assert t2.read(spark).count() == 10
+
+
+def test_append_only_guard(table, tmp_path):
+    """Delete manifests are refused loudly, not misread."""
+    snap = table.snapshot()
+    lst = snap["manifest-list"][len("file://"):]
+    _, manifests, _ = avro_io.read_container(open(lst, "rb").read())
+    manifests[0]["content"] = 1  # pretend a delete manifest
+    import blacklab_spark.iceberg as I
+
+    blob = avro_io.write_container(I._MANIFEST_FILE_SCHEMA, manifests)
+    bad = tmp_path / "bad-list.avro"
+    bad.write_bytes(blob)
+    t2 = IcebergTable(table.location)
+    t2.metadata = json.loads(json.dumps(t2.metadata))
+    t2.metadata["snapshots"][-1]["manifest-list"] = str(bad)
+    with pytest.raises(NotImplementedError):
+        t2.data_files()
+
+
+# ---------------------------------------------------------------------------
+# snapshot-checkpointed index builds
+
+
+def test_index_iceberg_pins_snapshot_and_resumes(spark, table, tmp_path):
+    from blacklab_spark.query import Index
+
+    out = str(tmp_path / "ix")
+    s1, s2 = table.snapshots()
+    meta = index_iceberg(
+        spark, table.location, out, snapshot_id=s1["snapshot-id"],
+        n_shards=2, block_size=8,
+    )
+    assert meta["n_docs"] == 6  # pinned snapshot, not current
+    stamp = json.load(open(f"{out}/segments/seg0/iceberg_source.json"))
+    assert stamp["snapshot_id"] == s1["snapshot-id"]
+
+    # resume at the SAME snapshot: stages reused (docs stage not rebuilt)
+    docs_mtime = __import__("os").path.getmtime(f"{out}/segments/seg0/docs/_SUCCESS")
+    meta2 = index_iceberg(
+        spark, table.location, out, snapshot_id=s1["snapshot-id"],
+        n_shards=2, block_size=8,
+    )
+    assert meta2["n_docs"] == 6
+    assert __import__("os").path.getmtime(
+        f"{out}/segments/seg0/docs/_SUCCESS"
+    ) == docs_mtime
+
+    # resume against a DIFFERENT snapshot: stale checkpoints discarded
+    meta3 = index_iceberg(
+        spark, table.location, out, n_shards=2, block_size=8
+    )  # current snapshot = s2
+    assert meta3["n_docs"] == 10
+    stamp = json.load(open(f"{out}/segments/seg0/iceberg_source.json"))
+    assert stamp["snapshot_id"] == s2["snapshot-id"]
+    ix = Index(spark, out)
+    assert ix.docs.count() == 10
+
+
+def test_index_iceberg_delta(spark, tmp_path):
+    """Initial snapshot indexed, new commit -> ONE delta segment holding
+    exactly the appended rows; queries see both; idempotent when current."""
+    from blacklab_spark.query import Index
+
+    loc = str(tmp_path / "pages")
+    t = IcebergTable.create(
+        loc, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, pages_df(spark, "tiny"))
+    out = str(tmp_path / "ix")
+    index_iceberg(spark, loc, out, n_shards=2, block_size=8)
+
+    assert index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8) is None
+
+    extra = spark.createDataFrame(
+        [("http://x.test/new", None, None, "zebra zebra quick", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    t.append(spark, extra)
+    meta = index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8)
+    assert meta is not None and meta["n_docs"] == 1
+    seg = meta["segment"]
+    assert seg.startswith("iceberg-")
+
+    ix = Index(spark, out)
+    assert ix.docs.count() == 7
+    hits = ix.term_hits("zebra")
+    assert hits.count() == 2
+    # doc ids continue after the base segment (delta model)
+    assert {r.doc_id for r in hits.collect()} == {6}
+    # 'quick' spans both segments
+    assert ix.term_hits("quick").select("doc_id").distinct().count() == 3
+
+    # watermark advanced: nothing further to ingest
+    assert index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8) is None
