@@ -628,6 +628,28 @@ def build_queries() -> dict:
     q["ix_topk_multi_filtered"] = lambda s, d: _ix_topk(
         s, d, ["table", "vector", "merge"], 10, where_src="src3"
     )
+    def _ix_topk_spans(s, d, raw, k=10):
+        """Shared float policy with _ix_topk: re-rank on the rounded score."""
+        from .rank import rank_head
+
+        out = rank_head(
+            raw.select("doc_id", F.round("score", 6).alias("score")),
+            [("score", False), ("doc_id", True)], 0, k, "rank",
+        )
+        return out.select(
+            F.col("rank").cast("int"), F.col("doc_id").cast("long"), "score"
+        )
+
+    # ranked phrase / proximity queries (north star: "term, AND/
+    # phrase-proximity, and ranked queries"): BM25 where the whole span
+    # pattern is the scored unit — tf = hits in doc, df = docs with a hit
+    q["ix_topk_phrase"] = lambda s, d: _ix_topk_spans(
+        s, d, get_index(s, d).topk_phrase(["fast", "sort"], k=20)
+    )
+    q["ix_topk_near"] = lambda s, d: _ix_topk_spans(
+        s, d, get_index(s, d).topk_near("table", "scan", 0, 3, k=20)
+    )
+
     q["ix_kwic"] = lambda s, d: get_index(s, d).kwic(
         get_index(s, d).phrase_hits(["fast", "sort"]), context=5
     ).select(F.col("doc_id").cast("long"), F.col("start").cast("int"),
@@ -2204,7 +2226,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "src_iceberg",  # new in r5 session 7
+    "src_iceberg", "ix_topk_phrase", "ix_topk_near",  # new in r5 session 7
     "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
@@ -2313,6 +2335,39 @@ SELECT b.tok AS next_tok, CAST(count(*) AS BIGINT) AS n
 FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.tok = 'table' GROUP BY 1
 """
+    def _sql_topk_spans(hits_sql: str, k: int = 10) -> str:
+        """BM25 over a span-hit CTE `h(doc_id, ...)`: tf = rows per doc,
+        df = docs with >=1 row — mirrors Index.topk_spans exactly."""
+        return f"""
+WITH {SQL_TOKS}, {SQL_DL},
+h AS ({hits_sql}),
+tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM h GROUP BY 1),
+dfreq AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))
+         * (1.2 + 1.0) AS score
+  FROM tf CROSS JOIN dfreq JOIN dl ON dl.doc_id = tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+    o["ix_topk_phrase"] = _sql_topk_spans("""
+  SELECT a.doc_id
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'fast' AND b.tok = 'sort'
+""")
+    o["ix_topk_near"] = _sql_topk_spans("""
+  SELECT DISTINCT a.doc_id, a.pos AS start, b.pos + 1 AS e
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+  WHERE a.tok = 'table' AND b.tok = 'scan'
+    AND b.pos - (a.pos + 1) BETWEEN 0 AND 3
+""")
     o["ix_topk_single"] = _sql_topk(["table"], 10)
     o["ix_topk_multi"] = _sql_topk(["table", "vector", "merge"], 10)
     o["ix_topk_filtered"] = _sql_topk(["table"], 10, where="source = 'src3'")

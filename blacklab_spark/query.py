@@ -580,6 +580,59 @@ class Index:
         urls = self.docs.select("doc_id", "url")
         return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
 
+    def topk_spans(self, hits: DataFrame, k: int = 10) -> DataFrame:
+        """BM25 top-k over an ARBITRARY span query's hits — the ranked
+        phrase / proximity queries the north star names next to term
+        queries (reference analog: Lucene scoring over BLSpanQuery hits,
+        e.g. SpanQuerySequence under a scoring collector). Compositional:
+        any producer (phrase_hits, near_hits, a full BCQL pattern) supplies
+        positions; here tf(doc) = hit count and df = docs with >=1 hit, so
+        the whole phrase/pattern acts as one scored "term".
+
+        Declarative plan, 100x-safe: one groupBy(doc_id) over the hits
+        (they are already shard-produced), df via a 1-row broadcast
+        cross-join (no driver collect), doc_len equi-join, then
+        TakeOrderedAndProject for the bounded top-k. Scores use exact doc
+        lengths (no stored block-max is involved in live span scoring, so
+        there is no quantized-norm parity to preserve)."""
+        from .rank import rank_head
+
+        tf = hits.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        stats = tf.agg(F.count(F.lit(1)).cast("double").alias("df"))
+        n = float(self.n_docs)
+        avgdl = float(self.avgdl)
+        dl = self.docs.select("doc_id", F.col("doc_len").cast("double").alias("dl"))
+        idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        scored = (
+            tf.join(F.broadcast(stats))
+            .join(dl, "doc_id")
+            .select(
+                "doc_id",
+                (
+                    idf
+                    * (F.col("tf") / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
+                    * (K1 + 1)
+                ).alias("score"),
+            )
+        )
+        top = rank_head(scored, [("score", False), ("doc_id", True)], 0, k, "rank")
+        urls = self.docs.select("doc_id", "url")
+        return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
+
+    def topk_phrase(self, words: list[str], k: int = 10, fold: bool = True) -> DataFrame:
+        """Ranked exact-phrase query: BM25 where the phrase is the unit."""
+        return self.topk_spans(self.phrase_hits(words, fold=fold), k)
+
+    def topk_near(
+        self, a: str, b: str, min_gap: int, max_gap: int, k: int = 10,
+        fold: bool = True, ordered: bool = True,
+    ) -> DataFrame:
+        """Proximity-ranked query: BM25 where tf counts within-window
+        co-occurrences of the two terms."""
+        return self.topk_spans(
+            self.near_hits(a, b, min_gap, max_gap, ordered=ordered, fold=fold), k
+        )
+
     # ----------------------------------------------------------- span algebra --
     def doc_lens(self) -> DataFrame:
         return self.docs.select("doc_id", "doc_len")

@@ -118,3 +118,48 @@ def test_term_freqs_match(small_index, small_oracle):
     got = {r["term"]: r["cf"] for r in small_index.term_freqs().collect()}
     exp = small_oracle.term_freqs()
     assert got == exp
+
+
+def test_topk_spans_phrase_vs_numpy(small_index):
+    """Ranked phrase query (topk_phrase): independent numpy BM25 over the
+    engine's own phrase hits must reproduce rank, doc and score."""
+    import numpy as np
+    from blacklab_spark import B, K1
+
+    ix = small_index
+    words = ["the", "w00000"]
+    hits = ix.phrase_hits(words).toPandas()
+    assert len(hits) > 0
+    tf = hits.groupby("doc_id").size()
+    dl = {
+        r["doc_id"]: r["doc_len"]
+        for r in ix.docs.select("doc_id", "doc_len").collect()
+    }
+    n, avgdl, df = ix.n_docs, ix.avgdl, float(len(tf))
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    exp = sorted(
+        (
+            (
+                -idf * (t / (t + K1 * (1 - B + B * dl[d] / avgdl))) * (K1 + 1),
+                d,
+            )
+            for d, t in tf.items()
+        ),
+    )[:10]
+    got = ix.topk_phrase(words, k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in exp]
+    for r, (neg_s, _) in zip(got, exp):
+        assert abs(r["score"] - (-neg_s)) < 1e-9
+
+
+def test_topk_spans_accepts_bcql(small_index):
+    """Any span producer ranks — a BCQL pattern's hits feed topk_spans."""
+    from blacklab_spark import bcql
+
+    hits = bcql.find(small_index, '"the" []')
+    top = small_index.topk_spans(hits, k=5).collect()
+    assert 0 < len(top) <= 5
+    assert [r["rank"] for r in sorted(top, key=lambda r: r["rank"])] == list(
+        range(1, len(top) + 1)
+    )
+    assert all(r["score"] > 0 for r in top)
