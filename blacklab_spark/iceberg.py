@@ -643,3 +643,47 @@ def index_iceberg_delta(
         json.dump(stamp, f)
     _save_watermark(out_dir, stamp)
     return meta
+
+
+def follow_iceberg(
+    spark: SparkSession,
+    location: str,
+    out_dir: str,
+    max_batches: int | None = None,
+    poll_s: float = 5.0,
+    compact: bool = True,
+    merge_factor: int = 4,
+    stop_when_current: bool = True,
+    **kw,
+) -> list[dict]:
+    """Continuous ingestion: poll the table and turn every new snapshot
+    range into one delta segment (index_iceberg_delta), running a tiered
+    compaction pass after each — the same segment-per-batch +
+    TieredMergePolicy cadence stream_build uses, but driven by Iceberg
+    commits instead of file arrival (the "new crawl lands in the table"
+    loop). The pass itself decides whether to merge (only a full size
+    level moves bytes), so calling it every batch costs one registry read
+    when there is nothing to do. Appends landing between polls coalesce
+    into one segment, so segment count tracks poll cadence, not commit
+    rate.
+
+    stop_when_current=True drains pending commits and returns
+    (available-now trigger semantics); False keeps polling until
+    max_batches deltas were indexed. Crash-safe the same way the delta
+    path is: the watermark only advances after a segment commits, so a
+    restarted follower re-indexes the same range instead of skipping it.
+    Returns the list of delta-segment metas."""
+    from .streaming import tiered_compact
+
+    metas: list[dict] = []
+    while max_batches is None or len(metas) < max_batches:
+        meta = index_iceberg_delta(spark, location, out_dir, **kw)
+        if meta is None:
+            if stop_when_current:
+                return metas
+            time.sleep(poll_s)
+            continue
+        metas.append(meta)
+        if compact:
+            tiered_compact(spark, out_dir, merge_factor=merge_factor)
+    return metas

@@ -369,3 +369,42 @@ def test_index_iceberg_delta(spark, tmp_path):
 
     # watermark advanced: nothing further to ingest
     assert index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8) is None
+
+
+def test_follow_iceberg_continuous_with_compaction(spark, tmp_path):
+    """Polling follower: each commit -> one delta segment; the tiered pass
+    merges once a size level fills (merge_factor single-doc deltas);
+    queries stay correct across the merge; drained follower returns []."""
+    from blacklab_spark.iceberg import follow_iceberg
+    from blacklab_spark.query import Index
+
+    loc = str(tmp_path / "pages")
+    t = IcebergTable.create(
+        loc, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, pages_df(spark, "tiny"))
+    out = str(tmp_path / "ix")
+    index_iceberg(spark, loc, out, n_shards=2, block_size=8)
+
+    assert follow_iceberg(spark, loc, out, n_shards=2, block_size=8) == []
+
+    for i in range(3):
+        t.append(spark, spark.createDataFrame(
+            [(f"http://f.test/{i}", None, None, f"zebra follow{i}", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ))
+        metas = follow_iceberg(
+            spark, loc, out, n_shards=2, block_size=8, merge_factor=3
+        )
+        assert len(metas) == 1 and metas[0]["n_docs"] == 1
+
+    reg = json.load(open(f"{out}/segments.json"))["segments"]
+    # three 1-doc deltas filled level 0 (merge_factor=3) -> merged into one
+    assert not any(s.startswith("iceberg-") for s in reg)
+    assert any("tier" in s or "merge" in s for s in reg)
+
+    ix = Index(spark, out)
+    assert ix.docs.count() == 9
+    assert ix.term_hits("zebra").select("doc_id").distinct().count() == 3
+    # watermark survives compaction: still nothing new to ingest
+    assert follow_iceberg(spark, loc, out, n_shards=2, block_size=8) == []
