@@ -33,6 +33,7 @@ HEADLINE = [
     "ix_topk_single",
     "ix_topk_multi",
     "ix_topk_filtered",
+    "ix_topk_phrase",
     "ix_term_hits",
     "ix_or_hits",
     "ix_regex_hits",

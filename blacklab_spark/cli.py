@@ -70,6 +70,29 @@ def main(argv: list[str] | None = None) -> int:
         "response writers)",
     )
 
+    p_ice = sub.add_parser(
+        "iceberg-index",
+        help="build the index from an Iceberg table at a pinned snapshot "
+        "(resumable: same snapshot re-reads the same file set)",
+    )
+    p_ice.add_argument("--table", required=True, help="iceberg table location")
+    p_ice.add_argument("--out", required=True)
+    p_ice.add_argument("--snapshot-id", type=int, default=None)
+    p_ice.add_argument("--shards", type=int, default=32)
+    p_ice.add_argument("--resume", action="store_true")
+
+    p_follow = sub.add_parser(
+        "iceberg-follow",
+        help="drain new table commits into delta segments (+ tiered "
+        "compaction); --watch keeps polling",
+    )
+    p_follow.add_argument("--table", required=True)
+    p_follow.add_argument("--out", required=True)
+    p_follow.add_argument("--shards", type=int, default=32)
+    p_follow.add_argument("--poll-s", type=float, default=5.0)
+    p_follow.add_argument("--watch", action="store_true",
+                          help="keep polling instead of drain-and-exit")
+
     p_bench = sub.add_parser("bench", help="timed build + query set")
     p_bench.add_argument("--pages", required=True)
     p_bench.add_argument("--out", required=True)
@@ -116,6 +139,26 @@ def _run(spark, args) -> int:
         else:
             meta = compact(spark, args.out, n_shards=args.shards)
         print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "iceberg-index":
+        from .iceberg import index_iceberg
+
+        meta = index_iceberg(
+            spark, args.table, args.out, snapshot_id=args.snapshot_id,
+            n_shards=args.shards, resume=args.resume,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "iceberg-follow":
+        from .iceberg import follow_iceberg
+
+        metas = follow_iceberg(
+            spark, args.table, args.out, n_shards=args.shards,
+            poll_s=args.poll_s, stop_when_current=not args.watch,
+        )
+        print(json.dumps({"delta_segments": [m["segment"] for m in metas]}))
         return 0
 
     from .query import Index

@@ -408,3 +408,74 @@ def test_follow_iceberg_continuous_with_compaction(spark, tmp_path):
     assert ix.term_hits("zebra").select("doc_id").distinct().count() == 3
     # watermark survives compaction: still nothing new to ingest
     assert follow_iceberg(spark, loc, out, n_shards=2, block_size=8) == []
+
+
+# ---------------------------------------------------------------------------
+# derandomized hypothesis: the avro codec round-trips ANY records of the
+# manifest-like nested schema (same discipline as the posting codecs)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_long = st.integers(min_value=-(2**62), max_value=2**62)
+_rec = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=40),
+        "u": st.one_of(st.none(), _long),
+        "d": st.floats(allow_nan=False, allow_infinity=False),
+        "fl": st.just(0.0),
+        "b": st.booleans(),
+        "by": st.binary(max_size=40),
+        "fx": st.just(bytes(8)),
+        "en": st.sampled_from(["A", "B"]),
+        "arr": st.lists(_long, max_size=10),
+        "mp": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+        "inner": st.fixed_dictionaries({"x": st.one_of(st.none(), st.text(max_size=8))}),
+        "inner2": st.one_of(
+            st.none(),
+            st.fixed_dictionaries({"x": st.one_of(st.none(), st.text(max_size=8))}),
+        ),
+    }
+)
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(_rec, max_size=20), st.sampled_from(["null", "deflate"]))
+def test_avro_roundtrip_property(recs, codec):
+    blob = avro_io.write_container(NESTED_SCHEMA, recs, codec=codec, block_records=7)
+    _, got, _ = avro_io.read_container(blob)
+    for a, b in zip(recs, got):
+        a, b = dict(a), dict(b)
+        a.pop("fl"), b.pop("fl")
+        assert a == b
+    assert len(got) == len(recs)
+
+
+def test_cli_iceberg_subcommands(spark, tmp_path, capsys):
+    """CLI surface: iceberg-index (pinned build) + iceberg-follow (drain)."""
+    from argparse import Namespace
+
+    from blacklab_spark import cli
+
+    loc = str(tmp_path / "pages")
+    t = IcebergTable.create(
+        loc, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, pages_df(spark, "tiny"))
+    out = str(tmp_path / "ix")
+    rc = cli._run(spark, Namespace(
+        cmd="iceberg-index", table=loc, out=out,
+        snapshot_id=None, shards=2, resume=False,
+    ))
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 6
+
+    t.append(spark, _batch2(spark))
+    rc = cli._run(spark, Namespace(
+        cmd="iceberg-follow", table=loc, out=out, shards=2,
+        poll_s=0.1, watch=False,
+    ))
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(got["delta_segments"]) == 1
