@@ -165,6 +165,114 @@ _STATUS_ADDED = 1
 _STATUS_DELETED = 2
 
 
+# ---------------------------------------------------------------------------
+# partition transforms (spec "Partition Transforms" + Appendix B hashing)
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Canonical 32-bit Murmur3 (x86 variant) — the spec's bucket hash.
+    Returns the UNSIGNED 32-bit value; bucket() masks to Integer.MAX_VALUE
+    exactly as the spec's `(hash & Integer.MAX_VALUE) % N`."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n4:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_bytes(value, ice_type: str) -> bytes:
+    """Spec Appendix B encodings: int/long as 8-byte little-endian
+    two's-complement (so hash(34) == hash(34L)), timestamps as micros-long,
+    strings as UTF-8, binary raw."""
+    if ice_type in ("int", "long"):
+        return int(value).to_bytes(8, "little", signed=True)
+    if ice_type in ("timestamp", "timestamptz"):
+        return _ts_micros(value).to_bytes(8, "little", signed=True)
+    if ice_type == "date":
+        return int(value).to_bytes(8, "little", signed=True)
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(value)
+    raise ValueError(f"bucket transform unsupported for type {ice_type}")
+
+
+def _ts_micros(value) -> int:
+    import datetime as _dt
+
+    if isinstance(value, (int, float)):
+        return int(value)
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is None:  # naive = UTC (session convention)
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        return int(value.timestamp() * 1_000_000)
+    raise ValueError(f"not a timestamp: {value!r}")
+
+
+def parse_transform(expr: str) -> tuple[str, int | None, str]:
+    """'day(warc_ts)' / 'bucket(16, url)' / 'truncate(4, lang)' / 'lang'
+    -> (transform, param, source_column)."""
+    expr = expr.strip()
+    if "(" not in expr:
+        return "identity", None, expr
+    name, rest = expr.split("(", 1)
+    args = [a.strip() for a in rest.rstrip(")").split(",")]
+    name = name.strip().lower()
+    if name in ("day", "days"):
+        return "day", None, args[0]
+    if name == "bucket":
+        return "bucket", int(args[0]), args[1]
+    if name == "truncate":
+        return "truncate", int(args[0]), args[1]
+    if name == "identity":
+        return "identity", None, args[0]
+    raise ValueError(f"unsupported partition transform: {expr}")
+
+
+def apply_transform(transform: str, param: int | None, value, ice_type: str):
+    """Python-side transform of one RAW source value — used for partition
+    records at commit time and for point-lookup pruning (compute which
+    bucket/day a value lives in)."""
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "day":
+        return _ts_micros(value) // 86_400_000_000
+    if transform == "bucket":
+        return (murmur3_32(_bucket_bytes(value, ice_type)) & 0x7FFFFFFF) % param
+    if transform == "truncate":
+        if ice_type == "string":
+            return str(value)[:param]
+        return int(value) - (int(value) % param)  # python % floors: spec's W*floor(v/W)
+    raise ValueError(transform)
+
+
 def _uri(path: str) -> str:
     return "file://" + os.path.abspath(path)
 
@@ -173,6 +281,54 @@ def _local(path_or_uri: str) -> str:
     if path_or_uri.startswith("file://"):
         return path_or_uri[len("file://") :]
     return path_or_uri
+
+
+def _bucket_udf(n: int, ice_type: str):
+    """Arrow-batched bucket transform for the WRITE path (per-value python
+    murmur3 inside the batch; a cluster deployment would use the native
+    iceberg writer's expression instead)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _b(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None
+            else (murmur3_32(_bucket_bytes(v, ice_type)) & 0x7FFFFFFF) % n
+        )
+
+    _b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_b, "int")
+
+
+def _partition_match(part: dict, flt) -> bool:
+    """Evaluate a partition filter against one file's partition tuple.
+    None = keep all; callable(part) -> bool; dict of
+    {field: value | (op, value) | collection}."""
+    if flt is None:
+        return True
+    if callable(flt):
+        return bool(flt(part))
+    import operator as _op
+
+    ops = {
+        "=": _op.eq, "==": _op.eq, "!=": _op.ne,
+        "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    for k, cond in flt.items():
+        v = part.get(k)
+        if isinstance(cond, tuple):
+            op, val = cond
+            if op == "in":
+                if v not in val:
+                    return False
+            elif v is None or not ops[op](v, val):
+                return False
+        elif isinstance(cond, (set, frozenset, list)):
+            if v not in cond:
+                return False
+        elif v != cond:
+            return False
+    return True
 
 
 class IcebergTable:
@@ -201,7 +357,17 @@ class IcebergTable:
         self._version = v
 
     @classmethod
-    def create(cls, location: str, schema_ddl: str, properties: dict | None = None) -> "IcebergTable":
+    def create(
+        cls,
+        location: str,
+        schema_ddl: str,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> "IcebergTable":
+        """partition_by: transform expressions over schema columns, e.g.
+        ["day(warc_ts)", "bucket(16, url)", "lang"] — the layout a
+        Common-Crawl-scale pages table needs (crawl-day pruning + bounded
+        url-lookup fan-out)."""
         location = os.path.abspath(location)
         meta_dir = os.path.join(location, "metadata")
         if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
@@ -209,6 +375,26 @@ class IcebergTable:
         os.makedirs(meta_dir, exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         schema = schema_from_ddl(schema_ddl)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = []
+        for i, expr in enumerate(partition_by or []):
+            transform, param, src = parse_transform(expr)
+            if src not in by_name:
+                raise ValueError(f"partition source column not in schema: {src}")
+            tname = {"identity": "identity", "day": "day",
+                     "bucket": f"bucket[{param}]",
+                     "truncate": f"truncate[{param}]"}[transform]
+            name = src if transform == "identity" else (
+                f"{src}_{transform}" if transform != "bucket" else f"{src}_bucket"
+            )
+            spec_fields.append(
+                {
+                    "name": name,
+                    "transform": tname,
+                    "source-id": by_name[src]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
         md = {
             "format-version": FORMAT_VERSION,
             "table-uuid": str(uuid.uuid4()),
@@ -219,8 +405,8 @@ class IcebergTable:
             "current-schema-id": 0,
             "schemas": [schema],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": properties or {},
@@ -268,6 +454,118 @@ class IcebergTable:
         cur = self.current_snapshot_id()
         return None if cur is None else self.snapshot(cur)
 
+    # -- partition spec ---------------------------------------------------
+
+    @property
+    def partition_spec(self) -> list[dict]:
+        specs = {s["spec-id"]: s for s in self.metadata["partition-specs"]}
+        return specs[self.metadata["default-spec-id"]]["fields"]
+
+    def _spec_parts(self) -> list[dict]:
+        """Resolved spec fields: name/transform/param/src/src_type/
+        result_type/field-id."""
+        schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
+        by_id = {f["id"]: f for f in schema["fields"]}
+        out = []
+        for pf in self.partition_spec:
+            tr, param = pf["transform"], None
+            if "[" in tr:
+                tr, p = tr.split("[", 1)
+                param = int(p.rstrip("]"))
+            src = by_id[pf["source-id"]]
+            rt = "int" if tr in ("day", "bucket") else src["type"]
+            out.append(
+                {
+                    "name": pf["name"], "transform": tr, "param": param,
+                    "src": src["name"], "src_type": src["type"],
+                    "result_type": rt, "field_id": pf["field-id"],
+                }
+            )
+        return out
+
+    def partition_value(self, pname: str, raw):
+        """Transform a RAW source value into its partition value — the
+        point-lookup helper: which bucket/day does this url/timestamp live
+        in, for partition_filter pruning."""
+        for sp in self._spec_parts():
+            if sp["name"] == pname:
+                return apply_transform(sp["transform"], sp["param"], raw, sp["src_type"])
+        raise KeyError(f"not a partition field: {pname}")
+
+    def _transform_col(self, sp: dict):
+        """The Spark column computing one partition field at write time."""
+        from pyspark.sql import functions as F
+
+        c = F.col(sp["src"])
+        tr, param, st = sp["transform"], sp["param"], sp["src_type"]
+        if tr == "identity":
+            return c
+        if tr == "day":
+            # timestamp cast double = epoch seconds (tz-independent);
+            # floor division matches micros // 86.4e9 for negatives too
+            return F.floor(c.cast("double") / F.lit(86400.0)).cast("int")
+        if tr == "truncate":
+            if st == "string":
+                return F.substring(c, 1, param)
+            return (c - F.pmod(c, F.lit(param))).cast(_ICE_TO_SPARK[st])
+        if tr == "bucket":
+            return _bucket_udf(param, st)(c)
+        raise ValueError(tr)
+
+    _AVRO_T = {
+        "int": "int", "long": "long", "string": "string", "date": "int",
+        "timestamptz": "long", "timestamp": "long", "double": "double",
+        "float": "float", "boolean": "boolean", "binary": "bytes",
+    }
+
+    def _manifest_entry_schema(self) -> dict:
+        """Per-table manifest_entry avro schema: the r102 partition record
+        carries one nullable field per spec field (spec field-ids)."""
+        import copy
+
+        sch = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        part = next(
+            f for f in sch["fields"][-1]["type"]["fields"] if f["name"] == "partition"
+        )
+        part["type"]["fields"] = [
+            {
+                "name": sp["name"],
+                "type": ["null", self._AVRO_T[sp["result_type"]]],
+                "default": None,
+                "field-id": sp["field_id"],
+            }
+            for sp in self._spec_parts()
+        ]
+        return sch
+
+    def _parse_partition_path(self, relpath: str) -> dict:
+        """Recover partition values from the hive-style dirs Spark's
+        partitionBy wrote (`_p_<name>=<value>/...`)."""
+        import urllib.parse
+
+        types = {sp["name"]: sp["result_type"] for sp in self._spec_parts()}
+        out: dict = {}
+        for seg in relpath.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            if k.startswith("_p_"):
+                k = k[3:]
+            if k not in types:
+                continue
+            v = urllib.parse.unquote(v)
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                out[k] = None
+            elif types[k] in ("int", "long", "date", "timestamptz", "timestamp"):
+                out[k] = int(v)
+            elif types[k] in ("double", "float"):
+                out[k] = float(v)
+            elif types[k] == "boolean":
+                out[k] = v.lower() == "true"
+            else:
+                out[k] = v
+        return out
+
     # -- scan planning --------------------------------------------------
 
     def _resolve(self, uri: str) -> str:
@@ -293,13 +591,20 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         min_sequence_exclusive: int | None = None,
+        partition_filter=None,
     ) -> list[dict]:
         """Plan a scan: every live data file of the snapshot, as dicts
-        {path, record_count, file_size_in_bytes, sequence_number}.
+        {path, record_count, file_size_in_bytes, sequence_number,
+        partition}.
         min_sequence_exclusive keeps only files whose data sequence number
         is strictly greater (the incremental-scan filter) — manifests whose
         whole range is older are pruned without being opened, which is what
-        keeps a 10^12-row table's incremental plan cheap."""
+        keeps a 10^12-row table's incremental plan cheap.
+        partition_filter prunes files by their manifest-recorded partition
+        tuple BEFORE anything is read (the 100-TB lever: a day-filtered or
+        bucket-point query plans only its slice): a dict of
+        {field: value | (op, value) | collection} with ops
+        = != < <= > >= in, or a callable(partition_dict) -> bool."""
         snap = self.snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -324,12 +629,16 @@ class IcebergTable:
                 if min_sequence_exclusive is not None and seq <= min_sequence_exclusive:
                     continue
                 df = e["data_file"]
+                part = df.get("partition") or {}
+                if not _partition_match(part, partition_filter):
+                    continue
                 out.append(
                     {
                         "path": self._resolve(df["file_path"]),
                         "record_count": df["record_count"],
                         "file_size_in_bytes": df["file_size_in_bytes"],
                         "sequence_number": seq,
+                        "partition": part,
                     }
                 )
         return out
@@ -341,12 +650,13 @@ class IcebergTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        partition_filter=None,
     ) -> DataFrame:
-        """Snapshot-isolated read (optionally time-traveled). The planner
-        resolves the file list from the manifests; Spark reads exactly
-        those parquet files (split planning, pushdown and pruning are
-        Spark's as usual)."""
-        files = self.data_files(snapshot_id, as_of_ms)
+        """Snapshot-isolated read (optionally time-traveled, optionally
+        partition-pruned — see data_files). The planner resolves the file
+        list from the manifests; Spark reads exactly those parquet files
+        (split planning, pushdown and pruning are Spark's as usual)."""
+        files = self.data_files(snapshot_id, as_of_ms, partition_filter=partition_filter)
         ddl = spark_ddl(self.metadata["schemas"][self.metadata["current-schema-id"]])
         if not files:
             return spark.createDataFrame([], ddl)
@@ -357,13 +667,16 @@ class IcebergTable:
         spark: SparkSession,
         start_snapshot_id: int,
         end_snapshot_id: int | None = None,
+        partition_filter=None,
     ) -> DataFrame:
         """Rows appended AFTER start_snapshot_id up to end (default
         current) — the incremental-ingest scan (spec: append scans by data
         sequence number)."""
         start_seq = self.snapshot(start_snapshot_id)["sequence-number"]
         files = self.data_files(
-            end_snapshot_id, min_sequence_exclusive=start_seq
+            end_snapshot_id,
+            min_sequence_exclusive=start_seq,
+            partition_filter=partition_filter,
         )
         ddl = spark_ddl(self.metadata["schemas"][self.metadata["current-schema-id"]])
         if not files:
@@ -374,19 +687,45 @@ class IcebergTable:
 
     def append(self, spark: SparkSession, df: DataFrame) -> int:
         """Write df as parquet data files + commit one append snapshot.
-        Returns the new snapshot id."""
+        On a partitioned table the derived partition columns are computed
+        (`_p_<name>` duplicates, so SOURCE columns stay in the files) and
+        the write fans out hive-style; partition values are recovered from
+        the layout into the manifest entries. Returns the new snapshot id."""
+        from pyspark.sql import functions as F
+
         schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
         sub = os.path.join(self.location, "data", uuid.uuid4().hex)
-        df.selectExpr(*[f["name"] for f in schema["fields"]]).write.parquet(sub)
-        files = sorted(
-            os.path.join(sub, f)
-            for f in os.listdir(sub)
-            if f.endswith(".parquet") and not f.startswith(".")
+        base = df.select(*[F.col(f["name"]) for f in schema["fields"]])
+        spec = self._spec_parts()
+        if not spec:
+            base.write.parquet(sub)
+            files = sorted(
+                os.path.join(sub, f)
+                for f in os.listdir(sub)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            return self.commit_append(files)
+        pcols = [f"_p_{sp['name']}" for sp in spec]
+        out = base.select(
+            "*", *[self._transform_col(sp).alias(pc) for sp, pc in zip(spec, pcols)]
         )
-        return self.commit_append(files)
+        out.write.partitionBy(*pcols).parquet(sub)
+        files, partitions = [], {}
+        for root, _dirs, fnames in os.walk(sub):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                p = os.path.join(root, fn)
+                files.append(p)
+                partitions[p] = self._parse_partition_path(os.path.relpath(p, sub))
+        return self.commit_append(sorted(files), partitions)
 
-    def commit_append(self, parquet_files: list[str]) -> int:
-        """Commit already-written parquet files as one append snapshot."""
+    def commit_append(
+        self, parquet_files: list[str], partitions: dict[str, dict] | None = None
+    ) -> int:
+        """Commit already-written parquet files as one append snapshot.
+        `partitions` maps file path -> partition tuple (required fields per
+        the table's spec; omitted = all-null tuple)."""
         import pyarrow.parquet as pq
 
         self.refresh()
@@ -419,7 +758,7 @@ class IcebergTable:
                         "content": 0,
                         "file_path": _uri(p),
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": (partitions or {}).get(p, {}),
                         "record_count": nrows,
                         "file_size_in_bytes": os.path.getsize(p),
                     },
@@ -428,12 +767,12 @@ class IcebergTable:
         schema_json = json.dumps(md["schemas"][md["current-schema-id"]])
         man_path = os.path.join(self._meta_dir, f"m{seq}-{uuid.uuid4().hex}.avro")
         man_bytes = avro_io.write_container(
-            _MANIFEST_ENTRY_SCHEMA,
+            self._manifest_entry_schema(),
             entries,
             meta={
                 "schema": schema_json.encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
+                "partition-spec": json.dumps(self.partition_spec).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data",
@@ -524,6 +863,7 @@ def pages_from_iceberg(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     native: str = "auto",
+    partition_filter=None,
     **cols,
 ) -> DataFrame:
     """Pages from an Iceberg table. native="auto" tries the real Spark
@@ -544,7 +884,9 @@ def pages_from_iceberg(
         except Exception:
             if native == "always":
                 raise
-    df = IcebergTable(location).read(spark, snapshot_id, as_of_ms)
+    df = IcebergTable(location).read(
+        spark, snapshot_id, as_of_ms, partition_filter=partition_filter
+    )
     return _normalize(df, **cols) if cols else df
 
 

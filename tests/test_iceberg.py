@@ -479,3 +479,138 @@ def test_cli_iceberg_subcommands(spark, tmp_path, capsys):
     assert rc == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(got["delta_segments"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# partitioned tables: transforms, manifest partition tuples, scan pruning
+
+
+def test_murmur3_spec_values():
+    """Spec Appendix B bucket-hash vectors + the canonical smhasher vector:
+    if any byte of the encoding or hash is off, these mismatch."""
+    from blacklab_spark.iceberg import _bucket_bytes, murmur3_32
+
+    assert murmur3_32(_bucket_bytes(34, "long")) == 2017239379
+    assert murmur3_32(_bucket_bytes(34, "int")) == 2017239379  # ints hash as longs
+    assert murmur3_32(_bucket_bytes("iceberg", "string")) == 1210000089
+    assert murmur3_32(b"abc") == 0xB3DD93FA
+    assert murmur3_32(b"") == 0
+
+
+def test_transforms_python_side():
+    from blacklab_spark.iceberg import apply_transform
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 3, 15, 30, tzinfo=dt.timezone.utc)
+    assert apply_transform("day", None, ts, "timestamptz") == (ts - dt.datetime(
+        1970, 1, 1, tzinfo=dt.timezone.utc)).days
+    assert apply_transform("truncate", 3, "webtext", "string") == "web"
+    assert apply_transform("truncate", 10, 37, "long") == 30
+    assert apply_transform("truncate", 10, -7, "long") == -10  # floor, not toward 0
+    assert apply_transform("identity", None, "nl", "string") == "nl"
+    assert apply_transform("bucket", 16, "iceberg", "string") == (1210000089 & 0x7FFFFFFF) % 16
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    """day+bucket partitioned table: partition tuples land in the
+    manifests, metadata-side pruning plans only the matching files, and a
+    point lookup by raw url probes exactly its bucket."""
+    import datetime as dt
+
+    from blacklab_spark.iceberg import apply_transform
+
+    loc = str(tmp_path / "ppages")
+    t = IcebergTable.create(
+        loc,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+        partition_by=["day(warc_ts)", "bucket(4, url)"],
+    )
+    rows = [
+        (
+            f"http://p.test/{i}",
+            dt.datetime(2024, 1, 1 + i % 3, 12, 0, 0),
+            None,
+            f"doc {i}",
+            "en",
+        )
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, df)
+
+    files = t.data_files()
+    assert all(set(f["partition"]) == {"warc_ts_day", "url_bucket"} for f in files)
+    days = {f["partition"]["warc_ts_day"] for f in files}
+    assert len(days) == 3
+
+    # day pruning: metadata-side file count shrinks, rows match the raw filter
+    d0 = apply_transform("day", None, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc), "timestamptz")
+    pruned = t.data_files(partition_filter={"warc_ts_day": d0})
+    assert 0 < len(pruned) < len(files)
+    got = t.read(spark, partition_filter={"warc_ts_day": d0})
+    assert got.count() == 8
+    assert {r.url for r in got.collect()} == {f"http://p.test/{i}" for i in range(24) if i % 3 == 0}
+
+    # bucket point lookup: probe ONLY the url's bucket, find the row
+    url = "http://p.test/7"
+    b = t.partition_value("url_bucket", url)
+    probe = t.read(spark, partition_filter={"url_bucket": b}).filter(F.col("url") == url)
+    assert probe.count() == 1
+    assert len(t.data_files(partition_filter={"url_bucket": b})) < len(files)
+
+    # range + in filters
+    ge = t.data_files(partition_filter={"warc_ts_day": (">=", d0 + 1)})
+    assert {f["partition"]["warc_ts_day"] for f in ge} == {d0 + 1, d0 + 2}
+    two = t.data_files(partition_filter={"warc_ts_day": [d0, d0 + 2]})
+    assert {f["partition"]["warc_ts_day"] for f in two} == {d0, d0 + 2}
+
+    # unpruned read returns everything (partition cols preserved in files)
+    assert t.read(spark).count() == 24
+    assert t.read(spark).filter(F.col("warc_ts").isNotNull()).count() == 24
+
+
+def test_partitioned_identity_truncate(spark, tmp_path):
+    loc = str(tmp_path / "ppages2")
+    t = IcebergTable.create(
+        loc,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+        partition_by=["lang", "truncate(4, url)"],
+    )
+    df = spark.createDataFrame(
+        [
+            ("http://a/1", None, None, "x", "en"),
+            ("http://a/2", None, None, "y", "nl"),
+            ("ftp://b/3", None, None, "z", "nl"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    t.append(spark, df)
+    nl = t.read(spark, partition_filter={"lang": "nl"})
+    assert {r.url for r in nl.collect()} == {"http://a/2", "ftp://b/3"}
+    # identity-partitioned source column survives in the data files
+    assert {r.lang for r in nl.collect()} == {"nl"}
+    ftp = t.data_files(partition_filter={"url_truncate": "ftp:"})
+    assert len(ftp) >= 1
+    assert all(f["partition"]["url_truncate"] == "ftp:" for f in ftp)
+
+
+def test_partitioned_incremental_and_delta_index(spark, tmp_path):
+    """Partitioning composes with snapshots: incremental scan + delta
+    indexing work unchanged on a partitioned table."""
+    loc = str(tmp_path / "ppages3")
+    t = IcebergTable.create(
+        loc,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+        partition_by=["bucket(2, url)"],
+    )
+    t.append(spark, pages_df(spark, "tiny"))
+    out = str(tmp_path / "ix")
+    index_iceberg(spark, loc, out, n_shards=2, block_size=8)
+    t.append(spark, _batch2(spark))
+    s1 = t.snapshots()[0]["snapshot-id"]
+    assert t.read_incremental(spark, s1).count() == 4
+    meta = index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8)
+    assert meta["n_docs"] == 4
