@@ -1445,6 +1445,52 @@ def build_queries() -> dict:
 
     q["src_iceberg"] = src_iceberg
 
+    def src_iceberg_part(s, d):
+        """Partition-pruned Iceberg scan: events committed into a table
+        partitioned by (day(ts), event_type) — the Common-Crawl layout
+        (crawl-day + category) — then read back through a METADATA-side
+        partition filter (day < cutoff AND type = 'click'). The pruned
+        file set must equal the SQL predicate exactly (day partitioning
+        makes the file slice == the predicate), so a wrong day transform,
+        a mis-parsed hive dir value, a broken partition tuple in the
+        manifest, or a filter-evaluation bug changes rows and mismatches."""
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from .iceberg import IcebergTable
+
+        cache = os.path.join(
+            tempfile.gettempdir(),
+            "blacklab_icep_"
+            + hashlib.md5(os.path.abspath(d).encode()).hexdigest()[:10],
+        )
+        if not os.path.isdir(cache):
+            ev = s.read.parquet(f"{d}/events.parquet").select(
+                "event_id", "ts", "event_type", "value"
+            )
+            tmp = cache + f".tmp{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            t = IcebergTable.create(
+                tmp,
+                "event_id bigint, ts timestamp, event_type string, value double",
+                partition_by=["day(ts)", "event_type"],
+            )
+            t.append(s, ev)
+            try:
+                os.rename(tmp, cache)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        t = IcebergTable(cache)
+        out = t.read(
+            s,
+            partition_filter={"ts_day": ("<", 19730), "event_type": "click"},
+        )
+        return out.select("event_id", "ts", "event_type")
+
+    q["src_iceberg_part"] = src_iceberg_part
+
     # ---------------- embedding near-dup (dedup family) ----------------
     def dd_emb_neardup(s, d):
         """Nearest same-bucket neighbor per probe vector: candidates come
@@ -2226,7 +2272,7 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "src_iceberg", "ix_topk_phrase", "ix_topk_near",  # new in r5 session 7
+    "src_iceberg", "src_iceberg_part", "ix_topk_phrase", "ix_topk_near",  # r5 session 7
     "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
@@ -2648,6 +2694,11 @@ SELECT doc_id,
                 ELSE 44100 END) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
 FROM documents
+"""
+    o["src_iceberg_part"] = """
+SELECT event_id, ts, event_type
+FROM events
+WHERE floor(epoch(ts) / 86400) < 19730 AND event_type = 'click'
 """
     o["src_iceberg"] = """
 SELECT doc_id,

@@ -283,6 +283,140 @@ def _local(path_or_uri: str) -> str:
     return path_or_uri
 
 
+def _bound_bytes(value, ice_type: str) -> bytes:
+    """Spec Appendix D single-value binary serialization (the encoding of
+    lower_bounds/upper_bounds map values)."""
+    import struct as _st
+
+    if ice_type == "int":
+        return int(value).to_bytes(4, "little", signed=True)
+    if ice_type == "long":
+        return int(value).to_bytes(8, "little", signed=True)
+    if ice_type in ("timestamp", "timestamptz"):
+        return _ts_micros(value).to_bytes(8, "little", signed=True)
+    if ice_type == "date":
+        return int(value).to_bytes(4, "little", signed=True)
+    if ice_type == "float":
+        return _st.pack("<f", float(value))
+    if ice_type == "double":
+        return _st.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "binary":
+        return bytes(value)
+    raise ValueError(f"no bound serialization for {ice_type}")
+
+
+def _bound_value(data: bytes, ice_type: str):
+    import struct as _st
+
+    if ice_type == "int":
+        return int.from_bytes(data, "little", signed=True)
+    if ice_type == "long":
+        return int.from_bytes(data, "little", signed=True)
+    if ice_type in ("timestamp", "timestamptz"):
+        return int.from_bytes(data, "little", signed=True)  # micros
+    if ice_type == "date":
+        return int.from_bytes(data, "little", signed=True)
+    if ice_type == "float":
+        return _st.unpack("<f", data)[0]
+    if ice_type == "double":
+        return _st.unpack("<d", data)[0]
+    if ice_type == "string":
+        return data.decode("utf-8")
+    if ice_type == "boolean":
+        return data != b"\x00"
+    if ice_type == "binary":
+        return data
+    raise ValueError(ice_type)
+
+
+def _file_column_stats(path: str, schema: dict) -> tuple[dict, dict, dict]:
+    """(lower, upper, null_counts) per schema field-id, aggregated over the
+    parquet file's row-group statistics. Columns without stats are absent
+    (pruning must then keep the file)."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in schema["fields"]}
+    md = pq.ParquetFile(path).metadata
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    nulls: dict[int, int] = {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            fid = by_name[name]["id"]
+            if st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if not st.has_min_max:
+                mins[name] = maxs[name] = None  # poison: unknown range
+                continue
+            if name in mins and mins[name] is None:
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    for name, v in mins.items():
+        if v is None:
+            continue
+        f = by_name[name]
+        lower[f["id"]] = _bound_bytes(v, f["type"])
+        upper[f["id"]] = _bound_bytes(maxs[name], f["type"])
+    return lower, upper, nulls
+
+
+def _stats_match(file_info: dict, flt, schema: dict) -> bool:
+    """Conservative min/max pruning on ANY column: drop a file only when
+    its [lower, upper] range PROVABLY excludes every matching row. Files
+    without recorded bounds for a referenced column always survive.
+    flt: {column: value | (op, value)} with ops = == != < <= > >= ."""
+    if flt is None:
+        return True
+    by_name = {f["name"]: f for f in schema["fields"]}
+    lower, upper = file_info.get("lower_bounds", {}), file_info.get("upper_bounds", {})
+    for name, cond in flt.items():
+        f = by_name[name]
+        fid = f["id"]
+        if fid not in lower or fid not in upper:
+            continue  # no stats: cannot prune
+        lo = _bound_value(lower[fid], f["type"])
+        hi = _bound_value(upper[fid], f["type"])
+        op, val = cond if isinstance(cond, tuple) else ("=", cond)
+        if f["type"] in ("timestamp", "timestamptz") and not isinstance(val, (int, float)):
+            val = _ts_micros(val)
+        if op in ("=", "=="):
+            if val < lo or val > hi:
+                return False
+        elif op == "<":
+            if lo >= val:
+                return False
+        elif op == "<=":
+            if lo > val:
+                return False
+        elif op == ">":
+            if hi <= val:
+                return False
+        elif op == ">=":
+            if hi < val:
+                return False
+        elif op == "!=":
+            if lo == hi == val:
+                return False
+        else:
+            raise ValueError(f"unsupported stats op {op!r}")
+    return True
+
+
 def _bucket_udf(n: int, ice_type: str):
     """Arrow-batched bucket transform for the WRITE path (per-value python
     murmur3 inside the batch; a cluster deployment would use the native
@@ -501,9 +635,12 @@ class IcebergTable:
         if tr == "identity":
             return c
         if tr == "day":
-            # timestamp cast double = epoch seconds (tz-independent);
-            # floor division matches micros // 86.4e9 for negatives too
-            return F.floor(c.cast("double") / F.lit(86400.0)).cast("int")
+            # normalize through timestamp first: TIMESTAMP_NTZ has no
+            # direct double cast, and the session tz is pinned UTC so
+            # ntz wall-clock == the oracle's epoch() semantics; timestamp
+            # cast double = epoch seconds; floor division matches
+            # micros // 86.4e9 for negatives too
+            return F.floor(c.cast("timestamp").cast("double") / F.lit(86400.0)).cast("int")
         if tr == "truncate":
             if st == "string":
                 return F.substring(c, 1, param)
@@ -518,15 +655,32 @@ class IcebergTable:
         "float": "float", "boolean": "boolean", "binary": "bytes",
     }
 
+    @staticmethod
+    def _kv_map(name: str, kid: int, vid: int, vtype: str) -> dict:
+        """Iceberg's avro shape for int-keyed maps: array of key/value
+        records with field-ids, logicalType map."""
+        return {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {"name": "value", "type": vtype, "field-id": vid},
+                ],
+            },
+        }
+
     def _manifest_entry_schema(self) -> dict:
         """Per-table manifest_entry avro schema: the r102 partition record
-        carries one nullable field per spec field (spec field-ids)."""
+        carries one nullable field per spec field (spec field-ids), plus
+        the per-column stats maps (null counts, lower/upper bounds)."""
         import copy
 
         sch = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
-        part = next(
-            f for f in sch["fields"][-1]["type"]["fields"] if f["name"] == "partition"
-        )
+        dfields = sch["fields"][-1]["type"]["fields"]
+        part = next(f for f in dfields if f["name"] == "partition")
         part["type"]["fields"] = [
             {
                 "name": sp["name"],
@@ -536,6 +690,25 @@ class IcebergTable:
             }
             for sp in self._spec_parts()
         ]
+        dfields.extend(
+            [
+                {
+                    "name": "null_value_counts",
+                    "type": ["null", self._kv_map("k121_v122", 121, 122, "long")],
+                    "default": None, "field-id": 110,
+                },
+                {
+                    "name": "lower_bounds",
+                    "type": ["null", self._kv_map("k126_v127", 126, 127, "bytes")],
+                    "default": None, "field-id": 125,
+                },
+                {
+                    "name": "upper_bounds",
+                    "type": ["null", self._kv_map("k129_v130", 129, 130, "bytes")],
+                    "default": None, "field-id": 128,
+                },
+            ]
+        )
         return sch
 
     def _parse_partition_path(self, relpath: str) -> dict:
@@ -592,6 +765,7 @@ class IcebergTable:
         as_of_ms: int | None = None,
         min_sequence_exclusive: int | None = None,
         partition_filter=None,
+        stats_filter: dict | None = None,
     ) -> list[dict]:
         """Plan a scan: every live data file of the snapshot, as dicts
         {path, record_count, file_size_in_bytes, sequence_number,
@@ -632,15 +806,31 @@ class IcebergTable:
                 part = df.get("partition") or {}
                 if not _partition_match(part, partition_filter):
                     continue
-                out.append(
-                    {
-                        "path": self._resolve(df["file_path"]),
-                        "record_count": df["record_count"],
-                        "file_size_in_bytes": df["file_size_in_bytes"],
-                        "sequence_number": seq,
-                        "partition": part,
-                    }
-                )
+                info = {
+                    "path": self._resolve(df["file_path"]),
+                    "record_count": df["record_count"],
+                    "file_size_in_bytes": df["file_size_in_bytes"],
+                    "sequence_number": seq,
+                    "partition": part,
+                    "null_value_counts": {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("null_value_counts") or [])
+                    },
+                    "lower_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("lower_bounds") or [])
+                    },
+                    "upper_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("upper_bounds") or [])
+                    },
+                }
+                if not _stats_match(
+                    info, stats_filter,
+                    self.metadata["schemas"][self.metadata["current-schema-id"]],
+                ):
+                    continue
+                out.append(info)
         return out
 
     # -- reads ----------------------------------------------------------
@@ -651,12 +841,20 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter=None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read (optionally time-traveled, optionally
-        partition-pruned — see data_files). The planner resolves the file
-        list from the manifests; Spark reads exactly those parquet files
-        (split planning, pushdown and pruning are Spark's as usual)."""
-        files = self.data_files(snapshot_id, as_of_ms, partition_filter=partition_filter)
+        partition- or stats-pruned — see data_files). partition_filter on
+        identity/day partitions selects EXACT predicate slices (files ==
+        predicate); stats_filter is file-level min/max pruning only — the
+        caller still applies the row predicate. The planner resolves the
+        file list from the manifests; Spark reads exactly those parquet
+        files (split planning, pushdown and pruning are Spark's as
+        usual)."""
+        files = self.data_files(
+            snapshot_id, as_of_ms,
+            partition_filter=partition_filter, stats_filter=stats_filter,
+        )
         ddl = spark_ddl(self.metadata["schemas"][self.metadata["current-schema-id"]])
         if not files:
             return spark.createDataFrame([], ddl)
@@ -668,6 +866,7 @@ class IcebergTable:
         start_snapshot_id: int,
         end_snapshot_id: int | None = None,
         partition_filter=None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Rows appended AFTER start_snapshot_id up to end (default
         current) — the incremental-ingest scan (spec: append scans by data
@@ -677,6 +876,7 @@ class IcebergTable:
             end_snapshot_id,
             min_sequence_exclusive=start_seq,
             partition_filter=partition_filter,
+            stats_filter=stats_filter,
         )
         ddl = spark_ddl(self.metadata["schemas"][self.metadata["current-schema-id"]])
         if not files:
@@ -697,19 +897,33 @@ class IcebergTable:
         sub = os.path.join(self.location, "data", uuid.uuid4().hex)
         base = df.select(*[F.col(f["name"]) for f in schema["fields"]])
         spec = self._spec_parts()
+        # INT96 (Spark's legacy default) has no usable column statistics —
+        # write micros so timestamp lower/upper bounds land in the manifests
+        conf = df.sparkSession.conf
+        prev_tt = conf.get("spark.sql.parquet.outputTimestampType", None)
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            if not spec:
+                base.write.parquet(sub)
+            else:
+                pcols = [f"_p_{sp['name']}" for sp in spec]
+                out = base.select(
+                    "*",
+                    *[self._transform_col(sp).alias(pc) for sp, pc in zip(spec, pcols)],
+                )
+                out.write.partitionBy(*pcols).parquet(sub)
+        finally:
+            if prev_tt is not None:
+                conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+            else:
+                conf.unset("spark.sql.parquet.outputTimestampType")
         if not spec:
-            base.write.parquet(sub)
             files = sorted(
                 os.path.join(sub, f)
                 for f in os.listdir(sub)
                 if f.endswith(".parquet") and not f.startswith(".")
             )
             return self.commit_append(files)
-        pcols = [f"_p_{sp['name']}" for sp in spec]
-        out = base.select(
-            "*", *[self._transform_col(sp).alias(pc) for sp, pc in zip(spec, pcols)]
-        )
-        out.write.partitionBy(*pcols).parquet(sub)
         files, partitions = [], {}
         for root, _dirs, fnames in os.walk(sub):
             for fn in sorted(fnames):
@@ -741,11 +955,13 @@ class IcebergTable:
             )
             & 0x3FFFFFFFFFFFFFFF
         )
+        schema = md["schemas"][md["current-schema-id"]]
         entries = []
         added_rows = 0
         for p in parquet_files:
             nrows = pq.ParquetFile(p).metadata.num_rows
             added_rows += nrows
+            lower, upper, nulls = _file_column_stats(p, schema)
             entries.append(
                 {
                     "status": _STATUS_ADDED,
@@ -761,6 +977,15 @@ class IcebergTable:
                         "partition": (partitions or {}).get(p, {}),
                         "record_count": nrows,
                         "file_size_in_bytes": os.path.getsize(p),
+                        "null_value_counts": [
+                            {"key": k, "value": v} for k, v in sorted(nulls.items())
+                        ],
+                        "lower_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(lower.items())
+                        ],
+                        "upper_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(upper.items())
+                        ],
                     },
                 }
             )

@@ -614,3 +614,61 @@ def test_partitioned_incremental_and_delta_index(spark, tmp_path):
     assert t.read_incremental(spark, s1).count() == 4
     meta = index_iceberg_delta(spark, loc, out, n_shards=2, block_size=8)
     assert meta["n_docs"] == 4
+
+
+def test_column_stats_pruning(spark, tmp_path):
+    """File-level lower/upper bounds land in the manifests and min/max
+    pruning drops provably-excluded files — range scans on UNPARTITIONED
+    columns plan only their slice; files lacking stats survive."""
+    import datetime as dt
+
+    loc = str(tmp_path / "spages")
+    t = IcebergTable.create(
+        loc, "event_id bigint, ts timestamp, v double, s string"
+    )
+    # three commits with DISJOINT event_id / ts ranges -> 3+ files with
+    # disjoint bounds
+    for c in range(3):
+        rows = [
+            (
+                c * 100 + i,
+                dt.datetime(2024, 1, 1 + c, 6 + i, 0, 0),
+                float(c * 100 + i),
+                f"s{c:02d}{i:02d}",
+            )
+            for i in range(10)
+        ]
+        t.append(spark, spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, v double, s string"
+        ).coalesce(1))
+
+    files = t.data_files()
+    assert len(files) == 3
+    for f in files:
+        assert set(f["lower_bounds"]) >= {1, 2, 3, 4}  # all four field-ids
+
+    # long range: only commit 1's file overlaps 100 <= event_id
+    hit = t.data_files(stats_filter={"event_id": (">=", 200)})
+    assert len(hit) == 1
+    rows = t.read(spark, stats_filter={"event_id": (">=", 200)})
+    # file-level pruning + residual row filter = exact
+    assert rows.filter(F.col("event_id") >= 200).count() == 10
+    assert rows.count() == 10  # disjoint ranges: the file slice IS exact here
+
+    # timestamp range with a datetime literal
+    cut = dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc)
+    late = t.data_files(stats_filter={"ts": (">=", cut)})
+    assert len(late) == 1
+
+    # string equality: bounds are utf-8 — only the middle file can hold it
+    mid = t.data_files(stats_filter={"s": "s0105"})
+    assert len(mid) == 1
+
+    # point lookups outside every range prune to zero files
+    assert t.data_files(stats_filter={"event_id": 99999}) == []
+
+    # double range op
+    assert len(t.data_files(stats_filter={"v": ("<", 100.0)})) == 1
+
+    # != prunes only all-constant files: nothing here
+    assert len(t.data_files(stats_filter={"event_id": ("!=", 5)})) == 3
