@@ -649,6 +649,11 @@ def build_queries() -> dict:
     q["ix_topk_near"] = lambda s, d: _ix_topk_spans(
         s, d, get_index(s, d).topk_near("table", "scan", 0, 3, k=20)
     )
+    # conjunctive ranked: BM25 sum over docs containing ALL terms
+    q["ix_topk_and"] = lambda s, d: _ix_topk_spans(
+        s, d,
+        get_index(s, d).topk_and(["table", "vector"], k=20, quantize=False),
+    )
 
     q["ix_kwic"] = lambda s, d: get_index(s, d).kwic(
         get_index(s, d).phrase_hits(["fast", "sort"]), context=5
@@ -2272,7 +2277,8 @@ def build_queries() -> dict:
 # register first. Round counter = number of CORRECTNESS_r*.json files in the
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
-    "src_iceberg", "src_iceberg_part", "ix_topk_phrase", "ix_topk_near",  # r5 session 7
+    "src_iceberg", "src_iceberg_part", "ix_topk_phrase", "ix_topk_near",
+    "ix_topk_and",  # new in r5 session 7
     "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
@@ -2403,6 +2409,36 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank <= {k}
 """
 
+    o["ix_topk_and"] = """
+WITH """ + SQL_TOKS + """, """ + SQL_DL + """,
+q(term) AS (VALUES ('table'), ('vector')),
+conj AS (
+  SELECT doc_id FROM toks WHERE tok = 'table'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE tok = 'vector'
+),
+tf AS (
+  SELECT t.doc_id, q.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN q ON t.tok = q.term
+  WHERE t.doc_id IN (SELECT doc_id FROM conj)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (SELECT DISTINCT doc_id, term FROM (
+  SELECT t.doc_id, q.term FROM toks t JOIN q ON t.tok = q.term)) GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))
+              * (1.2 + 1.0) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1
+)
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= 10
+"""
     o["ix_topk_phrase"] = _sql_topk_spans("""
   SELECT a.doc_id
   FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1

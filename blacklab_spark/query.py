@@ -580,6 +580,47 @@ class Index:
         urls = self.docs.select("doc_id", "url")
         return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
 
+    def topk_and(
+        self, terms: list[str], k: int = 10, fold: bool = True, quantize: bool = True
+    ) -> DataFrame:
+        """Conjunctive (AND) ranked top-k: BM25 sum over the query terms
+        for docs containing ALL of them — the posting-list-intersection
+        ranked query next to the disjunctive WAND path. Doc ids are
+        segment-partitioned, so the conjunctive doc set is exact per
+        segment: the docset kernel computes it from the same postings and
+        feeds the filtered scoring kernel as the allowed set (the
+        block-max walk stays exact under a doc filter — see
+        _score_kernel_filtered)."""
+        avgdl = self.avgdl
+        n = self.n_docs
+        n_q = len({fold_token(t) if fold else t for t in terms})
+        parts = []
+        for seg, tids in zip(self.segments, self.resolve(terms, fold)):
+            if len(tids) == 0 or tids["qidx"].nunique() < n_q:
+                continue  # a term is absent from this segment: no AND docs
+            gdf = tids.attrs["gdf"]
+            idf = {q: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5))) for q, d in gdf.items()}
+            p = self._postings_for(seg, tids, False)
+            and_ids = p.groupBy("shard").applyInPandas(
+                _docset_kernel("and", n_q), "doc_id long"
+            )
+            allowed = seg.docs.select("shard", "doc_id").join(
+                and_ids, "doc_id", "left_semi"
+            )
+            parts.append(
+                p.groupby("shard")
+                .cogroup(allowed.groupby("shard"))
+                .applyInPandas(
+                    _score_kernel_filtered(idf, avgdl, k, quantize), SCORE_SCHEMA
+                )
+            )
+        scored = self._union(parts, SCORE_SCHEMA)
+        from .rank import rank_head
+
+        top = rank_head(scored, [("score", False), ("doc_id", True)], 0, k, "rank")
+        urls = self.docs.select("doc_id", "url")
+        return top.join(urls, "doc_id").select("rank", "doc_id", "url", "score")
+
     def topk_spans(self, hits: DataFrame, k: int = 10) -> DataFrame:
         """BM25 top-k over an ARBITRARY span query's hits — the ranked
         phrase / proximity queries the north star names next to term

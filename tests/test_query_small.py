@@ -163,3 +163,35 @@ def test_topk_spans_accepts_bcql(small_index):
         range(1, len(top) + 1)
     )
     assert all(r["score"] > 0 for r in top)
+
+
+def test_topk_and_conjunctive_vs_numpy(small_index):
+    """AND-ranked top-k: only docs containing ALL terms rank; scores equal
+    an independent numpy BM25 sum with global per-term idf."""
+    import numpy as np
+    from blacklab_spark import B, K1
+
+    ix = small_index
+    terms = ["the", "click"]
+    got = ix.topk_and(terms, k=10, quantize=False).orderBy("rank").collect()
+    allowed = {r.doc_id for r in ix.and_docs(terms).collect()}
+    assert 0 < len(got) <= 10
+    assert all(r.doc_id in allowed for r in got)
+
+    dl = {r.doc_id: r.doc_len for r in ix.docs.select("doc_id", "doc_len").collect()}
+    n, avgdl = ix.n_docs, ix.avgdl
+    score = {}
+    for t in terms:
+        h = ix.term_hits(t).toPandas()
+        tf = h.groupby("doc_id").size()
+        df = float(tf.size)
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, c in tf.items():
+            if d in allowed:
+                score[d] = score.get(d, 0.0) + idf * (K1 + 1) * c / (
+                    c + K1 * (1 - B + B * dl[d] / avgdl)
+                )
+    exp = sorted(((-s, d) for d, s in score.items()))[:10]
+    assert [r.doc_id for r in got] == [d for _, d in exp]
+    for r, (neg_s, _) in zip(got, exp):
+        assert abs(r.score - (-neg_s)) < 1e-9
