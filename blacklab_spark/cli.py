@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     p_follow.add_argument("--watch", action="store_true",
                           help="keep polling instead of drain-and-exit")
 
+    p_ingw = sub.add_parser(
+        "iceberg-ingest-warc",
+        help="parse WARC/WET shards and commit one append snapshot into "
+        "the Iceberg corpus table (created partitioned on first use)",
+    )
+    p_ingw.add_argument("--warc", required=True, help="shard glob, e.g. 'dir/*.warc.gz'")
+    p_ingw.add_argument("--table", required=True)
+
     p_bench = sub.add_parser("bench", help="timed build + query set")
     p_bench.add_argument("--pages", required=True)
     p_bench.add_argument("--out", required=True)
@@ -139,6 +147,13 @@ def _run(spark, args) -> int:
         else:
             meta = compact(spark, args.out, n_shards=args.shards)
         print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "iceberg-ingest-warc":
+        from .iceberg import ingest_warc_to_iceberg
+
+        snap = ingest_warc_to_iceberg(spark, args.warc, args.table)
+        print(json.dumps({"snapshot_id": snap}))
         return 0
 
     if args.cmd == "iceberg-index":

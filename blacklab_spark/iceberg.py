@@ -1212,6 +1212,33 @@ def index_iceberg_delta(
     return meta
 
 
+def ingest_warc_to_iceberg(
+    spark: SparkSession,
+    warc_glob: str,
+    location: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """The front half of the Common-Crawl pipeline: parse *.warc(.gz)
+    shards (shard-parallel record walk + html->text extraction,
+    warc.pages_from_warc) and commit the pages as ONE append snapshot into
+    the Iceberg corpus table — creating it on first use, partitioned by
+    crawl day + url bucket by default (the layout that gives day-sliced
+    scans and bounded url point-lookups at 10^12 rows). Returns the new
+    snapshot id; each crawl batch = one snapshot, so the index side
+    follows with index_iceberg / follow_iceberg."""
+    from .sources import PAGES_SCHEMA
+    from .warc import pages_from_warc
+
+    if partition_by is None:
+        partition_by = ["day(warc_ts)", "bucket(16, url)"]
+    try:
+        tbl = IcebergTable(location)
+    except FileNotFoundError:
+        tbl = IcebergTable.create(location, PAGES_SCHEMA, partition_by=partition_by)
+    pages = pages_from_warc(spark, warc_glob)
+    return tbl.append(spark, pages)
+
+
 def follow_iceberg(
     spark: SparkSession,
     location: str,

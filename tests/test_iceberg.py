@@ -672,3 +672,65 @@ def test_column_stats_pruning(spark, tmp_path):
 
     # != prunes only all-constant files: nothing here
     assert len(t.data_files(stats_filter={"event_id": ("!=", 5)})) == 3
+
+
+def test_warc_to_iceberg_to_ranked_query_end_to_end(spark, tmp_path):
+    """The complete pipeline, crawl bytes to ranked results: WARC shards
+    -> partitioned Iceberg corpus (day + url bucket) -> snapshot-pinned
+    index build -> BM25 queries; a second crawl batch -> second snapshot
+    -> delta segment; day partition pruning holds on the corpus table."""
+    from blacklab_spark import warc as W
+    from blacklab_spark.iceberg import (
+        follow_iceberg,
+        ingest_warc_to_iceberg,
+    )
+    from blacklab_spark.query import Index
+
+    shards = tmp_path / "crawl1"
+    shards.mkdir()
+    for sh in range(2):
+        docs = [
+            {
+                "url": f"http://e2e.test/{sh}/{i}",
+                "date": f"2021-03-0{1 + i % 2}T0{i}:00:00Z",
+                "html": f"<html><body><p>zebra stripe {'common ' * (i + 1)}"
+                        f"doc{sh}{i}</p></body></html>",
+            }
+            for i in range(4)
+        ]
+        (shards / f"s{sh}.warc.gz").write_bytes(W.build_warc(docs, gz=True))
+
+    loc = str(tmp_path / "corpus")
+    snap1 = ingest_warc_to_iceberg(spark, str(shards / "*.warc.gz"), loc)
+    t = IcebergTable(loc)
+    assert t.current_snapshot_id() == snap1
+    assert [f["transform"] for f in t.partition_spec] == ["day", "bucket[16]"]
+    assert t.read(spark).count() == 8
+
+    # day pruning on the corpus: March 1 2021 = epoch day 18687
+    d1 = t.partition_value("warc_ts_day", __import__("datetime").datetime(
+        2021, 3, 1, tzinfo=__import__("datetime").timezone.utc))
+    assert t.read(spark, partition_filter={"warc_ts_day": d1}).count() == 4
+
+    out = str(tmp_path / "ix")
+    index_iceberg(spark, loc, out, n_shards=2, block_size=8)
+    ix = Index(spark, out)
+    assert ix.term_hits("zebra").count() == 8
+    top = ix.topk(["common"], k=3).collect()
+    assert len(top) == 3  # the repeated-term docs rank
+    assert all(r.score > 0 for r in top)
+
+    # second crawl batch -> new snapshot -> one delta segment
+    crawl2 = tmp_path / "crawl2"
+    crawl2.mkdir()
+    (crawl2 / "s0.warc.gz").write_bytes(W.build_warc([
+        {"url": "http://e2e.test/new", "date": "2021-03-03T00:00:00Z",
+         "html": "<html><body><p>zebra freshdoc</p></body></html>"},
+    ], gz=True))
+    snap2 = ingest_warc_to_iceberg(spark, str(crawl2 / "*.warc.gz"), loc)
+    assert snap2 != snap1
+    metas = follow_iceberg(spark, loc, out, n_shards=2, block_size=8)
+    assert len(metas) == 1 and metas[0]["n_docs"] == 1
+    ix = Index(spark, out)
+    assert ix.term_hits("zebra").count() == 9
+    assert ix.term_hits("freshdoc").count() == 1
