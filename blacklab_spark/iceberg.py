@@ -588,6 +588,67 @@ class IcebergTable:
         cur = self.current_snapshot_id()
         return None if cur is None else self.snapshot(cur)
 
+    # -- schema evolution / maintenance -----------------------------------
+
+    def add_column(self, name: str, spark_type: str) -> None:
+        """Add-column schema evolution (spec: new field-id, old data files
+        unchanged — readers fill nulls). A new schema version is committed;
+        existing files simply lack the column and the explicit-schema
+        parquet read yields NULLs for them."""
+        if spark_type not in _SPARK_TO_ICE:
+            raise ValueError(f"unsupported type {spark_type}")
+        self.refresh()
+        md = dict(self.metadata)
+        cur = md["schemas"][md["current-schema-id"]]
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column exists: {name}")
+        new_id = md["last-column-id"] + 1
+        new_schema = {
+            "type": "struct",
+            "schema-id": len(md["schemas"]),
+            "fields": cur["fields"]
+            + [{"id": new_id, "name": name, "required": False,
+                "type": _SPARK_TO_ICE[spark_type]}],
+        }
+        md["schemas"] = md["schemas"] + [new_schema]
+        md["current-schema-id"] = new_schema["schema-id"]
+        md["last-column-id"] = new_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(self._meta_dir, self._version + 1, md)
+        self.refresh()
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Expire all but the newest `keep_last` snapshots: they leave the
+        metadata (time travel to them stops working) and their
+        manifest-list files are deleted. Append-only tables share data
+        files and manifests forward, so only the expired snapshots' OWN
+        manifest lists are unreferenced — data files and manifests stay.
+        Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        self.refresh()
+        md = dict(self.metadata)
+        snaps = md["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        kept_lists = {s["manifest-list"] for s in kept}
+        md["snapshots"] = kept
+        kept_ids = {s["snapshot-id"] for s in kept}
+        md["snapshot-log"] = [
+            e for e in md["snapshot-log"] if e["snapshot-id"] in kept_ids
+        ]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(self._meta_dir, self._version + 1, md)
+        for s in expired:
+            if s["manifest-list"] not in kept_lists:
+                try:
+                    os.remove(self._resolve(s["manifest-list"]))
+                except FileNotFoundError:
+                    pass
+        self.refresh()
+        return [s["snapshot-id"] for s in expired]
+
     # -- partition spec ---------------------------------------------------
 
     @property

@@ -734,3 +734,58 @@ def test_warc_to_iceberg_to_ranked_query_end_to_end(spark, tmp_path):
     ix = Index(spark, out)
     assert ix.term_hits("zebra").count() == 9
     assert ix.term_hits("freshdoc").count() == 1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: old data files stay untouched; reads fill
+    NULL for pre-evolution rows; new appends carry the column; stats and
+    partition resolution keep working (source field-ids are stable)."""
+    loc = str(tmp_path / "evo")
+    t = IcebergTable.create(
+        loc, "url string, text string", partition_by=["bucket(2, url)"]
+    )
+    t.append(spark, spark.createDataFrame(
+        [("http://a/1", "old row")], "url string, text string"
+    ))
+    t.add_column("lang", "string")
+    assert t.metadata["current-schema-id"] == 1
+    assert t.metadata["last-column-id"] == 3
+    t.append(spark, spark.createDataFrame(
+        [("http://a/2", "new row", "nl")], "url string, text string, lang string"
+    ))
+    got = {r.url: r.lang for r in t.read(spark).collect()}
+    assert got == {"http://a/1": None, "http://a/2": "nl"}
+    # stats pruning on the evolved column: only the new file has bounds
+    hit = t.data_files(stats_filter={"lang": "nl"})
+    assert len(hit) == 2  # old file has no lang stats -> must survive
+    with pytest.raises(ValueError):
+        t.add_column("lang", "string")
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Expiry drops old snapshots + their manifest-list files; current
+    reads and incremental reads from RETAINED snapshots still work."""
+    import os as _os
+
+    loc = str(tmp_path / "exp")
+    t = IcebergTable.create(loc, "url string, text string")
+    for i in range(3):
+        t.append(spark, spark.createDataFrame(
+            [(f"http://e/{i}", f"row {i}")], "url string, text string"
+        ))
+    s1, s2, s3 = t.snapshots()
+    old_list = s1["manifest-list"][len("file://"):]
+    assert _os.path.exists(old_list)
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [s1["snapshot-id"]]
+    assert not _os.path.exists(old_list)
+    assert [s["snapshot-id"] for s in t.snapshots()] == [
+        s2["snapshot-id"], s3["snapshot-id"],
+    ]
+    # data intact; retained time travel + incremental still work
+    assert t.read(spark).count() == 3
+    assert t.read(spark, snapshot_id=s2["snapshot-id"]).count() == 2
+    assert t.read_incremental(spark, s2["snapshot-id"]).count() == 1
+    with pytest.raises(KeyError):
+        t.read(spark, snapshot_id=s1["snapshot-id"])
+    assert t.expire_snapshots(keep_last=2) == []
