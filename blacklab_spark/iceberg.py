@@ -555,10 +555,16 @@ class IcebergTable:
 
     @staticmethod
     def _write_metadata(meta_dir: str, version: int, md: dict) -> None:
+        """Commit one metadata version. The version file is created with
+        O_EXCL — the compare-and-swap a catalog provides: the LOSER of a
+        concurrent commit race gets FileExistsError and must refresh and
+        rebuild its commit on top of the winner (see commit_append's retry
+        loop) instead of silently clobbering it."""
         path = os.path.join(meta_dir, f"v{version}.metadata.json")
-        with open(path, "w") as f:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
             json.dump(md, f, indent=2)
-        tmp = os.path.join(meta_dir, f".version-hint.{os.getpid()}")
+        tmp = os.path.join(meta_dir, f".version-hint.{os.getpid()}-{id(md)}")
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
@@ -588,6 +594,18 @@ class IcebergTable:
         cur = self.current_snapshot_id()
         return None if cur is None else self.snapshot(cur)
 
+    def _retry_cas(self, fn):
+        """Run one commit attempt; on a lost CAS race (FileExistsError
+        from the O_EXCL version write) refresh and rebuild the commit on
+        top of the winner. Orphaned manifest files from lost attempts are
+        harmless (uuid-named, unreferenced) — same as real Iceberg."""
+        for _ in range(8):
+            try:
+                return fn()
+            except FileExistsError:
+                continue
+        raise RuntimeError("commit contention: 8 CAS retries exhausted")
+
     # -- schema evolution / maintenance -----------------------------------
 
     def add_column(self, name: str, spark_type: str) -> None:
@@ -597,6 +615,9 @@ class IcebergTable:
         parquet read yields NULLs for them."""
         if spark_type not in _SPARK_TO_ICE:
             raise ValueError(f"unsupported type {spark_type}")
+        return self._retry_cas(lambda: self._add_column_once(name, spark_type))
+
+    def _add_column_once(self, name: str, spark_type: str) -> None:
         self.refresh()
         md = dict(self.metadata)
         cur = md["schemas"][md["current-schema-id"]]
@@ -626,6 +647,9 @@ class IcebergTable:
         Returns the expired snapshot ids."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        return self._retry_cas(lambda: self._expire_once(keep_last))
+
+    def _expire_once(self, keep_last: int) -> list[int]:
         self.refresh()
         md = dict(self.metadata)
         snaps = md["snapshots"]
@@ -1000,7 +1024,14 @@ class IcebergTable:
     ) -> int:
         """Commit already-written parquet files as one append snapshot.
         `partitions` maps file path -> partition tuple (required fields per
-        the table's spec; omitted = all-null tuple)."""
+        the table's spec; omitted = all-null tuple). Optimistic
+        concurrency: a lost version race refreshes and re-commits on
+        top of the winner (the catalog-CAS analog)."""
+        return self._retry_cas(
+            lambda: self._commit_append_once(parquet_files, partitions)
+        )
+
+    def _commit_append_once(self, parquet_files, partitions=None) -> int:
         import pyarrow.parquet as pq
 
         self.refresh()

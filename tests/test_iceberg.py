@@ -789,3 +789,40 @@ def test_expire_snapshots(spark, tmp_path):
     with pytest.raises(KeyError):
         t.read(spark, snapshot_id=s1["snapshot-id"])
     assert t.expire_snapshots(keep_last=2) == []
+
+
+def test_concurrent_commit_cas_retry(spark, tmp_path):
+    """Two writers racing one commit: the version file is O_EXCL (the
+    catalog-CAS analog), so the loser refreshes and re-commits on top of
+    the winner — both snapshots land, no rows lost, sequence numbers
+    strictly increase."""
+    import threading
+
+    loc = str(tmp_path / "race")
+    IcebergTable.create(loc, "url string, text string")
+    errs = []
+
+    def writer(tag):
+        try:
+            t = IcebergTable(loc)
+            t.append(spark, spark.createDataFrame(
+                [(f"http://{tag}/{i}", f"{tag} {i}") for i in range(3)],
+                "url string, text string",
+            ))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ("a", "b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = IcebergTable(loc)
+    snaps = t.snapshots()
+    assert len(snaps) == 2
+    assert [s["sequence-number"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    assert t.read(spark).count() == 6
+    # the incremental scan sees exactly the second commit's rows
+    assert t.read_incremental(spark, snaps[0]["snapshot-id"]).count() == 3
