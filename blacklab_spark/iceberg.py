@@ -673,6 +673,46 @@ class IcebergTable:
         self.refresh()
         return [s["snapshot-id"] for s in expired]
 
+    def remove_orphan_files(self) -> list[str]:
+        """Delete metadata/data files not referenced by any RETAINED
+        snapshot: manifest lists and manifests orphaned by lost CAS races
+        or snapshot expiry, and data files whose commit never succeeded.
+        Old vN.metadata.json versions are kept (they are the metadata log).
+        Returns the deleted paths."""
+        self.refresh()
+        live_lists, live_manifests, live_data = set(), set(), set()
+        for s in self.snapshots():
+            live_lists.add(os.path.realpath(self._resolve(s["manifest-list"])))
+            for mf in self._manifest_files(s):
+                mp = os.path.realpath(self._resolve(mf["manifest_path"]))
+                live_manifests.add(mp)
+                _, entries, _ = avro_io.read_container(open(mp, "rb").read())
+                for e in entries:
+                    live_data.add(
+                        os.path.realpath(self._resolve(e["data_file"]["file_path"]))
+                    )
+        deleted = []
+        for fn in os.listdir(self._meta_dir):
+            p = os.path.realpath(os.path.join(self._meta_dir, fn))
+            if fn.startswith("snap-") and fn.endswith(".avro") and p not in live_lists:
+                os.remove(p)
+                deleted.append(p)
+            elif fn.startswith("m") and fn.endswith(".avro") and p not in live_manifests:
+                os.remove(p)
+                deleted.append(p)
+        data_root = os.path.join(self.location, "data")
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            for fn in files:
+                p = os.path.realpath(os.path.join(root, fn))
+                if fn.endswith(".parquet") and p not in live_data:
+                    os.remove(p)
+                    deleted.append(p)
+            for d in dirs:  # prune now-empty partition/commit dirs
+                dp = os.path.join(root, d)
+                if not os.listdir(dp):
+                    os.rmdir(dp)
+        return deleted
+
     # -- partition spec ---------------------------------------------------
 
     @property

@@ -826,3 +826,38 @@ def test_concurrent_commit_cas_retry(spark, tmp_path):
     assert t.read(spark).count() == 6
     # the incremental scan sees exactly the second commit's rows
     assert t.read_incremental(spark, snaps[0]["snapshot-id"]).count() == 3
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphans (lost CAS races, failed commits) are swept; everything a
+    retained snapshot references survives and reads are unchanged."""
+    import os as _os
+
+    loc = str(tmp_path / "orph")
+    t = IcebergTable.create(loc, "url string, text string")
+    for i in range(2):
+        t.append(spark, spark.createDataFrame(
+            [(f"http://o/{i}", f"row {i}")], "url string, text string"
+        ))
+    # plant orphans shaped like lost-race leftovers
+    meta = _os.path.join(loc, "metadata")
+    orphan_list = _os.path.join(meta, "snap-999-1-deadbeef.avro")
+    orphan_man = _os.path.join(meta, "m9-deadbeef.avro")
+    open(orphan_list, "wb").write(b"junk")
+    open(orphan_man, "wb").write(b"junk")
+    dead_dir = _os.path.join(loc, "data", "deadcommit")
+    _os.makedirs(dead_dir)
+    orphan_dat = _os.path.join(dead_dir, "part-00000-dead.parquet")
+    open(orphan_dat, "wb").write(b"junk")
+
+    before = t.read(spark).count()
+    deleted = t.remove_orphan_files()
+    assert {_os.path.basename(p) for p in deleted} == {
+        "snap-999-1-deadbeef.avro", "m9-deadbeef.avro", "part-00000-dead.parquet",
+    }
+    assert not _os.path.exists(orphan_dat) and not _os.path.exists(dead_dir)
+    assert t.read(spark).count() == before == 2
+    assert t.remove_orphan_files() == []
+    # retained time travel still works after the sweep
+    s1 = t.snapshots()[0]
+    assert t.read(spark, snapshot_id=s1["snapshot-id"]).count() == 1
