@@ -673,6 +673,85 @@ class IcebergTable:
         self.refresh()
         return [s["snapshot-id"] for s in expired]
 
+    def set_sort_order(self, columns: list[str]) -> None:
+        """Record a write sort order (spec: sort-orders / default-sort-
+        order-id). Appends then sort within write tasks by these columns,
+        which is what makes per-file min/max bounds DISJOINT instead of
+        overlapping — stats pruning goes from 'keeps most files' to
+        'keeps the slice' on the sorted columns."""
+        schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
+        by_name = {f["name"]: f for f in schema["fields"]}
+        for c in columns:
+            if c not in by_name:
+                raise ValueError(f"sort column not in schema: {c}")
+        self.refresh()
+        md = dict(self.metadata)
+        order_id = len(md["sort-orders"])
+        md["sort-orders"] = md["sort-orders"] + [
+            {
+                "order-id": order_id,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[c]["id"],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in columns
+                ],
+            }
+        ]
+        md["default-sort-order-id"] = order_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._retry_cas(
+            lambda: self._write_metadata(self._meta_dir, self._version + 1, md)
+        )
+        self.refresh()
+
+    def _sort_columns(self) -> list[str]:
+        orders = {o["order-id"]: o for o in self.metadata["sort-orders"]}
+        order = orders.get(self.metadata.get("default-sort-order-id", 0))
+        if not order or not order["fields"]:
+            return []
+        schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
+        by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        return [by_id[f["source-id"]] for f in order["fields"]]
+
+    def history(self) -> list[dict]:
+        """The snapshot log as plain dicts (the `table$history` metadata
+        table): made_current_at / snapshot_id / parent_id / is_current."""
+        cur = self.current_snapshot_id()
+        by_id = {s["snapshot-id"]: s for s in self.snapshots()}
+        return [
+            {
+                "made_current_at_ms": e["timestamp-ms"],
+                "snapshot_id": e["snapshot-id"],
+                "parent_id": by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                "is_current": e["snapshot-id"] == cur,
+            }
+            for e in self.metadata["snapshot-log"]
+            if e["snapshot-id"] in by_id
+        ]
+
+    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The `table$files` metadata table as a DataFrame: one row per
+        live data file with partition tuple and size/count stats."""
+        rows = [
+            (
+                f["path"],
+                f["record_count"],
+                f["file_size_in_bytes"],
+                f["sequence_number"],
+                json.dumps(f["partition"], sort_keys=True),
+            )
+            for f in self.data_files(snapshot_id)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, record_count long, file_size_in_bytes long, "
+            "sequence_number long, partition string",
+        )
+
     def remove_orphan_files(self) -> list[str]:
         """Delete metadata/data files not referenced by any RETAINED
         snapshot: manifest lists and manifests orphaned by lost CAS races
@@ -1010,7 +1089,9 @@ class IcebergTable:
 
     # -- commits ---------------------------------------------------------
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
+    def append(
+        self, spark: SparkSession, df: DataFrame, range_partitions: int | None = None
+    ) -> int:
         """Write df as parquet data files + commit one append snapshot.
         On a partitioned table the derived partition columns are computed
         (`_p_<name>` duplicates, so SOURCE columns stay in the files) and
@@ -1021,6 +1102,19 @@ class IcebergTable:
         schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
         sub = os.path.join(self.location, "data", uuid.uuid4().hex)
         base = df.select(*[F.col(f["name"]) for f in schema["fields"]])
+        sort_cols = self._sort_columns()
+        if sort_cols:
+            # range distribution + task-local sort (iceberg's
+            # write.distribution-mode=range): per-file min/max bounds on
+            # the sort columns come out disjoint, so stats pruning keeps
+            # exactly the matching slice. Explicit range_partitions pins
+            # the file count (AQE coalesces the default-N range shuffle
+            # of a small batch down to one file).
+            if range_partitions:
+                base = base.repartitionByRange(range_partitions, *sort_cols)
+            else:
+                base = base.repartitionByRange(*sort_cols)
+            base = base.sortWithinPartitions(*sort_cols)
         spec = self._spec_parts()
         # INT96 (Spark's legacy default) has no usable column statistics —
         # write micros so timestamp lower/upper bounds land in the manifests

@@ -861,3 +861,49 @@ def test_remove_orphan_files(spark, tmp_path):
     # retained time travel still works after the sweep
     s1 = t.snapshots()[0]
     assert t.read(spark, snapshot_id=s1["snapshot-id"]).count() == 1
+
+
+def test_sort_order_gives_disjoint_bounds(spark, tmp_path):
+    """Range-distributed sorted writes: per-file bounds on the sort column
+    become disjoint, so a stats point lookup keeps exactly one file (an
+    unsorted shuffled write overlaps on most files)."""
+    loc = str(tmp_path / "sorted")
+    t = IcebergTable.create(loc, "event_id bigint, text string")
+    t.set_sort_order(["event_id"])
+    assert t.metadata["default-sort-order-id"] == 1
+    rows = [(int(i * 7919 % 400), f"r{i}") for i in range(400)]  # shuffled ids
+    t.append(spark, spark.createDataFrame(
+        rows, "event_id bigint, text string"
+    ).repartition(8), range_partitions=4)
+    files = t.data_files()
+    assert len(files) == 4
+    # disjoint, ordered ranges across files
+    from blacklab_spark.iceberg import _bound_value
+
+    ranges = sorted(
+        (_bound_value(f["lower_bounds"][1], "long"),
+         _bound_value(f["upper_bounds"][1], "long"))
+        for f in files
+    )
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2
+    # point lookup plans exactly one file
+    assert len(t.data_files(stats_filter={"event_id": 123})) == 1
+
+    rows_df = t.read(spark, stats_filter={"event_id": 123})
+    assert rows_df.filter(F.col("event_id") == 123).count() == sum(
+        1 for v, _ in rows if v == 123
+    )
+
+
+def test_history_and_files_metadata_tables(spark, table):
+    h = table.history()
+    assert len(h) == 2 and h[-1]["is_current"] and not h[0]["is_current"]
+    assert h[1]["parent_id"] == h[0]["snapshot_id"]
+    f = table.files(spark)
+    assert f.count() == len(table.data_files())
+    assert f.columns == [
+        "file_path", "record_count", "file_size_in_bytes",
+        "sequence_number", "partition",
+    ]
+    assert f.agg(F.sum("record_count")).collect()[0][0] == 10
