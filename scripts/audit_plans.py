@@ -99,6 +99,29 @@ def main() -> None:
         p[:800],
     )
 
+    # 7. ranked span queries: bounded top-k (TakeOrderedAndProject), no
+    #    cartesian; BNLJ only for the 1-row df broadcast
+    import re as _re
+
+    p = plan_of(ix.topk_phrase(["fast", "sort"], k=10))
+    # formatted plans print each node twice (tree + details): count node
+    # headers, not substring hits — exactly ONE BNLJ (the 1-row df
+    # broadcast) is the allowed shape
+    n_bnlj = len(_re.findall(r"\) BroadcastNestedLoopJoin", p))
+    check(
+        "topk_phrase bounded + no cartesian",
+        "TakeOrderedAndProject" in p and "CartesianProduct" not in p
+        and n_bnlj <= 1,
+        p[:800],
+    )
+    p = plan_of(ix.topk_and(["table", "vector"], k=10))
+    check(
+        "topk_and no cartesian, no global window",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and ("Window" not in p or "PartitionBy" in p),
+        p[:800],
+    )
+
     print(f"\n{len(failures)} failures")
     spark.stop()
     sys.exit(1 if failures else 0)
