@@ -638,15 +638,20 @@ class Index:
         there is no quantized-norm parity to preserve)."""
         from .rank import rank_head
 
-        # persist tf: BOTH the df-count branch and the scoring branch read
-        # it, and without a materialization Spark re-evaluates the whole
-        # hits subtree (span joins/kernels — the expensive part) once per
-        # branch (no ReusedExchange across the agg shapes; measured 2.8s ->
-        # 1.1s on the bench entry). tf is one row per MATCHING doc
+        # materialize tf: BOTH the df-count branch and the scoring branch
+        # read it, and without a materialization Spark re-evaluates the
+        # whole hits subtree (span joins/kernels — the expensive part) once
+        # per branch (no ReusedExchange across the agg shapes; measured
+        # 2.8s -> 1.0s on the bench entry). tf is one row per MATCHING doc
         # (doc_id + count), a tiny spill-safe footprint even at 100 TB.
+        # localCheckpoint, NOT persist: persist registers in the
+        # CacheManager and never auto-evicts, so a long-lived server
+        # session running many distinct ranked-span queries would leak
+        # cached plans; checkpoint blocks are GC-managed (ContextCleaner
+        # frees them when the DataFrame goes unreachable).
         tf = hits.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("double").alias("tf")
-        ).persist()
+        ).localCheckpoint()
         stats = tf.agg(F.count(F.lit(1)).cast("double").alias("df"))
         n = float(self.n_docs)
         avgdl = float(self.avgdl)
