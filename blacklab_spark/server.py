@@ -514,9 +514,10 @@ def op_docs(ix: Index, params: dict) -> dict:
     t0 = time.time()
     first = max(0, int(params.get("first", 0)))
     number = min(MAX_WINDOW, max(0, int(params.get("number", DEFAULT_NUMBER))))
+    hits_df = None
     if params.get("patt"):
-        hits = _hits_base(ix, params)
-        d = results.doc_results(hits)
+        hits_df = _hits_base(ix, params)
+        d = results.doc_results(hits_df)
     else:
         d = ix.docs.select("doc_id")
         if params.get("filter"):
@@ -533,6 +534,32 @@ def op_docs(ix: Index, params: dict) -> dict:
     desc = sort.startswith("-")
     if desc:
         sort = sort[1:]
+    if sort == "bm25":
+        # ranked retrieval over the pattern: the whole span pattern scores
+        # as one BM25 unit (Index.topk_spans — tf = hits per doc). Beyond
+        # the reference's BLS surface (which never ranks); score is
+        # returned per doc. Bounded: only the requested window is planned.
+        if hits_df is None:
+            raise ValueError("sort=bm25 requires patt")
+        top = ix.topk_spans(hits_df, k=first + number)
+        rows = (
+            top.join(d, "doc_id")
+            .orderBy("rank")
+            .collect()[first:]
+        )
+        infos = _doc_infos(ix, [r["doc_id"] for r in rows])
+        return {
+            "summary": _summary(params, first, number, len(rows), total, total, t0),
+            "docs": [
+                {
+                    "docPid": str(r["doc_id"]),
+                    "numberOfHits": r["n_hits"],
+                    "score": round(r["score"], 6),
+                    "docInfo": infos.get(str(r["doc_id"]), {}),
+                }
+                for r in rows
+            ],
+        }
     if not sort or sort == "numhits":
         # default: hit count desc (the reference's docs default)
         key = F.col("n_hits").desc_nulls_last() if not desc else F.col("n_hits").asc_nulls_last()

@@ -752,3 +752,21 @@ def test_user_formats_persist_across_restart(spark, tmp_path):
         assert st == 200 and body["configFile"]["documentPath"] == "letter"
     finally:
         s2.stop()
+
+
+def test_docs_ranked_bm25(srv, tiny_index):
+    """docs?patt=&sort=bm25: the window is the engine's topk_spans ranking
+    (whole pattern = one scored BM25 unit), scores included per doc."""
+    st, body = get(srv, '/blacklab-server/tiny/docs?patt=%22the%22&sort=bm25&number=3')
+    assert st == 200
+    from blacklab_spark import bcql
+
+    hits = bcql.find(tiny_index, '"the"')
+    want = tiny_index.topk_spans(hits, k=3).orderBy("rank").collect()
+    assert [d["docPid"] for d in body["docs"]] == [str(r["doc_id"]) for r in want]
+    for d, r in zip(body["docs"], want):
+        assert abs(d["score"] - r["score"]) < 1e-6
+        assert d["numberOfHits"] >= 1
+    # bm25 without a pattern is a client error, not a 500
+    st, body = get(srv, "/blacklab-server/tiny/docs?sort=bm25")
+    assert st == 400
