@@ -1809,6 +1809,48 @@ def build_queries() -> dict:
 
     q["txt_fingerprint"] = txt_fingerprint
 
+    def txt_decontam(s, d):
+        """Benchmark decontamination (training-data pipeline): flag
+        training docs sharing any token 3-gram with the held-out eval set
+        (docs with doc_id % 97 == 0 stand in for the benchmark). The
+        standard shape at scale: explode grams, DISTINCT the (small)
+        benchmark gram set, hash equi-join (broadcastable — eval sets are
+        tiny next to the corpus), count distinct shared grams per doc.
+        No cartesian; training docs with zero overlap survive via the
+        left join."""
+        t = _toks(s, d).filter(F.col("doc_id") < 300)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        g = (
+            t.select(
+                "doc_id", "tok",
+                F.lead("tok", 1).over(w).alias("t1"),
+                F.lead("tok", 2).over(w).alias("t2"),
+            )
+            .filter(F.col("t2").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+        )
+        bench = (
+            g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+        )
+        train = g.filter(F.col("doc_id") % 97 != 0)
+        shared = (
+            train.join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_shared"))
+        )
+        docs = (
+            _docs(s, d)
+            .filter((F.col("doc_id") < 300) & (F.col("doc_id") % 97 != 0))
+            .select("doc_id")
+        )
+        return docs.join(shared, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+
+    q["txt_decontam"] = txt_decontam
+
     def txt_pii_scrub(s, d):
         """PII scrubbing (training-data pipeline): regex redaction of
         emails / IPv4 addresses with per-doc match counts and the hash of
@@ -2278,7 +2320,7 @@ def build_queries() -> dict:
 # repo root (deterministic, no clock).
 _NEVER_DRIVER_CHECKED = [
     "src_iceberg", "src_iceberg_part", "ix_topk_phrase", "ix_topk_near",
-    "ix_topk_and",  # new in r5 session 7
+    "ix_topk_and", "txt_decontam",  # new in r5 session 7
     "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank",  # new in r5 session 6
     "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon",  # new in r5 session 6
     "src_warc",  # new in r5 session 5
@@ -2730,6 +2772,28 @@ SELECT doc_id,
                 ELSE 44100 END) AS INT) AS duration_ms,
        ROUND(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS rms
 FROM documents
+"""
+    o["txt_decontam"] = f"""
+WITH {SQL_TOKS},
+g AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < 300
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+shared AS (
+  SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+  FROM g JOIN bench USING (g)
+  WHERE doc_id % 97 <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_shared, 0) AS n_shared,
+       coalesce(s.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id < 300 AND d.doc_id % 97 <> 0
 """
     o["src_iceberg_part"] = """
 SELECT event_id, ts, event_type

@@ -47,7 +47,7 @@ def main() -> None:
 
     # 2. no cartesian products in pipeline ops
     qs = E.build_queries()
-    for name in ("dd_emb_neardup", "dd_lsh_pairs", "dd_ngram_jaccard", "sim_ann_lsh", "sim_ann_multiprobe", "sim_cosine_topk", "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon", "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank"):
+    for name in ("dd_emb_neardup", "dd_lsh_pairs", "dd_ngram_jaccard", "sim_ann_lsh", "sim_ann_multiprobe", "sim_cosine_topk", "txt_chunk_dedup", "txt_gopher_rep", "dd_url_canon", "dd_lsh_cluster", "txt_substr_dedup", "web_pagerank", "txt_decontam"):
         p = plan_of(qs[name](spark, SF))
         bad = "CartesianProduct" in p
         # BroadcastNestedLoopJoin is acceptable ONLY against a 1-row broadcast
