@@ -907,3 +907,39 @@ def test_history_and_files_metadata_tables(spark, table):
         "sequence_number", "partition",
     ]
     assert f.agg(F.sum("record_count")).collect()[0][0] == 10
+
+
+def test_transform_col_matches_python_transform(spark, tmp_path):
+    """The Spark write-path column transforms and the python point-lookup
+    transforms are independent implementations — one batch cross-check
+    over adversarial values (negatives, unicode, empty, None) keeps them
+    from drifting apart."""
+    import datetime as dt
+
+    from blacklab_spark.iceberg import apply_transform
+
+    rows = []
+    for i in range(150):
+        s = ["", "a", "héllo wörld", "x" * 50, f"http://t/{i*37}"][i % 5] + str(i)
+        n = (i - 75) * 977
+        ts = dt.datetime(1969, 12, 28, tzinfo=dt.timezone.utc) + dt.timedelta(
+            hours=i * 13, minutes=i
+        )
+        rows.append((s, n, ts))
+    df = spark.createDataFrame(rows, "s string, n bigint, ts timestamp")
+
+    t = IcebergTable.create(
+        str(tmp_path / "x"),
+        "s string, n bigint, ts timestamp",
+        partition_by=["bucket(7, s)", "bucket(5, n)", "day(ts)",
+                      "truncate(3, s)", "truncate(100, n)"],
+    )
+    spec = t._spec_parts()
+    out = df.select(
+        "s", "n", "ts", *[t._transform_col(sp).alias(f"c{j}") for j, sp in enumerate(spec)]
+    ).collect()
+    for r in out:
+        raw = {"s": r.s, "n": r.n, "ts": r.ts.replace(tzinfo=dt.timezone.utc)}
+        for j, sp in enumerate(spec):
+            expect = apply_transform(sp["transform"], sp["param"], raw[sp["src"]], sp["src_type"])
+            assert r[f"c{j}"] == expect, (sp, raw[sp["src"]], r[f"c{j}"], expect)
