@@ -100,10 +100,19 @@ class _IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, columns: list[str]):
         self.location = options["location"]
         self.columns = columns
+        # start_seq: begin AFTER this sequence number (default 0 = ingest
+        # the whole table on the first batch); "latest" = only commits
+        # made after the query starts
+        s = options.get("start_seq", "0")
+        if s == "latest":
+            self.start_seq = IcebergTable(self.location).metadata[
+                "last-sequence-number"
+            ]
+        else:
+            self.start_seq = int(s)
 
     def initialOffset(self) -> dict:
-        start = {"seq": 0}
-        return start
+        return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
         t = IcebergTable(self.location)

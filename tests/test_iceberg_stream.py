@@ -98,3 +98,42 @@ def test_stream_build_from_iceberg_source(spark, tmp_path):
     assert ix.term_hits("streamdoc").count() == 1
     segs = json.load(open(f"{out}/segments.json"))["segments"]
     assert len(segs) >= 1
+
+
+def test_stream_start_seq_latest(spark, tmp_path):
+    """start_seq='latest': pre-existing commits are skipped; only commits
+    made after the query's first start are ingested."""
+    from blacklab_spark.iceberg_stream import register
+
+    loc = str(tmp_path / "pages")
+    t = IcebergTable.create(
+        loc, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t.append(spark, pages_df(spark, "tiny"))  # must be skipped
+    register(spark)
+    got = []
+
+    def handle(batch_df, batch_id):
+        got.extend(r.url for r in batch_df.collect())
+
+    def drain(ck):
+        q = (
+            spark.readStream.format("iceberg_pages")
+            .option("location", loc).option("start_seq", "latest")
+            .load()
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ck = str(tmp_path / "ck")
+    drain(ck)
+    assert got == []
+    t.append(spark, spark.createDataFrame(
+        [("http://late/1", None, None, "late", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ))
+    drain(ck)
+    assert got == ["http://late/1"]
