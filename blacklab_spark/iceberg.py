@@ -86,17 +86,20 @@ _SPARK_TO_ICE = {
 
 
 def schema_from_ddl(ddl: str) -> dict:
-    """Spark DDL string -> Iceberg schema struct (field-ids assigned 1..n)."""
-    from pyspark.sql.types import StructType
-
-    st = StructType.fromDDL(ddl)
+    """Spark DDL string -> Iceberg schema struct (field-ids assigned 1..n).
+    Parsed directly (flat `name type, ...` only — the supported scalar
+    subset), so table creation and all metadata ops need NO live Spark
+    session; Spark is only involved when rows move."""
     fields = []
-    for i, f in enumerate(st.fields, start=1):
-        t = f.dataType.simpleString()
+    for i, part in enumerate(ddl.split(","), start=1):
+        toks = part.strip().split()
+        if len(toks) != 2:
+            raise ValueError(f"unsupported DDL fragment for iceberg table: {part!r}")
+        name, t = toks[0], toks[1].lower()
         if t not in _SPARK_TO_ICE:
             raise ValueError(f"unsupported column type for iceberg table: {t}")
         fields.append(
-            {"id": i, "name": f.name, "required": False, "type": _SPARK_TO_ICE[t]}
+            {"id": i, "name": name, "required": False, "type": _SPARK_TO_ICE[t]}
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
 

@@ -943,3 +943,87 @@ def test_transform_col_matches_python_transform(spark, tmp_path):
         for j, sp in enumerate(spec):
             expect = apply_transform(sp["transform"], sp["param"], raw[sp["src"]], sp["src_type"])
             assert r[f"c{j}"] == expect, (sp, raw[sp["src"]], r[f"c{j}"], expect)
+
+
+# ---------------------------------------------------------------------------
+# model-based stateful fuzz (no Spark: appends via commit_append over
+# pyarrow-written files, so the state machine runs in milliseconds)
+
+from hypothesis import settings as _settings  # noqa: E402
+from hypothesis.stateful import (  # noqa: E402
+    Bundle,
+    RuleBasedStateMachine,
+    initialize,
+    rule,
+)
+
+
+class IcebergModel(RuleBasedStateMachine):
+    """Random append / expire / orphan-sweep sequences against a python
+    model: at every step, every retained snapshot's planned file set must
+    carry exactly the rows the model says were visible at that commit."""
+
+    snapshots = Bundle("snapshots")
+
+    @initialize()
+    def setup(self):
+        import tempfile
+
+        self.dir = tempfile.mkdtemp(prefix="ice_model_")
+        self.t = IcebergTable.create(self.dir, "k bigint, v string")
+        self.model: dict[int, int] = {}  # snapshot_id -> visible row count
+        self.total = 0
+        self.counter = 0
+
+    @rule(target=snapshots, n=__import__("hypothesis").strategies.integers(0, 40))
+    def append(self, n):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self.counter += 1
+        p = os.path.join(self.dir, "data", f"f{self.counter}.parquet")
+        pq.write_table(
+            pa.table({"k": list(range(n)), "v": [f"x{i}" for i in range(n)]}), p
+        )
+        sid = self.t.commit_append([p])
+        self.total += n
+        self.model[sid] = self.total
+        return sid
+
+    @rule(keep=__import__("hypothesis").strategies.integers(1, 3))
+    def expire(self, keep):
+        expired = self.t.expire_snapshots(keep_last=keep)
+        for sid in expired:
+            self.model.pop(sid, None)
+
+    @rule()
+    def sweep(self):
+        self.t.remove_orphan_files()
+
+    @rule(sid=snapshots)
+    def check(self, sid):
+        import pytest as _pytest
+
+        if sid not in self.model:  # expired: must raise, not misread
+            with _pytest.raises(KeyError):
+                self.t.data_files(sid)
+            return
+        files = self.t.data_files(sid)
+        assert sum(f["record_count"] for f in files) == self.model[sid]
+        import pyarrow.parquet as pq
+
+        assert sum(pq.ParquetFile(f["path"]).metadata.num_rows for f in files) \
+            == self.model[sid]
+
+    def teardown(self):
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+IcebergModel.TestCase.settings = _settings(
+    max_examples=30, stateful_step_count=20, deadline=None, derandomize=True
+)
+TestIcebergModel = IcebergModel.TestCase
