@@ -1345,6 +1345,13 @@ def find(ix: Index, query: str) -> DataFrame:
     return compile_pattern(ix, parse(query))
 
 
+def find_ranked(ix: Index, query: str, k: int = 10) -> DataFrame:
+    """Ranked retrieval over ANY BCQL pattern: the pattern's hits score as
+    one BM25 unit (Index.topk_spans) -> (rank, doc_id, url, score). The
+    HTTP analog is docs?patt=...&sort=bm25."""
+    return ix.topk_spans(find(ix, query), k)
+
+
 # ------------------------------------------------------------ serialization --
 # mirrors TextPatternSerializerJson.java / TextPatternSerializerCql.java:
 # patterns round-trip through plain dicts (JSON-able) and back to CQL text.

@@ -195,3 +195,12 @@ def test_topk_and_conjunctive_vs_numpy(small_index):
     assert [r.doc_id for r in got] == [d for _, d in exp]
     for r, (neg_s, _) in zip(got, exp):
         assert abs(r.score - (-neg_s)) < 1e-9
+
+
+def test_find_ranked_bcql(small_index):
+    from blacklab_spark import bcql
+
+    top = bcql.find_ranked(small_index, '"the" "w00000"', k=5).collect()
+    assert 0 < len(top) <= 5
+    want = small_index.topk_phrase(["the", "w00000"], k=5).collect()
+    assert {(r.rank, r.doc_id) for r in top} == {(r.rank, r.doc_id) for r in want}
