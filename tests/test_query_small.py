@@ -204,3 +204,46 @@ def test_find_ranked_bcql(small_index):
     assert 0 < len(top) <= 5
     want = small_index.topk_phrase(["the", "w00000"], k=5).collect()
     assert {(r.rank, r.doc_id) for r in top} == {(r.rank, r.doc_id) for r in want}
+
+
+def test_topk_spans_fuzz_vs_numpy(small_index):
+    """Derandomized property: topk_spans reproduces an independent numpy
+    BM25 for ARBITRARY hit multisets (any doc mix, duplicate spans,
+    single-doc corner, k larger than result set)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blacklab_spark import B, K1
+
+    ix = small_index
+    doc_ids = [r.doc_id for r in ix.docs.select("doc_id").limit(40).collect()]
+    dl = {r.doc_id: r.doc_len for r in ix.docs.select("doc_id", "doc_len").collect()}
+    n, avgdl = ix.n_docs, ix.avgdl
+
+    hit = st.tuples(
+        st.sampled_from(doc_ids), st.integers(0, 30), st.integers(1, 5)
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(st.lists(hit, min_size=1, max_size=60), st.integers(1, 12))
+    def prop(hits, k):
+        rows = [(d, s, s + ln) for d, s, ln in hits]
+        hdf = ix.spark.createDataFrame(rows, "doc_id long, start int, end int")
+        got = ix.topk_spans(hdf, k=k).orderBy("rank").collect()
+        tf = {}
+        for d, _, _ in rows:
+            tf[d] = tf.get(d, 0) + 1
+        df = float(len(tf))
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        exp = sorted(
+            (
+                (-idf * (t / (t + K1 * (1 - B + B * dl[d] / avgdl))) * (K1 + 1), d)
+                for d, t in tf.items()
+            )
+        )[:k]
+        assert [r.doc_id for r in got] == [d for _, d in exp]
+        for r, (neg_s, _) in zip(got, exp):
+            assert abs(r.score - (-neg_s)) < 1e-9
+
+    prop()

@@ -770,3 +770,10 @@ def test_docs_ranked_bm25(srv, tiny_index):
     # bm25 without a pattern is a client error, not a 500
     st, body = get(srv, "/blacklab-server/tiny/docs?sort=bm25")
     assert st == 400
+
+
+def test_docs_ranked_bm25_no_matches(srv):
+    """bm25 over a pattern with zero hits: empty window, 200, no crash."""
+    st, body = get(srv, '/blacklab-server/tiny/docs?patt=%22zzznotaword%22&sort=bm25')
+    assert st == 200
+    assert body["docs"] == []
