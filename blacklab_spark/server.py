@@ -930,6 +930,64 @@ def op_list_input_formats(user_formats: dict | None = None) -> dict:
     }
 
 
+_XML_SINGULAR = {
+    "hits": "hit", "docs": "doc", "hitGroups": "hitGroup",
+    "docGroups": "docGroup", "word": "w", "lemma": "w", "pos": "w",
+    "captureGroups": "captureGroup", "annotations": "annotation",
+    "metadataFields": "metadataField", "values": "value",
+    "supportedInputFormats": "format", "relations": "relation",
+    "classes": "class", "attributes": "attribute", "delta_segments": "segment",
+}
+_XML_NAME_RE = re.compile(r"[^A-Za-z0-9_.-]")
+
+
+def _xml_name(k) -> str:
+    s = _XML_NAME_RE.sub("_", str(k)) or "_"
+    if not (s[0].isalpha() or s[0] == "_"):
+        s = "_" + s
+    return s
+
+
+def _xml_esc(v) -> str:
+    s = "" if v is None else str(v)
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _xml_node(name: str, val, out: list) -> None:
+    name = _xml_name(name)
+    if isinstance(val, dict):
+        out.append(f"<{name}>")
+        for k, v in val.items():
+            _xml_node(k, v, out)
+        out.append(f"</{name}>")
+    elif isinstance(val, (list, tuple)):
+        child = _XML_SINGULAR.get(name, "item")
+        out.append(f"<{name}>")
+        for v in val:
+            _xml_node(child, v, out)
+        out.append(f"</{name}>")
+    elif isinstance(val, bool):
+        out.append(f"<{name}>{'true' if val else 'false'}</{name}>")
+    else:
+        out.append(f"<{name}>{_xml_esc(val)}</{name}>")
+
+
+def to_xml(payload: dict) -> str:
+    """BLS-shaped XML rendering (DataStreamXml analog): the same response
+    tree JSON serializes, as elements — list items get singular names
+    (hits/hit, docs/doc, hitGroups/hitGroup, context words as <w>), any
+    metadata-derived key is sanitized to a valid element name. Applied
+    uniformly at the response writer, so EVERY endpoint (and errors)
+    honors outputformat=xml."""
+    out = ['<?xml version="1.0" encoding="utf-8" ?>', "<blacklabResponse>"]
+    for k, v in payload.items():
+        _xml_node(k, v, out)
+    out.append("</blacklabResponse>")
+    return "".join(out)
+
+
 def _csv_escape(v) -> str:
     s = "" if v is None else str(v)
     if any(ch in s for ch in ',"\n'):
@@ -1051,9 +1109,13 @@ class BlackLabServer:
                     status, payload = 404, {"error": {"code": "NOT_FOUND", "message": str(e)}}
                 except Exception as e:  # surfaced, never a hung socket
                     status, payload = 500, {"error": {"code": "INTERNAL_ERROR", "message": repr(e)}}
+                wants_xml = "outputformat=xml" in urlparse(self.path).query
                 if isinstance(payload, str):  # pre-rendered (csv)
                     ctype = "text/csv"
                     body = payload.encode()
+                elif wants_xml:
+                    ctype = "application/xml"
+                    body = to_xml(payload).encode()
                 else:
                     body = json.dumps(payload, default=str).encode()
                 self.send_response(status)

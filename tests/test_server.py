@@ -777,3 +777,44 @@ def test_docs_ranked_bm25_no_matches(srv):
     st, body = get(srv, '/blacklab-server/tiny/docs?patt=%22zzznotaword%22&sort=bm25')
     assert st == 200
     assert body["docs"] == []
+
+
+def test_xml_output_format(srv, tiny_index):
+    """outputformat=xml on any endpoint: well-formed BLS-shaped XML whose
+    hit count and context words match the JSON payload."""
+    import xml.etree.ElementTree as ET
+
+    url = f"http://127.0.0.1:{srv.port}/blacklab-server/tiny/hits?patt=%22the%22"
+    with urllib.request.urlopen(url + "&outputformat=xml", timeout=120) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/xml"
+        root = ET.fromstring(r.read())
+    assert root.tag == "blacklabResponse"
+    _, body = get(srv, "/blacklab-server/tiny/hits?patt=%22the%22")
+    xml_hits = root.find("hits").findall("hit")
+    assert len(xml_hits) == len(body["hits"])
+    jwords = body["hits"][0]["match"]["word"]
+    xwords = [w.text for w in xml_hits[0].find("match").find("word").findall("w")]
+    assert xwords == jwords
+    # grouped + docs + server-info render too (generic writer-level path)
+    for p in (
+        "/blacklab-server/tiny/hits?patt=%22the%22&group=hit",
+        "/blacklab-server/tiny/docs?patt=%22the%22",
+        "/blacklab-server",
+    ):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{p}"
+            + ("&" if "?" in p else "?") + "outputformat=xml", timeout=120
+        ) as r:
+            ET.fromstring(r.read())  # well-formed
+    # errors honor the requested format as well
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/blacklab-server/tiny/docs"
+            "?sort=bm25&outputformat=xml", timeout=120
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        root = ET.fromstring(e.read())
+        assert root.find("error/code").text == "BAD_REQUEST"
