@@ -1756,11 +1756,26 @@ def build_queries() -> dict:
 
     # ---------------- text analysis ----------------
     def txt_tokcount(s, d):
-        return (
+        """Token counting, both flavors the pipeline brief names:
+        whitespace-ish tokens (the toks split) AND a BPE-ish pretokenizer
+        regex count (GPT-2-style contraction/letters/digits/punct classes,
+        restricted to the RE2-AND-Java-compatible subset so Spark and the
+        DuckDB oracle run the identical pattern)."""
+        bpe = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+        ws = (
             _toks(s, d).filter(F.col("doc_id") < 100)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_uniq"))
         )
+        bp = (
+            _docs(s, d).filter(F.col("doc_id") < 100)
+            .select(
+                "doc_id",
+                F.regexp_count(F.lower(F.col("text")), F.lit(bpe))
+                .cast("long").alias("n_bpe"),
+            )
+        )
+        return ws.join(bp, "doc_id")
 
     q["txt_tokcount"] = txt_tokcount
 
@@ -3014,10 +3029,17 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_i
   SELECT vec_id, round(dot / sqrt(nv * nq), 6) AS cos FROM dots, qn
 ) QUALIFY rank <= 10
 """
+    bpe_sql = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+"
     o["txt_tokcount"] = f"""
-WITH {SQL_TOKS}
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
-FROM toks WHERE doc_id < 100 GROUP BY 1
+WITH {SQL_TOKS},
+ws AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+  FROM toks WHERE doc_id < 100 GROUP BY 1
+)
+SELECT ws.doc_id, ws.n_tok, ws.n_uniq,
+       CAST(length(regexp_extract_all(lower(d.text), '{bpe_sql}')) AS BIGINT) AS n_bpe
+FROM ws JOIN documents d USING (doc_id)
 """
     stop_list = ", ".join(f"'{t}'" for t in TOPK_STOP)
     o["txt_quality"] = f"""
