@@ -658,7 +658,13 @@ class IcebergTable:
         snaps = md["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        # tagged snapshots survive expiry (spec: refs retain snapshots)
+        pinned = {
+            r["snapshot-id"] for r in md["refs"].values() if r.get("type") == "tag"
+        }
+        expired = [s for s in snaps[:-keep_last] if s["snapshot-id"] not in pinned]
+        expired_ids = {s["snapshot-id"] for s in expired}
+        kept = [s for s in snaps if s["snapshot-id"] not in expired_ids]
         kept_lists = {s["manifest-list"] for s in kept}
         md["snapshots"] = kept
         kept_ids = {s["snapshot-id"] for s in kept}
@@ -675,6 +681,33 @@ class IcebergTable:
                     pass
         self.refresh()
         return [s["snapshot-id"] for s in expired]
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create/update a named ref of type 'tag' pinning a snapshot
+        (spec: refs map — `VERSION AS OF <tag>` reads). Tagged snapshots
+        survive expire_snapshots."""
+        if name == "main":
+            raise ValueError("'main' is the branch ref; pick another name")
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError("cannot tag an empty table")
+        self.refresh()
+        md = dict(self.metadata)
+        md["refs"] = {
+            **md["refs"],
+            name: {"snapshot-id": snap["snapshot-id"], "type": "tag"},
+        }
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._retry_cas(
+            lambda: self._write_metadata(self._meta_dir, self._version + 1, md)
+        )
+        self.refresh()
+
+    def ref_snapshot_id(self, ref: str) -> int:
+        r = self.metadata["refs"].get(ref)
+        if r is None:
+            raise KeyError(f"unknown ref: {ref}")
+        return r["snapshot-id"]
 
     def set_sort_order(self, columns: list[str]) -> None:
         """Record a write sort order (spec: sort-orders / default-sort-
@@ -1049,6 +1082,7 @@ class IcebergTable:
         as_of_ms: int | None = None,
         partition_filter=None,
         stats_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read (optionally time-traveled, optionally
         partition- or stats-pruned — see data_files). partition_filter on
@@ -1058,6 +1092,10 @@ class IcebergTable:
         file list from the manifests; Spark reads exactly those parquet
         files (split planning, pushdown and pruning are Spark's as
         usual)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         files = self.data_files(
             snapshot_id, as_of_ms,
             partition_filter=partition_filter, stats_filter=stats_filter,

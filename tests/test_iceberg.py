@@ -1027,3 +1027,32 @@ IcebergModel.TestCase.settings = _settings(
     max_examples=30, stateful_step_count=20, deadline=None, derandomize=True
 )
 TestIcebergModel = IcebergModel.TestCase
+
+
+def test_tags_and_ref_reads(spark, tmp_path):
+    """Named tag refs: read by ref, tags survive snapshot expiry, main
+    branch ref tracks the head."""
+    loc = str(tmp_path / "tagd")
+    t = IcebergTable.create(loc, "url string, text string")
+    for i in range(3):
+        t.append(spark, spark.createDataFrame(
+            [(f"http://t/{i}", f"row {i}")], "url string, text string"
+        ))
+    s1, s2, s3 = [s["snapshot-id"] for s in t.snapshots()]
+    t.tag("crawl-2021", s1)
+    assert t.ref_snapshot_id("crawl-2021") == s1
+    assert t.ref_snapshot_id("main") == s3
+    assert t.read(spark, ref="crawl-2021").count() == 1
+    assert t.read(spark, ref="main").count() == 3
+
+    # expiry keeps the tagged snapshot, drops the untagged middle one
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [s2]
+    assert {s["snapshot-id"] for s in t.snapshots()} == {s1, s3}
+    assert t.read(spark, ref="crawl-2021").count() == 1
+    with pytest.raises(KeyError):
+        t.read(spark, ref="nope")
+    with pytest.raises(ValueError):
+        t.read(spark, ref="crawl-2021", snapshot_id=s3)
+    with pytest.raises(ValueError):
+        t.tag("main")
