@@ -14,8 +14,10 @@ blacklab_spark.avro_io:
 - manifest lists and manifest files as REAL Avro container files with the
   spec's field-ids (manifest_path=500 …, data_file.file_path=100 …), so
   the files are the format, not a look-alike;
-- commits via write-new-version + atomic version-hint rename
-  (single-writer; a catalog supplies the CAS on a real deployment);
+- commits via write-new-version + atomic version-hint rename, with
+  O_EXCL version-file creation as the optimistic-concurrency CAS (losers
+  refresh and re-commit; a catalog supplies the same swap on a real
+  deployment);
 - scan planning: snapshot-id / as-of-timestamp time travel and
   incremental (start, end] append scans by data sequence number — the
   planner returns the parquet file list and Spark reads it directly.
