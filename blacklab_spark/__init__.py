@@ -37,10 +37,14 @@ __all__ = [
     # .build.build_index/add_segment/compact — index construction
     # .query.Index            — span queries + BM25 top-k
     # .spans                  — span algebra combinators
-    # .bcql.parse/find        — Corpus Query Language
+    # .bcql.parse/find/find_ranked — Corpus Query Language (+ BM25 ranking)
     # .results                — sort/group/sample/window/facets/collocations
     # .rank                   — distributed ranking (no single-partition windows)
     # .sources                — input format readers -> pages schema
     # .streaming.stream_build — Structured Streaming delta ingest
+    # .iceberg                — Iceberg corpus table (snapshots, partitions,
+    #                           stats pruning, delta indexing, follower)
+    # .iceberg_stream         — Structured Streaming source over the table
+    # .server                 — BlackLab Server HTTP analog + search cache
     # .multimodal             — binary payload plumbing
 ]
